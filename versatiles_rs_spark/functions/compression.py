@@ -1,0 +1,92 @@
+"""Tile compression codecs — gzip / zlib-raw / (zstd, brotli when available).
+
+API mirrors versatiles_core/src/compression/functions.rs:54-230
+(``compress`` / ``decompress`` / ``recompress`` / ``optimize_compression``).
+Gzip uses fixed level 9 + mtime 0 so output bytes are deterministic
+(required for golden byte-equality tests). Brotli/zstd are gated behind
+import-try — absent in this container, the API degrades to gzip.
+"""
+
+from __future__ import annotations
+
+import gzip as _gzip
+import zlib
+
+try:  # pragma: no cover - not installed in this container
+    import brotli as _brotli
+except ImportError:
+    _brotli = None
+try:  # pragma: no cover
+    import zstandard as _zstd
+except ImportError:
+    _zstd = None
+
+UNCOMPRESSED = "none"
+GZIP = "gzip"
+BROTLI = "brotli"
+ZSTD = "zstd"
+
+
+def available_codecs() -> list[str]:
+    out = [UNCOMPRESSED, GZIP]
+    if _brotli is not None:
+        out.append(BROTLI)
+    if _zstd is not None:
+        out.append(ZSTD)
+    return out
+
+
+def compress(data: bytes, codec: str) -> bytes:
+    if codec == UNCOMPRESSED:
+        return data
+    if codec == GZIP:
+        # mtime=0 => deterministic bytes across runs
+        return _gzip.compress(data, compresslevel=9, mtime=0)
+    if codec == BROTLI and _brotli is not None:
+        return _brotli.compress(data)
+    if codec == ZSTD and _zstd is not None:
+        return _zstd.ZstdCompressor().compress(data)
+    raise ValueError(f"codec {codec!r} unavailable (have: {available_codecs()})")
+
+
+def decompress(data: bytes, codec: str) -> bytes:
+    if codec == UNCOMPRESSED:
+        return data
+    if codec == GZIP:
+        return _gzip.decompress(data)
+    if codec == BROTLI and _brotli is not None:
+        return _brotli.decompress(data)
+    if codec == ZSTD and _zstd is not None:
+        return _zstd.ZstdDecompressor().decompress(data)
+    raise ValueError(f"codec {codec!r} unavailable")
+
+
+def recompress(data: bytes, src: str, dst: str) -> bytes:
+    """functions.rs:176 — no-op when codecs match (lazy-decode parity)."""
+    if src == dst:
+        return data
+    return compress(decompress(data, src), dst)
+
+
+def optimize_compression(data: bytes, codec: str, accepted: list[str]) -> tuple[bytes, str]:
+    """functions.rs:54 — keep the current codec when the client accepts it,
+    else recompress to the best accepted codec (first in preference order)."""
+    if codec in accepted:
+        return data, codec
+    for pref in (BROTLI, ZSTD, GZIP, UNCOMPRESSED):
+        if pref in accepted and (pref in available_codecs()):
+            return recompress(data, codec, pref), pref
+    return decompress(data, codec), UNCOMPRESSED
+
+
+def gzip_crc_ok(data: bytes) -> bool:
+    """Cheap integrity probe used by the validation job."""
+    try:
+        zlib.decompress(data[10:], -zlib.MAX_WBITS)  # skip gzip header; raw inflate
+        return True
+    except zlib.error:
+        try:
+            _gzip.decompress(data)
+            return True
+        except OSError:
+            return False

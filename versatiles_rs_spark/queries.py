@@ -1,0 +1,427 @@
+"""Driver-facing query registry: Spark implementations + DuckDB oracle SQL.
+
+Each entry implements one operator family from SURVEY.md §2 as a
+(spark, sf_dir) -> DataFrame callable, with a matching ANSI-SQL oracle that
+DuckDB runs on the same parquet views. Column names/aliases match exactly;
+float outputs are rounded or integer-quantized so value hashes are stable
+across engines.
+
+Shared derivations (pages/generator.py): lon/lat come from pure integer
+arithmetic on doc_id / event_id, so both engines compute identical doubles.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from versatiles_rs_spark.operators.convert import assign_tiles, convert_pages_to_tiles
+from versatiles_rs_spark.operators.reduce_points import drop_rate_keep
+from versatiles_rs_spark.pages.generator import LAT_MULT, LON_MULT, lat_expr, lon_expr
+from versatiles_rs_spark.tile_math.coords import lonlat_to_tile_cols
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (valid in both Spark SQL and DuckDB)
+# ---------------------------------------------------------------------------
+
+LON_SQL = "(({id} * 2654435761) % 360000000) / 1000000.0 - 180.0"
+LAT_SQL = "(({id} * 2246822519) % 170000000) / 1000000.0 - 85.0"
+
+
+def _tile_sql(axis: str, z: str = "z") -> str:
+    """floor(clamp(...)) tile index formula (tile_coord.rs:139-146)."""
+    if axis == "x":
+        frac = f"pow(2.0,{z})*(lon/360.0+0.5)"
+    else:
+        frac = f"pow(2.0,{z})*(0.5-0.5*ln(tan(lat*pi()/360.0+pi()/4.0))/pi())"
+    return f"CAST(floor(least(greatest({frac},0.0),pow(2.0,{z})-1.0)) AS BIGINT)"
+
+
+def _docs_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.withColumn("lon", lon_expr(F.col("doc_id"))).withColumn("lat", lat_expr(F.col("doc_id")))
+
+
+def _events_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.withColumn("lon", lon_expr(F.col("event_id"))).withColumn("lat", lat_expr(F.col("event_id")))
+
+
+# ---------------------------------------------------------------------------
+# 1. tile assignment (from_csv geocoding core — SURVEY.md §2.1/§2.10)
+# ---------------------------------------------------------------------------
+
+def q_tile_assign_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assigned = assign_tiles(_docs_geo(spark, sf_dir), 0, 8)
+    return (
+        assigned.groupBy("z", "x", "y")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+O_TILE_ASSIGN_COUNTS = f"""
+WITH pts AS (
+  SELECT doc_id, {LON_SQL.format(id="doc_id")} AS lon, {LAT_SQL.format(id="doc_id")} AS lat
+  FROM documents
+), zs AS (SELECT z FROM generate_series(0, 8) t(z))
+SELECT CAST(z AS INTEGER) AS z, {_tile_sql("x")} AS x, {_tile_sql("y")} AS y, count(*) AS n
+FROM pts CROSS JOIN zs GROUP BY 1, 2, 3
+"""
+
+
+def q_events_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assigned = assign_tiles(_events_geo(spark, sf_dir), 0, 10)
+    return assigned.groupBy("z", "x", "y").agg(F.count("*").alias("n"))
+
+
+O_EVENTS_TILE_COUNTS = f"""
+WITH pts AS (
+  SELECT event_id, {LON_SQL.format(id="event_id")} AS lon, {LAT_SQL.format(id="event_id")} AS lat
+  FROM events
+), zs AS (SELECT z FROM generate_series(0, 10) t(z))
+SELECT CAST(z AS INTEGER) AS z, {_tile_sql("x")} AS x, {_tile_sql("y")} AS y, count(*) AS n
+FROM pts CROSS JOIN zs GROUP BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# 2. probe statistics (§2.5) — per-zoom rollup of the coords plan
+# ---------------------------------------------------------------------------
+
+def q_zoom_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assigned = assign_tiles(_docs_geo(spark, sf_dir), 0, 8)
+    per_tile = assigned.groupBy("z", "x", "y").agg(F.count("*").alias("n"))
+    return per_tile.groupBy("z").agg(
+        F.count("*").alias("tile_count"),
+        F.sum("n").alias("point_count"),
+        F.max("n").alias("max_per_tile"),
+    )
+
+
+O_ZOOM_STATS = f"""
+WITH pts AS (
+  SELECT doc_id, {LON_SQL.format(id="doc_id")} AS lon, {LAT_SQL.format(id="doc_id")} AS lat
+  FROM documents
+), zs AS (SELECT z FROM generate_series(0, 8) t(z)),
+per_tile AS (
+  SELECT CAST(z AS INTEGER) AS z, {_tile_sql("x")} AS x, {_tile_sql("y")} AS y, count(*) AS n
+  FROM pts CROSS JOIN zs GROUP BY 1, 2, 3
+)
+SELECT z, count(*) AS tile_count, sum(n) AS point_count, max(n) AS max_per_tile
+FROM per_tile GROUP BY z
+"""
+
+
+# ---------------------------------------------------------------------------
+# 3. drop_rate point reduction (§2.3, reduce_points.rs:60) — portable hash
+# ---------------------------------------------------------------------------
+
+def q_drop_rate_thin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assigned = assign_tiles(_docs_geo(spark, sf_dir), 0, 8)
+    thinned = drop_rate_keep(assigned, "doc_id", "z", max_zoom=8, keep_ratio=0.5, hash_flavor="portable")
+    return thinned.groupBy("z").agg(
+        F.count("*").alias("kept"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+
+
+O_DROP_RATE_THIN = """
+WITH zs AS (SELECT z FROM generate_series(0, 8) t(z))
+SELECT CAST(z AS INTEGER) AS z, count(*) AS kept, sum(doc_id) AS id_sum
+FROM documents CROSS JOIN zs
+WHERE ((doc_id * 2654435761) % 4294967296) / 4294967296.0 < pow(0.5, CAST(8 - z AS DOUBLE))
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# 4. min_distance thinning (§2.3) — scalable cell-winner variant
+# ---------------------------------------------------------------------------
+
+def q_min_distance_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    geo = _docs_geo(spark, sf_dir)
+    merc = geo.select(
+        "doc_id",
+        (F.radians("lon") * F.lit(6378137.0)).alias("mx"),
+        (F.log(F.tan(F.radians("lat") / 2 + F.lit(3.141592653589793) / 4)) * F.lit(6378137.0)).alias("my"),
+    )
+    cell = 200000.0
+    keyed = merc.select(
+        "doc_id",
+        F.floor(F.col("mx") / F.lit(cell)).alias("cx"),
+        F.floor(F.col("my") / F.lit(cell)).alias("cy"),
+    )
+    return keyed.groupBy("cx", "cy").agg(F.min("doc_id").alias("winner"), F.count("*").alias("n"))
+
+
+O_MIN_DISTANCE_CELLS = f"""
+WITH pts AS (
+  SELECT doc_id, {LON_SQL.format(id="doc_id")} AS lon, {LAT_SQL.format(id="doc_id")} AS lat
+  FROM documents
+), merc AS (
+  SELECT doc_id, radians(lon) * 6378137.0 AS mx,
+         ln(tan(radians(lat)/2 + pi()/4)) * 6378137.0 AS my
+  FROM pts
+)
+SELECT CAST(floor(mx/200000.0) AS BIGINT) AS cx, CAST(floor(my/200000.0) AS BIGINT) AS cy,
+       min(doc_id) AS winner, count(*) AS n
+FROM merc GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# 5. allow-list semi-join (general/filter.rs:83-84 filename= mask — §2.4)
+# ---------------------------------------------------------------------------
+
+def q_allowlist_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    z = 6
+    docs = _docs_geo(spark, sf_dir)
+    dx, dy = lonlat_to_tile_cols(F.col("lon"), F.col("lat"), z)
+    doc_tiles = docs.select("doc_id", dx.alias("x"), dy.alias("y"))
+    events = _events_geo(spark, sf_dir)
+    ex, ey = lonlat_to_tile_cols(F.col("lon"), F.col("lat"), z)
+    allow = events.select(ex.alias("x"), ey.alias("y")).distinct()
+    return doc_tiles.join(allow, ["x", "y"], "left_semi").select("doc_id", "x", "y")
+
+
+O_ALLOWLIST_SEMIJOIN = f"""
+WITH dpts AS (
+  SELECT doc_id, {LON_SQL.format(id="doc_id")} AS lon, {LAT_SQL.format(id="doc_id")} AS lat FROM documents
+), dtiles AS (
+  SELECT doc_id, {_tile_sql("x", "6")} AS x, {_tile_sql("y", "6")} AS y FROM dpts
+), epts AS (
+  SELECT event_id, {LON_SQL.format(id="event_id")} AS lon, {LAT_SQL.format(id="event_id")} AS lat FROM events
+), allow AS (
+  SELECT DISTINCT {_tile_sql("x", "6")} AS x, {_tile_sql("y", "6")} AS y FROM epts
+)
+SELECT d.doc_id, d.x, d.y FROM dtiles d
+WHERE EXISTS (SELECT 1 FROM allow a WHERE a.x = d.x AND a.y = d.y)
+"""
+
+
+# ---------------------------------------------------------------------------
+# 6. vector_update_properties (§2.4) — broadcast hash join with a dim table
+# ---------------------------------------------------------------------------
+
+def q_update_properties_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    joined = docs.withColumn("nkey", (F.col("doc_id") % 25).cast("int")).join(
+        F.broadcast(nation), F.col("nkey") == F.col("n_nationkey"), "inner"
+    )
+    return joined.groupBy("n_name").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("chars_sum"),
+    )
+
+
+O_UPDATE_PROPERTIES_JOIN = """
+SELECT n.n_name, count(*) AS n_docs, sum(d.n_chars) AS chars_sum
+FROM documents d JOIN nation n ON CAST(d.doc_id % 25 AS INTEGER) = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# 7. probe top-k (§2.5 probe.rs:192-204)
+# ---------------------------------------------------------------------------
+
+def q_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", "n_chars").orderBy(F.desc("n_chars"), F.asc("doc_id")).limit(10)
+
+
+O_PROBE_TOPK = """
+SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id ASC LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# 8. text analysis (training-data pipeline ops)
+# ---------------------------------------------------------------------------
+
+_TOKEN_COUNT_EXPR = (
+    "CASE WHEN length(trim(text)) = 0 THEN 0 "
+    "ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 END"
+)
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        F.expr(_TOKEN_COUNT_EXPR).cast("bigint").alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+    )
+
+
+O_TOKEN_COUNT = f"""
+SELECT doc_id, CAST({_TOKEN_COUNT_EXPR} AS BIGINT) AS n_tokens,
+       CAST(length(text) AS INTEGER) AS n_chars_actual
+FROM documents
+"""
+
+_QUALITY_EXPR = (
+    "round(("
+    "  (length(text) - length(replace(text, 'the', ''))) / 3.0"
+    ") / (length(text) + 1), 6)"
+)
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: stopword-density + mean-token-length signals."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        F.expr(_QUALITY_EXPR).alias("stopword_density"),
+        F.expr(f"round(length(text) / greatest({_TOKEN_COUNT_EXPR}, 1), 6)").alias("mean_token_len"),
+    )
+
+
+O_QUALITY_SCORE = f"""
+SELECT doc_id, {_QUALITY_EXPR} AS stopword_density,
+       round(length(text) / greatest({_TOKEN_COUNT_EXPR}, 1), 6) AS mean_token_len
+FROM documents
+"""
+
+
+_LANG_PRED_EXPR = (
+    "CASE WHEN length(text) - length(replace(text, 'spark', '')) >= "
+    "length(text) - length(replace(text, 'vector', '')) THEN 'tech' ELSE 'math' END"
+)
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language/topic-ID heuristic; deterministic CASE expr."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.select("lang", F.expr(_LANG_PRED_EXPR).alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+O_LANG_ID = f"""
+SELECT lang, {_LANG_PRED_EXPR} AS predicted, count(*) AS n
+FROM documents GROUP BY 1, 2
+"""
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content hash (hash-groupBy; md5 matches across engines)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.select("doc_id", F.md5(F.col("text")).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("keeper"))
+    )
+
+
+O_DEDUP_EXACT = """
+SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS keeper
+FROM documents GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# 9. ANN: brute-force cosine top-k with exact integer quantization
+# ---------------------------------------------------------------------------
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # integer micro-quantized embeddings -> exact, order-independent dot product
+    qi = emb.filter("vec_id < 5").select(
+        F.col("vec_id").alias("qid"),
+        F.transform("embedding", lambda v: F.round(v * 1e6).cast("bigint")).alias("qe"),
+    )
+    ci = emb.select(
+        F.col("vec_id").alias("vid"),
+        F.transform("embedding", lambda v: F.round(v * 1e6).cast("bigint")).alias("ce"),
+    )
+    pairs = qi.join(F.broadcast(ci), F.col("qid") != F.col("vid"))
+    dot = F.aggregate(
+        F.zip_with("qe", "ce", lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    ).alias("dot")
+    scored = pairs.select("qid", "vid", dot)
+    w = Window.partitionBy("qid").orderBy(F.desc("dot"), F.asc("vid"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter("rank <= 3")
+
+
+O_ANN_TOPK = """
+WITH scored AS (
+  SELECT a.vec_id AS qid, b.vec_id AS vid,
+    CAST(list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+      p -> CAST(round(CAST(p[1] AS DOUBLE)*1000000) AS BIGINT) * CAST(round(CAST(p[2] AS DOUBLE)*1000000) AS BIGINT)), 'sum') AS BIGINT) AS dot
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+  WHERE a.vec_id < 5
+), ranked AS (
+  SELECT qid, vid, dot, row_number() OVER (PARTITION BY qid ORDER BY dot DESC, vid ASC) AS rank
+  FROM scored
+)
+SELECT qid, vid, dot, CAST(rank AS INTEGER) AS rank FROM ranked WHERE rank <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# 10. rendered tiles (the applyInPandas path) — n_features vs SQL counts
+# ---------------------------------------------------------------------------
+
+def q_tile_render_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    geo = _docs_geo(spark, sf_dir)
+    tiles = convert_pages_to_tiles(geo, 0, 6, keep_ratio=1.0)
+    return tiles.select("z", "x", "y", "n_features")
+
+
+O_TILE_RENDER_SUMMARY = f"""
+WITH pts AS (
+  SELECT doc_id, {LON_SQL.format(id="doc_id")} AS lon, {LAT_SQL.format(id="doc_id")} AS lat
+  FROM documents
+), zs AS (SELECT z FROM generate_series(0, 6) t(z))
+SELECT CAST(z AS INTEGER) AS z, {_tile_sql("x")} AS x, {_tile_sql("y")} AS y, count(*) AS n_features
+FROM pts CROSS JOIN zs GROUP BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "tile_assign_counts": q_tile_assign_counts,
+    "events_tile_counts": q_events_tile_counts,
+    "zoom_stats": q_zoom_stats,
+    "drop_rate_thin": q_drop_rate_thin,
+    "min_distance_cells": q_min_distance_cells,
+    "allowlist_semijoin": q_allowlist_semijoin,
+    "update_properties_join": q_update_properties_join,
+    "probe_topk": q_probe_topk,
+    "token_count": q_token_count,
+    "quality_score": q_quality_score,
+    "lang_id": q_lang_id,
+    "dedup_exact": q_dedup_exact,
+    "ann_topk": q_ann_topk,
+    "tile_render_summary": q_tile_render_summary,
+}
+
+ORACLES: dict[str, str] = {
+    "tile_assign_counts": O_TILE_ASSIGN_COUNTS,
+    "events_tile_counts": O_EVENTS_TILE_COUNTS,
+    "zoom_stats": O_ZOOM_STATS,
+    "drop_rate_thin": O_DROP_RATE_THIN,
+    "min_distance_cells": O_MIN_DISTANCE_CELLS,
+    "allowlist_semijoin": O_ALLOWLIST_SEMIJOIN,
+    "update_properties_join": O_UPDATE_PROPERTIES_JOIN,
+    "probe_topk": O_PROBE_TOPK,
+    "token_count": O_TOKEN_COUNT,
+    "quality_score": O_QUALITY_SCORE,
+    "lang_id": O_LANG_ID,
+    "dedup_exact": O_DEDUP_EXACT,
+    "ann_topk": O_ANN_TOPK,
+    "tile_render_summary": O_TILE_RENDER_SUMMARY,
+}
