@@ -73,50 +73,55 @@ def assign_tiles(
     return df.withColumn("x", x).withColumn("y", y)
 
 
-def _render_point_tiles(
+def _quantize_grid(pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized fractional-tile-coord -> local 4096 grid for a whole batch
+    (tile_render.rs:167 quantization), any mix of zoom levels."""
+    zoom = np.exp2(pdf["z"].values.astype(np.float64))
+    xf = zoom * (pdf["lon"].values / 360.0 + 0.5)
+    with np.errstate(divide="ignore"):
+        yf = zoom * (
+            0.5 - 0.5 * np.log(np.tan(pdf["lat"].values * np.pi / 360.0 + np.pi / 4.0)) / np.pi
+        )
+    gx = np.clip(np.floor((xf - pdf["x"].values) * TILE_EXTENT), 0, TILE_EXTENT - 1).astype(np.int64)
+    gy = np.clip(np.floor((yf - pdf["y"].values) * TILE_EXTENT), 0, TILE_EXTENT - 1).astype(np.int64)
+    return gx, gy
+
+
+def _encode_tile_rows(
+    body: pd.DataFrame,
     layer_name: str,
     props_cols: list[str],
     compression: str,
-) -> callable:
-    """Build the applyInPandas group renderer. One group == one tile."""
+) -> pd.DataFrame:
+    """Encode every (z,x,y) group in ``body`` to one MVT tile row.
 
-    def render(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        z, x, y = int(key[0]), int(key[1]), int(key[2])
-        zoom = float(2**z)
-        # fractional tile coords -> local 4096 grid (tile_render.rs:167)
-        xf = zoom * (pdf["lon"].values / 360.0 + 0.5)
-        with np.errstate(divide="ignore"):
-            yf = zoom * (
-                0.5 - 0.5 * np.log(np.tan(pdf["lat"].values * np.pi / 360.0 + np.pi / 4.0)) / np.pi
-            )
-        gx = np.clip(np.floor((xf - x) * TILE_EXTENT), 0, TILE_EXTENT - 1).astype(np.int64)
-        gy = np.clip(np.floor((yf - y) * TILE_EXTENT), 0, TILE_EXTENT - 1).astype(np.int64)
-        ids = pdf["doc_id"].values
-        order = np.argsort(ids, kind="stable")  # deterministic feature order
+    ``body`` must contain all rows of each contained tile (guaranteed by the
+    repartition + boundary-carry logic in the caller). One pandas groupby per
+    Arrow batch instead of one Spark group per tile — this is what makes the
+    render scale to hundreds of thousands of sparse tiles per task.
+    """
+    gx, gy = _quantize_grid(body)
+    body = body.assign(_gx=gx, _gy=gy).sort_values(["z", "x", "y", "doc_id"], kind="stable")
+    rows: list[tuple] = []
+    prop_arrays = {c: body[c].values for c in props_cols}
+    ids = body["doc_id"].values
+    gxv, gyv = body["_gx"].values, body["_gy"].values
+    grp = body.groupby(["z", "x", "y"], sort=False).indices
+    for (z, x, y), idx in grp.items():
         feats = [
             MvtFeature(
                 geom_type=GEOM_POINT,
-                rings=[[(int(gx[i]), int(gy[i]))]],
-                props={c: pdf[c].values[i] for c in props_cols},
+                rings=[[(int(gxv[i]), int(gyv[i]))]],
+                props={c: prop_arrays[c][i] for c in props_cols},
                 fid=int(ids[i]),
             )
-            for i in order
+            for i in idx
         ]
-        blob = encode_tile({layer_name: feats})
-        blob = compress(blob, compression)
-        return pd.DataFrame(
-            {
-                "z": [z],
-                "x": [x],
-                "y": [y],
-                "format": ["mvt"],
-                "compression": [compression],
-                "tile": [blob],
-                "n_features": [len(feats)],
-            }
-        )
-
-    return render
+        blob = compress(encode_tile({layer_name: feats}), compression)
+        rows.append((int(z), int(x), int(y), "mvt", compression, blob, len(feats)))
+    return pd.DataFrame(
+        rows, columns=["z", "x", "y", "format", "compression", "tile", "n_features"]
+    )
 
 
 def render_point_tiles(
@@ -124,16 +129,50 @@ def render_point_tiles(
     layer_name: str = "pages",
     props_cols: list[str] | None = None,
     compression: str = GZIP,
+    num_partitions: int | None = None,
 ) -> DataFrame:
-    """groupBy(z,x,y) -> MVT point tiles. The pipeline's single shuffle."""
+    """(point, zoom) rows -> MVT point tile rows. The pipeline's one shuffle.
+
+    Physical strategy: explicit hash repartition on (z,x,y) (co-locates every
+    tile's rows; the explicit partition count keeps AQE from coalescing the
+    CPU-bound Python stage down to a handful of tasks) + sortWithinPartitions
+    so each tile's rows are contiguous, then a mapInPandas that encodes whole
+    Arrow batches with one pandas groupby, carrying the last (possibly
+    straddling) tile group over to the next batch. ~50x fewer Python
+    invocations than groupBy().applyInPandas() with per-tile groups.
+    """
     props_cols = props_cols if props_cols is not None else ["lang"]
-    cols = ["z", "x", "y", "lon", "lat", "doc_id", *props_cols]
-    renderer = _render_point_tiles(layer_name, props_cols, compression)
-    return (
-        assigned.select(*dict.fromkeys(cols))
-        .groupBy("z", "x", "y")
-        .applyInPandas(renderer, schema=TILE_SCHEMA)
+    cols = list(dict.fromkeys(["z", "x", "y", "lon", "lat", "doc_id", *props_cols]))
+    spark = assigned.sparkSession
+    n_part = num_partitions or spark.sparkContext.defaultParallelism * 2
+
+    def render_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: pd.DataFrame | None = None
+        for pdf in it:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if pdf.empty:
+                continue
+            last = pdf.iloc[-1]
+            is_last_key = (
+                (pdf["z"].values == last["z"])
+                & (pdf["x"].values == last["x"])
+                & (pdf["y"].values == last["y"])
+            )
+            carry = pdf.loc[is_last_key]
+            body = pdf.loc[~is_last_key]
+            if len(body):
+                yield _encode_tile_rows(body, layer_name, props_cols, compression)
+        if carry is not None and len(carry):
+            yield _encode_tile_rows(carry, layer_name, props_cols, compression)
+
+    prepared = (
+        assigned.select(*cols)
+        .repartition(n_part, "z", "x", "y")
+        .sortWithinPartitions("z", "x", "y")
     )
+    return prepared.mapInPandas(render_batches, schema=TILE_SCHEMA)
 
 
 def convert_pages_to_tiles(

@@ -389,6 +389,54 @@ FROM pts CROSS JOIN zs GROUP BY 1, 2, 3
 
 
 # ---------------------------------------------------------------------------
+# 11. spatial join: broadcast ray-cast point-in-polygon (raster_mask core)
+# ---------------------------------------------------------------------------
+
+def q_pip_join_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from versatiles_rs_spark.spatial import pip_join, test_polygons
+
+    pts = _docs_geo(spark, sf_dir).select("doc_id", "lon", "lat")
+    return pip_join(pts, test_polygons()).select("doc_id", "feature_id", "poly_name")
+
+
+def _pip_oracle_sql() -> str:
+    from versatiles_rs_spark.spatial.polygons import _RAW
+
+    edge_rows = []
+    name_rows = []
+    for fid, name, _, ring in _RAW:
+        name_rows.append(f"({fid}, '{name}')")
+        n = len(ring)
+        for i in range(n):
+            x1, y1 = ring[i]
+            x2, y2 = ring[(i + 1) % n]
+            edge_rows.append(f"({fid}, {x1!r}, {y1!r}, {x2!r}, {y2!r})")
+    edges = ",\n    ".join(edge_rows)
+    names = ", ".join(name_rows)
+    return f"""
+WITH pts AS (
+  SELECT doc_id, {LON_SQL.format(id="doc_id")} AS lon, {LAT_SQL.format(id="doc_id")} AS lat
+  FROM documents
+), edges(fid, x1, y1, x2, y2) AS (VALUES
+    {edges}
+), names(fid, poly_name) AS (VALUES {names}),
+crossings AS (
+  SELECT p.doc_id, e.fid,
+    count(*) FILTER (WHERE ((e.y1 > p.lat) <> (e.y2 > p.lat))
+      AND p.lon < (e.x2 - e.x1) * (p.lat - e.y1) / (e.y2 - e.y1) + e.x1) AS c
+  FROM pts p CROSS JOIN edges e
+  GROUP BY 1, 2
+)
+SELECT c.doc_id, CAST(c.fid AS INTEGER) AS feature_id, n.poly_name
+FROM crossings c JOIN names n ON n.fid = c.fid
+WHERE c.c % 2 = 1
+"""
+
+
+O_PIP_JOIN_DOCS = _pip_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -407,6 +455,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "ann_topk": q_ann_topk,
     "tile_render_summary": q_tile_render_summary,
+    "pip_join_docs": q_pip_join_docs,
 }
 
 ORACLES: dict[str, str] = {
@@ -424,4 +473,5 @@ ORACLES: dict[str, str] = {
     "dedup_exact": O_DEDUP_EXACT,
     "ann_topk": O_ANN_TOPK,
     "tile_render_summary": O_TILE_RENDER_SUMMARY,
+    "pip_join_docs": O_PIP_JOIN_DOCS,
 }

@@ -1,0 +1,7 @@
+from versatiles_rs_spark.spatial.pip import (  # noqa: F401
+    Polygon,
+    classify_tiles,
+    pip_contains_np,
+    pip_join,
+)
+from versatiles_rs_spark.spatial.polygons import test_polygons  # noqa: F401
