@@ -437,6 +437,44 @@ O_PIP_JOIN_DOCS = _pip_oracle_sql()
 
 
 # ---------------------------------------------------------------------------
+# 12. kNN via cell-ring expansion (north rule) — oracle: SQL brute force
+# ---------------------------------------------------------------------------
+
+KNN_QUERIES = [(0, 13.4, 52.5), (1, -100.0, 40.0), (2, 0.0, -84.0)]
+KNN_K = 5
+
+
+def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from versatiles_rs_spark.spatial.knn import knn_cell_ring
+
+    pts = _docs_geo(spark, sf_dir).select("doc_id", "lon", "lat")
+    return knn_cell_ring(pts, KNN_QUERIES, KNN_K, cell_zoom=5)
+
+
+def _knn_oracle_sql() -> str:
+    qvals = ", ".join(f"({qid}, {qlon!r}, {qlat!r})" for qid, qlon, qlat in KNN_QUERIES)
+    return f"""
+WITH pts AS (
+  SELECT doc_id, {LON_SQL.format(id="doc_id")} AS lon, {LAT_SQL.format(id="doc_id")} AS lat
+  FROM documents
+), qs(qid, qlon, qlat) AS (VALUES {qvals}),
+scored AS (
+  SELECT q.qid, p.doc_id AS pid,
+         (p.lon - q.qlon) * (p.lon - q.qlon) + (p.lat - q.qlat) * (p.lat - q.qlat) AS d2
+  FROM pts p CROSS JOIN qs q
+), ranked AS (
+  SELECT qid, pid, d2, row_number() OVER (PARTITION BY qid ORDER BY d2 ASC, pid ASC) AS rank
+  FROM scored
+)
+SELECT CAST(qid AS BIGINT) AS qid, pid, round(d2, 9) AS dist2, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {KNN_K}
+"""
+
+
+O_KNN = _knn_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -456,6 +494,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk": q_ann_topk,
     "tile_render_summary": q_tile_render_summary,
     "pip_join_docs": q_pip_join_docs,
+    "knn": q_knn,
 }
 
 ORACLES: dict[str, str] = {
@@ -474,4 +513,5 @@ ORACLES: dict[str, str] = {
     "ann_topk": O_ANN_TOPK,
     "tile_render_summary": O_TILE_RENDER_SUMMARY,
     "pip_join_docs": O_PIP_JOIN_DOCS,
+    "knn": O_KNN,
 }

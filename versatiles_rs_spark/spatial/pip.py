@@ -86,43 +86,64 @@ def pip_contains_np(px: np.ndarray, py: np.ndarray, edges) -> np.ndarray:
     return (crosses.sum(axis=1) % 2).astype(bool)
 
 
-def classify_tiles(
-    z: int, x: np.ndarray, y: np.ndarray, poly: Polygon, samples: int = 0
+def _segments_intersect_rect(
+    edges, w: np.ndarray, s: np.ndarray, e: np.ndarray, n: np.ndarray
 ) -> np.ndarray:
-    """Classify tiles against one polygon (mask_geometry.rs:237):
-    FULLY_OUTSIDE if the tile bbox misses the polygon bbox or no corner /
-    edge interaction; FULLY_INSIDE if all 4 corners are inside and no
-    polygon edge intersects the tile bbox; else PARTIAL."""
+    """(T tiles) x (E edges) Liang-Barsky clip acceptance -> per-tile bool:
+    does ANY polygon edge touch the tile rect (including edges fully inside
+    it)? Mirrors the reference's use of Liang-Barsky for line clipping
+    (feature_import/tile_render.rs:210)."""
+    x1, y1, x2, y2 = edges
+    dx = (x2 - x1)[None, :]
+    dy = (y2 - y1)[None, :]
+    x1b = x1[None, :]
+    y1b = y1[None, :]
+    t0 = np.zeros((len(w), len(x1)))
+    t1 = np.ones((len(w), len(x1)))
+    reject = np.zeros((len(w), len(x1)), dtype=bool)
+    for p, q in (
+        (-dx, x1b - w[:, None]),
+        (dx, e[:, None] - x1b),
+        (-dy, y1b - s[:, None]),
+        (dy, n[:, None] - y1b),
+    ):
+        p = np.broadcast_to(p, t0.shape)
+        q = np.broadcast_to(q, t0.shape)
+        par = p == 0
+        reject |= par & (q < 0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = np.where(par, 0.0, q / np.where(par, 1.0, p))
+        t0 = np.where(~par & (p < 0), np.maximum(t0, t), t0)
+        t1 = np.where(~par & (p > 0), np.minimum(t1, t), t1)
+    return (~reject & (t0 <= t1)).any(axis=1)
+
+
+def classify_tiles(z: int, x: np.ndarray, y: np.ndarray, poly: Polygon) -> np.ndarray:
+    """Classify tiles against one polygon (mask_geometry.rs:237).
+
+    Sound for arbitrary (incl. concave) polygons: if no polygon edge touches
+    the tile rect, the tile is uniformly inside or outside, decided by one
+    corner's PIP; otherwise PARTIAL."""
     from versatiles_rs_spark.tile_math.coords import tile_geo_bbox_np
 
+    x = np.atleast_1d(np.asarray(x))
+    y = np.atleast_1d(np.asarray(y))
     w, s, e, n = tile_geo_bbox_np(z, x, y)
     bx0, by0, bx1, by1 = poly.bbox()
-    out = np.full(len(np.atleast_1d(x)), PARTIAL, dtype=np.int8)
+    out = np.full(len(x), PARTIAL, dtype=np.int8)
     disjoint = (e < bx0) | (w > bx1) | (n < by0) | (s > by1)
     out[disjoint] = FULLY_OUTSIDE
 
     edges = poly.edges()
     todo = ~disjoint
     if todo.any():
-        # corner test for remaining tiles
-        corners_in = np.zeros((todo.sum(), 4), dtype=bool)
         cw, cs, ce, cn = w[todo], s[todo], e[todo], n[todo]
-        for i, (cx, cy) in enumerate([(cw, cs), (ce, cs), (ce, cn), (cw, cn)]):
-            corners_in[:, i] = pip_contains_np(cx, cy, edges)
-        all_in = corners_in.all(axis=1)
-        none_in = ~corners_in.any(axis=1)
-        # does any polygon edge endpoint fall inside the tile bbox? If not,
-        # all-corners-in => fully inside; none-in and no vertex inside =>
-        # fully outside (for convex-ish edges this is exact; PARTIAL is the
-        # safe default otherwise)
-        x1, y1 = edges[0], edges[1]
-        vert_in_tile = (
-            (x1[None, :] >= cw[:, None]) & (x1[None, :] <= ce[:, None])
-            & (y1[None, :] >= cs[:, None]) & (y1[None, :] <= cn[:, None])
-        ).any(axis=1)
+        touched = _segments_intersect_rect(edges, cw, cs, ce, cn)
+        # untouched tiles are uniform: sample the center point
+        center_in = pip_contains_np((cw + ce) / 2.0, (cs + cn) / 2.0, edges)
         sub = np.full(todo.sum(), PARTIAL, dtype=np.int8)
-        sub[all_in & ~vert_in_tile] = FULLY_INSIDE
-        sub[none_in & ~vert_in_tile] = FULLY_OUTSIDE
+        sub[~touched & center_in] = FULLY_INSIDE
+        sub[~touched & ~center_in] = FULLY_OUTSIDE
         out[todo] = sub
     return out
 
