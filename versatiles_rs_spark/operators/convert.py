@@ -124,29 +124,29 @@ def _encode_tile_rows(
     )
 
 
-def render_point_tiles(
-    assigned: DataFrame,
-    layer_name: str = "pages",
-    props_cols: list[str] | None = None,
-    compression: str = GZIP,
+def grouped_tile_map(
+    df: DataFrame,
+    body_fn,
+    schema: StructType,
+    key_cols: tuple[str, ...] = ("z", "x", "y"),
     num_partitions: int | None = None,
 ) -> DataFrame:
-    """(point, zoom) rows -> MVT point tile rows. The pipeline's one shuffle.
+    """Batched group-map over tile keys — the engine's shared shuffle shape.
 
-    Physical strategy: explicit hash repartition on (z,x,y) (co-locates every
-    tile's rows; the explicit partition count keeps AQE from coalescing the
-    CPU-bound Python stage down to a handful of tasks) + sortWithinPartitions
-    so each tile's rows are contiguous, then a mapInPandas that encodes whole
-    Arrow batches with one pandas groupby, carrying the last (possibly
-    straddling) tile group over to the next batch. ~50x fewer Python
-    invocations than groupBy().applyInPandas() with per-tile groups.
+    Physical strategy: explicit hash repartition on ``key_cols`` (co-locates
+    every group's rows; the explicit partition count keeps AQE from
+    coalescing the CPU-bound Python stage down to a handful of tasks) +
+    sortWithinPartitions so each group's rows are contiguous, then a
+    mapInPandas that processes whole Arrow batches with one pandas groupby,
+    carrying the last (possibly straddling) group over to the next batch.
+    ~50x fewer Python invocations than groupBy().applyInPandas() when groups
+    are small (sparse tiles). ``body_fn(pdf) -> pdf`` must handle any number
+    of complete groups.
     """
-    props_cols = props_cols if props_cols is not None else ["lang"]
-    cols = list(dict.fromkeys(["z", "x", "y", "lon", "lat", "doc_id", *props_cols]))
-    spark = assigned.sparkSession
+    spark = df.sparkSession
     n_part = num_partitions or spark.sparkContext.defaultParallelism * 2
 
-    def render_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def run_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         carry: pd.DataFrame | None = None
         for pdf in it:
             if carry is not None:
@@ -155,24 +155,37 @@ def render_point_tiles(
             if pdf.empty:
                 continue
             last = pdf.iloc[-1]
-            is_last_key = (
-                (pdf["z"].values == last["z"])
-                & (pdf["x"].values == last["x"])
-                & (pdf["y"].values == last["y"])
-            )
+            is_last_key = np.ones(len(pdf), dtype=bool)
+            for kc in key_cols:
+                is_last_key &= pdf[kc].values == last[kc]
             carry = pdf.loc[is_last_key]
             body = pdf.loc[~is_last_key]
             if len(body):
-                yield _encode_tile_rows(body, layer_name, props_cols, compression)
+                yield body_fn(body)
         if carry is not None and len(carry):
-            yield _encode_tile_rows(carry, layer_name, props_cols, compression)
+            yield body_fn(carry)
 
-    prepared = (
-        assigned.select(*cols)
-        .repartition(n_part, "z", "x", "y")
-        .sortWithinPartitions("z", "x", "y")
+    prepared = df.repartition(n_part, *key_cols).sortWithinPartitions(*key_cols)
+    return prepared.mapInPandas(run_batches, schema=schema)
+
+
+def render_point_tiles(
+    assigned: DataFrame,
+    layer_name: str = "pages",
+    props_cols: list[str] | None = None,
+    compression: str = GZIP,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(point, zoom) rows -> MVT point tile rows. The pipeline's one shuffle."""
+    props_cols = props_cols if props_cols is not None else ["lang"]
+    cols = list(dict.fromkeys(["z", "x", "y", "lon", "lat", "doc_id", *props_cols]))
+
+    def body(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _encode_tile_rows(pdf, layer_name, props_cols, compression)
+
+    return grouped_tile_map(
+        assigned.select(*cols), body, TILE_SCHEMA, num_partitions=num_partitions
     )
-    return prepared.mapInPandas(render_batches, schema=TILE_SCHEMA)
 
 
 def convert_pages_to_tiles(
