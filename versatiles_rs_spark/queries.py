@@ -474,6 +474,93 @@ FROM ranked WHERE rank <= {KNN_K}
 O_KNN = _knn_oracle_sql()
 
 
+
+# ---------------------------------------------------------------------------
+# 13. from_stacked / from_merged_vector (§2.4) — counts-level oracles
+# ---------------------------------------------------------------------------
+
+_STACK_Z = 4
+
+
+def _two_tile_sources(spark: SparkSession, sf_dir: str):
+    from versatiles_rs_spark.operators.convert import render_point_tiles
+
+    d = _docs_geo(spark, sf_dir).select("doc_id", "lon", "lat", "lang")
+    dt = render_point_tiles(assign_tiles(d, _STACK_Z, _STACK_Z), layer_name="docs")
+    e = _events_geo(spark, sf_dir).filter("event_id % 7 = 0").select(
+        F.col("event_id").alias("doc_id"), "lon", "lat", F.col("event_type").alias("lang")
+    )
+    et = render_point_tiles(assign_tiles(e, _STACK_Z, _STACK_Z), layer_name="events")
+    return dt, et
+
+
+def q_stacked_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from versatiles_rs_spark.operators.stacked import from_stacked
+
+    dt, et = _two_tile_sources(spark, sf_dir)
+    return from_stacked([dt, et]).select("z", "x", "y", "n_features")
+
+
+def q_merged_vector_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from versatiles_rs_spark.operators.stacked import from_merged_vector
+
+    dt, et = _two_tile_sources(spark, sf_dir)
+    return from_merged_vector([dt, et]).select("z", "x", "y", "n_features")
+
+
+_STACK_CTE = f"""
+WITH dpts AS (
+  SELECT doc_id, {LON_SQL.format(id="doc_id")} AS lon, {LAT_SQL.format(id="doc_id")} AS lat FROM documents
+), d AS (
+  SELECT {_tile_sql("x", str(_STACK_Z))} AS x, {_tile_sql("y", str(_STACK_Z))} AS y, count(*) AS n
+  FROM dpts GROUP BY 1, 2
+), epts AS (
+  SELECT event_id, {LON_SQL.format(id="event_id")} AS lon, {LAT_SQL.format(id="event_id")} AS lat
+  FROM events WHERE event_id % 7 = 0
+), e AS (
+  SELECT {_tile_sql("x", str(_STACK_Z))} AS x, {_tile_sql("y", str(_STACK_Z))} AS y, count(*) AS n
+  FROM epts GROUP BY 1, 2
+)
+"""
+
+O_STACKED_COALESCE = _STACK_CTE + f"""
+SELECT CAST({_STACK_Z} AS INTEGER) AS z, coalesce(d.x, e.x) AS x, coalesce(d.y, e.y) AS y,
+       CAST(coalesce(d.n, e.n) AS BIGINT) AS n_features
+FROM d FULL OUTER JOIN e ON d.x = e.x AND d.y = e.y
+"""
+
+O_MERGED_VECTOR_COUNTS = _STACK_CTE + f"""
+SELECT CAST({_STACK_Z} AS INTEGER) AS z, coalesce(d.x, e.x) AS x, coalesce(d.y, e.y) AS y,
+       CAST(coalesce(d.n, 0) + coalesce(e.n, 0) AS BIGINT) AS n_features
+FROM d FULL OUTER JOIN e ON d.x = e.x AND d.y = e.y
+"""
+
+
+# ---------------------------------------------------------------------------
+# 14. vector_filter_features (CEL analog): relational predicate on tiles
+# ---------------------------------------------------------------------------
+
+def q_filter_features_en(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from versatiles_rs_spark.operators.convert import render_point_tiles
+    from versatiles_rs_spark.operators.vector_transforms import explode_features
+
+    d = _docs_geo(spark, sf_dir).select("doc_id", "lon", "lat", "lang")
+    tiles = render_point_tiles(assign_tiles(d, _STACK_Z, _STACK_Z), layer_name="docs")
+    feats = explode_features(tiles).filter(F.expr("props['lang'] = 'en'"))
+    return feats.groupBy("z", "x", "y").agg(F.count("*").alias("n"), F.min("fid").alias("min_fid"))
+
+
+O_FILTER_FEATURES_EN = f"""
+WITH dpts AS (
+  SELECT doc_id, lang, {LON_SQL.format(id="doc_id")} AS lon, {LAT_SQL.format(id="doc_id")} AS lat
+  FROM documents
+)
+SELECT CAST({_STACK_Z} AS INTEGER) AS z, {_tile_sql("x", str(_STACK_Z))} AS x,
+       {_tile_sql("y", str(_STACK_Z))} AS y, count(*) AS n, min(doc_id) AS min_fid
+FROM dpts WHERE lang = 'en' GROUP BY 1, 2, 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -495,6 +582,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tile_render_summary": q_tile_render_summary,
     "pip_join_docs": q_pip_join_docs,
     "knn": q_knn,
+    "stacked_coalesce": q_stacked_coalesce,
+    "merged_vector_counts": q_merged_vector_counts,
+    "filter_features_en": q_filter_features_en,
 }
 
 ORACLES: dict[str, str] = {
@@ -514,4 +604,7 @@ ORACLES: dict[str, str] = {
     "tile_render_summary": O_TILE_RENDER_SUMMARY,
     "pip_join_docs": O_PIP_JOIN_DOCS,
     "knn": O_KNN,
+    "stacked_coalesce": O_STACKED_COALESCE,
+    "merged_vector_counts": O_MERGED_VECTOR_COUNTS,
+    "filter_features_en": O_FILTER_FEATURES_EN,
 }
