@@ -1,0 +1,125 @@
+"""Dedup family: minhash-LSH, simhash, ngram jaccard, embedding near-dup."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from versatiles_rs_spark.dedup import (
+    jaccard_pairs,
+    minhash_dedup_pairs,
+    minhash_signatures,
+    shingle_set,
+    simhash_dedup_pairs,
+    simhash_signatures,
+)
+from versatiles_rs_spark.dedup.embedding import ann_lsh_topk, embedding_neardup_pairs
+from versatiles_rs_spark.dedup.ngram import jaccard
+from versatiles_rs_spark.dedup.simhash import simhash64
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    """Corpus with planted near-duplicates."""
+    base = (
+        "the quick brown fox jumps over the lazy dog while spark shuffles "
+        "partitions across the cluster and catalyst optimizes the plan"
+    )
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, base.replace("lazy", "sleepy")),  # near dup of 0
+        (3, "completely different content about tile pyramids and mercator math"),
+        (4, "another unrelated document mentioning embeddings and vectors"),
+        (5, base + " with a tiny suffix appended"),  # near dup of 0
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"])).cache()
+
+
+def test_shingles_and_jaccard():
+    s1 = shingle_set("a b c d", 3)
+    assert s1 == {"a b c", "b c d"}
+    assert jaccard(s1, s1) == 1.0
+    assert jaccard(s1, {"x y z"}) == 0.0
+    assert jaccard(set(), set()) == 1.0
+
+
+def test_minhash_signature_properties(dup_docs):
+    sigs = minhash_signatures(dup_docs, num_hashes=64).toPandas().set_index("doc_id")["sig"]
+    assert all(len(s) == 64 for s in sigs)
+    assert list(sigs[0]) == list(sigs[1])  # identical text -> identical sig
+    sim_02 = np.mean(np.array(sigs[0]) == np.array(sigs[2]))
+    sim_03 = np.mean(np.array(sigs[0]) == np.array(sigs[3]))
+    assert sim_02 > 0.5 > sim_03  # signature similarity ≈ jaccard
+
+
+def test_minhash_dedup_finds_planted_dups(dup_docs):
+    pairs = minhash_dedup_pairs(dup_docs, threshold=0.5).toPandas()
+    got = {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    assert (0, 1) in got
+    assert (0, 2) in got or (0, 5) in got
+    for a, b in got:
+        assert {a, b} <= {0, 1, 2, 5}, f"false positive pair ({a},{b})"
+
+
+def test_minhash_deterministic(dup_docs):
+    a = minhash_dedup_pairs(dup_docs, threshold=0.5).toPandas().sort_values(["id_a", "id_b"])
+    b = minhash_dedup_pairs(dup_docs, threshold=0.5).toPandas().sort_values(["id_a", "id_b"])
+    pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
+
+
+def test_simhash_near_dup_small_hamming(dup_docs):
+    sigs = simhash_signatures(dup_docs).toPandas().set_index("doc_id")["simhash"]
+    assert sigs[0] == sigs[1]
+    ham_02 = bin((int(sigs[0]) ^ int(sigs[2])) & ((1 << 64) - 1)).count("1")
+    ham_03 = bin((int(sigs[0]) ^ int(sigs[3])) & ((1 << 64) - 1)).count("1")
+    assert ham_02 < ham_03
+    pairs = simhash_dedup_pairs(dup_docs, max_hamming=8).toPandas()
+    got = {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    assert (0, 1) in got
+
+
+def test_simhash64_pure():
+    assert simhash64("") == 0
+    assert simhash64("hello world") == simhash64("hello world")
+    assert simhash64("hello world") != simhash64("goodbye world")
+
+
+def test_jaccard_pairs_dataframe(spark, dup_docs):
+    pairs = spark.createDataFrame(pd.DataFrame({"id_a": [0, 0], "id_b": [1, 3]}))
+    out = jaccard_pairs(dup_docs, pairs).toPandas().set_index("id_b")["jaccard"]
+    assert out[1] == 1.0
+    assert out[3] < 0.1
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+def test_embedding_neardup_self_consistency(spark, emb_df):
+    # plant a duplicate vector: vec 0 copied as id 999999
+    dup = emb_df.filter("vec_id = 0").select(
+        F.lit(999999).cast("bigint").alias("vec_id"), "embedding", "label"
+    )
+    with_dup = emb_df.unionByName(dup)
+    pairs = embedding_neardup_pairs(with_dup, min_dot=990_000_000_000).toPandas()
+    got = {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    assert (0, 999999) in got
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark, emb_df, sf_dir):
+    from versatiles_rs_spark.queries import q_ann_topk
+
+    exact = q_ann_topk(spark, sf_dir).toPandas()
+    approx = ann_lsh_topk(emb_df, [0, 1, 2, 3, 4], k=3).toPandas()
+    # approximate top-3 should overlap exact top-3 reasonably (recall >= 1/3
+    # per query on random data with 8 planes + multiprobe)
+    recall = 0
+    for qid in range(5):
+        e = set(exact[exact["qid"] == qid]["vid"])
+        a = set(approx[approx["qid"] == qid]["vid"])
+        recall += len(e & a) / 3
+    assert recall / 5 >= 0.3

@@ -42,6 +42,15 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(spark, ddb, name):
+    if name not in ORACLES:
+        # rows-only contract (non-SQL-expressible op): must run and return a
+        # well-formed DataFrame deterministically
+        df = QUERIES[name](spark, SF_DIR)
+        a = df.toPandas()
+        b = QUERIES[name](spark, SF_DIR).toPandas()
+        assert len(a) == len(b)
+        assert list(a.columns) == list(b.columns)
+        return
     got = _normalize(QUERIES[name](spark, SF_DIR).toPandas())
     want = _normalize(ddb.sql(ORACLES[name]).df())
     assert list(got.columns) == list(want.columns), f"{name}: column mismatch"

@@ -1,0 +1,145 @@
+"""Embedding-cosine near-duplicate detection + LSH-bucketed ANN scale path.
+
+- ``embedding_neardup_pairs``: random-hyperplane LSH (deterministic seeded
+  numpy hyperplanes broadcast to executors) buckets vectors by sign pattern;
+  pairs within a bucket are verified with the exact integer-quantized dot
+  product (the same quantization as queries.q_ann_topk, so results are
+  hash-stable across engines).
+
+- ``ann_lsh_topk``: the scale path for similarity search — probe the query's
+  bucket (plus multi-probe neighbors at Hamming distance 1), exact-score only
+  the candidates. Brute force (queries.q_ann_topk) is the baseline/oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+_BUCKET_SCHEMA = StructType(
+    [StructField("vec_id", LongType()), StructField("bucket", IntegerType())]
+)
+
+
+def _bucket_df(vectors: DataFrame, planes: np.ndarray, id_col: str, vec_col: str) -> DataFrame:
+    bc = vectors.sparkSession.sparkContext.broadcast(planes)
+
+    def assign(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pl = bc.value
+        for pdf in it:
+            m = np.array(pdf[vec_col].tolist(), dtype=np.float64)  # (N, dim)
+            signs = (m @ pl.T) > 0  # (N, planes)
+            bucket = np.zeros(len(pdf), dtype=np.int64)
+            for b in range(pl.shape[0]):
+                bucket |= signs[:, b].astype(np.int64) << b
+            yield pd.DataFrame({"vec_id": pdf[id_col].values, "bucket": bucket.astype(np.int32)})
+
+    return vectors.select(id_col, vec_col).mapInPandas(assign, _BUCKET_SCHEMA)
+
+
+def _quantized(vec_col: str):
+    return F.transform(vec_col, lambda v: F.round(v * 1e6).cast("bigint"))
+
+
+def _dot(a: str, b: str):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("bigint"), lambda acc, v: acc + v
+    )
+
+
+def embedding_neardup_pairs(
+    vectors: DataFrame,
+    n_planes: int = 12,
+    min_dot: int = 950_000_000_000,  # cosine ~0.95 for unit vectors at 1e6 quant
+    max_bucket: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-dup pairs (id_a < id_b, dot >= min_dot) via sign-LSH buckets."""
+    sample = vectors.select(vec_col).first()
+    dim = len(sample[0])
+    buckets = _bucket_df(vectors, _hyperplanes(dim, n_planes), id_col, vec_col)
+    qv = vectors.select(F.col(id_col).alias("vec_id"), _quantized(vec_col).alias("qv"))
+    member = buckets.join(qv, "vec_id")
+    grouped = (
+        member.groupBy("bucket")
+        .agg(F.slice(F.sort_array(F.collect_list(F.struct("vec_id", "qv"))), 1, max_bucket).alias("ms"))
+        .filter(F.size("ms") > 1)
+    )
+    pairs = grouped.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ms, (a, i) -> transform(slice(ms, i + 2, size(ms)), b -> "
+                "struct(a.vec_id as id_a, b.vec_id as id_b, a.qv as qa, b.qv as qb))))"
+            )
+        ).alias("p")
+    ).select("p.*")
+    return (
+        pairs.withColumn("dot", _dot("qa", "qb"))
+        .filter(F.col("dot") >= min_dot)
+        .select("id_a", "id_b", "dot")
+        .distinct()
+    )
+
+
+def ann_lsh_topk(
+    vectors: DataFrame,
+    query_ids: list[int],
+    k: int = 3,
+    n_planes: int = 6,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via multi-table sign-LSH (the IVF/LSH scale path).
+
+    L independent tables of ``n_planes`` hyperplanes each; per table, probe
+    the query's bucket plus all Hamming-1 neighbors. Candidates from any
+    table are union'd and exact-scored with the quantized dot product. The
+    fraction of the table scanned is ~L * (n_probes / 2^n_planes) instead of
+    1.0 — tune (n_planes, n_tables) for the recall/cost point.
+    Returns (qid, vid, dot, rank).
+    """
+    sample = vectors.select(vec_col).first()
+    dim = len(sample[0])
+    qv = vectors.select(F.col(id_col).alias("vec_id"), _quantized(vec_col).alias("qv"))
+    spark = vectors.sparkSession
+
+    cand = None
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed=42 + 1000 * t)
+        buckets = _bucket_df(vectors, planes, id_col, vec_col)
+        qrows = buckets.filter(F.col("vec_id").isin(query_ids)).collect()
+        probe_rows = []
+        for r in qrows:
+            b = r["bucket"]
+            for pb in {b} | {b ^ (1 << i) for i in range(n_planes)}:
+                probe_rows.append((r["vec_id"], pb))
+        probes_df = spark.createDataFrame(pd.DataFrame(probe_rows, columns=["qid", "bucket"]))
+        hits = buckets.join(F.broadcast(probes_df), "bucket").select(
+            "qid", F.col("vec_id").alias("vid")
+        )
+        cand = hits if cand is None else cand.unionByName(hits)
+    cand = cand.filter(F.col("qid") != F.col("vid")).distinct()
+
+    q_qv = qv.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("qid"), F.col("qv").alias("q_qv")
+    )
+    scored = (
+        cand.join(F.broadcast(q_qv), "qid")
+        .join(qv.withColumnRenamed("vec_id", "vid"), "vid")
+        .select("qid", "vid", _dot("q_qv", "qv").alias("dot"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("dot"), F.asc("vid"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1,0 +1,119 @@
+"""SimHash near-duplicate detection.
+
+64-bit SimHash: each token's stable hash votes ±1 per bit; the signature's
+sign pattern is the fingerprint. Near-dups have small Hamming distance.
+Candidate generation uses the standard 4x16-bit block permutation trick:
+docs sharing any of the 4 blocks are candidates (guarantees recall for
+Hamming distance <= 3), then exact Hamming verification.
+
+Deterministic: the same FNV-1a + splitmix64 token hashing as minhash.py.
+Shuffle profile: one groupBy per block table (4 total), each map-side
+combinable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+from versatiles_rs_spark.dedup.minhash import _shingle_hashes
+
+
+def simhash64(text: str, shingle_n: int = 1) -> int:
+    hs = _shingle_hashes(text, shingle_n)
+    if len(hs) == 0:
+        return 0
+    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+    votes = (2 * bits - 1).sum(axis=0)
+    sig = np.uint64(0)
+    for b in range(64):
+        if votes[b] > 0:
+            sig |= np.uint64(1) << np.uint64(b)
+    return int(sig.astype(np.int64))  # two's-complement view for BIGINT cols
+
+
+_SIG_SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("simhash", LongType())]
+)
+
+
+def simhash_signatures(
+    docs: DataFrame, shingle_n: int = 1, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    def sign(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].values,
+                    "simhash": [simhash64(t, shingle_n) for t in pdf[text_col]],
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(sign, _SIG_SCHEMA)
+
+
+_PAIR_SCHEMA = StructType(
+    [
+        StructField("id_a", LongType()),
+        StructField("id_b", LongType()),
+        StructField("hamming", IntegerType()),
+    ]
+)
+
+
+def simhash_dedup_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    shingle_n: int = 1,
+    max_bucket: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Candidate pairs sharing any 16-bit block, verified by exact Hamming
+    distance <= max_hamming (complete for max_hamming <= 3 by pigeonhole)."""
+    sigs = simhash_signatures(docs, shingle_n, id_col, text_col)
+    blocks = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), b -> "
+                "struct(b as blk, shiftrightunsigned(simhash, b * 16) & 65535 as bval))"
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", F.col("bk.blk").alias("blk"), F.col("bk.bval").alias("bval"))
+    buckets = (
+        blocks.groupBy("blk", "bval")
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_list(F.struct("doc_id", "simhash"))), 1, max_bucket
+            ).alias("members")
+        )
+        .filter(F.size("members") > 1)
+    )
+    pairs = (
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(members, (a, i) -> "
+                    "transform(slice(members, i + 2, size(members)), b -> struct("
+                    "a.doc_id as id_a, b.doc_id as id_b, "
+                    "a.simhash as ha, b.simhash as hb))))"
+                )
+            ).alias("p")
+        )
+        .select("p.*")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int")
+    return (
+        pairs.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .distinct()
+    )

@@ -561,6 +561,87 @@ FROM dpts WHERE lang = 'en' GROUP BY 1, 2, 3
 """
 
 
+
+# ---------------------------------------------------------------------------
+# 15. dedup family (training-data ops): minhash-LSH / simhash / ngram /
+#     embedding near-dup / fingerprint
+# ---------------------------------------------------------------------------
+
+def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check (LSH banding is not SQL-expressible)."""
+    from versatiles_rs_spark.dedup import minhash_dedup_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_dedup_pairs(docs, threshold=0.5)
+
+
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from versatiles_rs_spark.dedup import simhash_dedup_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_dedup_pairs(docs, max_hamming=6)
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from versatiles_rs_spark.dedup.embedding import embedding_neardup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_neardup_pairs(emb, min_dot=700_000_000_000)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from versatiles_rs_spark.dedup.embedding import ann_lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann_lsh_topk(emb, [0, 1, 2, 3, 4], k=3)
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-set Jaccard on a deterministic pair sample — SQL oracle."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("ta")).filter("id_a % 10 = 0")
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("tb"))
+    pairs = a.join(b, F.col("id_b") == F.col("id_a") + 1)
+    ta = F.array_distinct(F.split("ta", " "))
+    tb = F.array_distinct(F.split("tb", " "))
+    inter = F.size(F.array_intersect(ta, tb)).cast("double")
+    union = (F.size(ta) + F.size(tb)).cast("double") - F.size(F.array_intersect(ta, tb))
+    return pairs.select(
+        "id_a", "id_b", F.round(inter / union, 9).alias("jaccard")
+    )
+
+
+O_NGRAM_JACCARD = """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  round(
+    CAST(len(list_intersect(list_distinct(string_split(a.text, ' ')),
+                            list_distinct(string_split(b.text, ' ')))) AS DOUBLE)
+    / (len(list_distinct(string_split(a.text, ' ')))
+       + len(list_distinct(string_split(b.text, ' ')))
+       - len(list_intersect(list_distinct(string_split(a.text, ' ')),
+                            list_distinct(string_split(b.text, ' '))))), 9) AS jaccard
+FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+WHERE a.doc_id % 10 = 0
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-content fingerprint (md5 of first 64 chars + length bucket)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        F.md5(F.substring("text", 1, 64)).alias("fp"),
+        F.floor(F.length("text") / 100).cast("int").alias("len_bucket"),
+    )
+
+
+O_DOC_FINGERPRINT = """
+SELECT doc_id, md5(substr(text, 1, 64)) AS fp,
+       CAST(floor(length(text) / 100.0) AS INTEGER) AS len_bucket
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -585,6 +666,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stacked_coalesce": q_stacked_coalesce,
     "merged_vector_counts": q_merged_vector_counts,
     "filter_features_en": q_filter_features_en,
+    "minhash_neardup": q_minhash_neardup,
+    "simhash_neardup": q_simhash_neardup,
+    "embedding_neardup": q_embedding_neardup,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "ngram_jaccard": q_ngram_jaccard,
+    "doc_fingerprint": q_doc_fingerprint,
 }
 
 ORACLES: dict[str, str] = {
@@ -607,4 +694,6 @@ ORACLES: dict[str, str] = {
     "stacked_coalesce": O_STACKED_COALESCE,
     "merged_vector_counts": O_MERGED_VECTOR_COUNTS,
     "filter_features_en": O_FILTER_FEATURES_EN,
+    "ngram_jaccard": O_NGRAM_JACCARD,
+    "doc_fingerprint": O_DOC_FINGERPRINT,
 }
