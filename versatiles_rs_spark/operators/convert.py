@@ -196,11 +196,12 @@ def convert_pages_to_tiles(
     layer_name: str = "pages",
     compression: str = GZIP,
     hash_flavor: str = "splitmix",
+    props_cols: list[str] | None = None,
 ) -> DataFrame:
     """Full convert: geocoded pages -> tile pyramid DataFrame."""
     assigned = assign_tiles(pages_geo, min_zoom, max_zoom)
     reduced = drop_rate_keep(assigned, "doc_id", "z", max_zoom, keep_ratio, hash_flavor)
-    return render_point_tiles(reduced, layer_name, compression=compression)
+    return render_point_tiles(reduced, layer_name, props_cols=props_cols, compression=compression)
 
 
 def with_hilbert_key(tiles: DataFrame) -> DataFrame:
