@@ -1,0 +1,307 @@
+"""VPL-equivalent pipeline language: parse + plan to DataFrame transforms.
+
+The reference's VersaTiles Pipeline Language (versatiles_pipeline/README.md;
+parser versatiles_pipeline/src/vpl/parser.rs:17-130) composes one read op
+with transform ops:
+
+    from_csv filename="quakes.csv" | filter level_max=8 |
+        vector_filter_properties pattern="points/depth"
+
+This module re-implements the same surface over the Spark engine:
+
+- ``parse_vpl``   : text -> [VplNode(name, props, children)]; supports
+  ``#`` comments, quoted values, ``[a,b,c]`` arrays, and nested source
+  lists ``from_stacked [ <pipeline>, <pipeline> ]`` (vpl_node.rs:21 model).
+- ``build_pipeline``: node list -> DataFrame, validating op names and typed
+  arguments at *build time* exactly like PipelineFactory::build
+  (factory.rs:81-150) — unknown op / missing arg / wrong position raise
+  before anything executes.
+
+The registry is the extension surface (§2.12): register_op adds new
+transforms the same way the reference registers factories by tag name.
+"""
+
+from __future__ import annotations
+
+import re
+import shlex
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass
+class VplNode:
+    name: str
+    props: dict[str, object] = field(default_factory=dict)
+    children: list[list["VplNode"]] = field(default_factory=list)
+
+
+class VplError(ValueError):
+    pass
+
+
+def _parse_value(v: str) -> object:
+    if v.startswith("[") and v.endswith("]"):
+        inner = v[1:-1].strip()
+        return [_parse_value(p.strip()) for p in inner.split(",")] if inner else []
+    if re.fullmatch(r"-?\d+", v):
+        return int(v)
+    if re.fullmatch(r"-?\d*\.\d+", v):
+        return float(v)
+    if v in ("true", "false"):
+        return v == "true"
+    return v
+
+
+def _split_pipes(text: str) -> list[str]:
+    """Split on '|' at bracket depth 0, respecting quotes."""
+    parts, depth, cur, quote = [], 0, [], None
+    for ch in text:
+        if quote:
+            cur.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "\"'":
+            quote = ch
+            cur.append(ch)
+        elif ch == "[":
+            depth += 1
+            cur.append(ch)
+        elif ch == "]":
+            depth -= 1
+            cur.append(ch)
+        elif ch == "|" and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _split_top_commas(text: str) -> list[str]:
+    parts, depth, cur, quote = [], 0, [], None
+    for ch in text:
+        if quote:
+            cur.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "\"'":
+            quote = ch
+            cur.append(ch)
+        elif ch == "[":
+            depth += 1
+            cur.append(ch)
+        elif ch == "]":
+            depth -= 1
+            cur.append(ch)
+        elif ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _parse_node(text: str) -> VplNode:
+    # children: trailing [ pipeline, pipeline ] block (nested source list)
+    children: list[list[VplNode]] = []
+    m = re.search(r"\[(.*)\]\s*$", text, re.S)
+    head = text
+    if m:
+        # only treat as child block when the bracket is not part of key=[...]
+        before = text[: m.start()].rstrip()
+        if not before.endswith("="):
+            head = before
+            children = [parse_vpl(p) for p in _split_top_commas(m.group(1))]
+    toks = shlex.split(head)
+    if not toks:
+        raise VplError("empty pipeline node")
+    name = toks[0]
+    props: dict[str, object] = {}
+    for t in toks[1:]:
+        if "=" not in t:
+            raise VplError(f"malformed argument {t!r} in op {name!r} (expected key=value)")
+        k, v = t.split("=", 1)
+        props[k] = _parse_value(v)
+    return VplNode(name, props, children)
+
+
+def parse_vpl(text: str) -> list[VplNode]:
+    """Parse one pipeline string -> node list (comments stripped)."""
+    text = "\n".join(ln.split("#", 1)[0] for ln in text.splitlines())
+    return [_parse_node(p) for p in _split_pipes(text)]
+
+
+# ---------------------------------------------------------------------------
+# op registry (the PipelineFactory)
+# ---------------------------------------------------------------------------
+
+READ_OPS: dict[str, Callable] = {}
+TRANSFORM_OPS: dict[str, Callable] = {}
+
+
+def register_read(name: str):
+    def deco(fn):
+        READ_OPS[name] = fn
+        return fn
+
+    return deco
+
+
+def register_transform(name: str):
+    def deco(fn):
+        TRANSFORM_OPS[name] = fn
+        return fn
+
+    return deco
+
+
+def _req(node: VplNode, key: str):
+    if key not in node.props:
+        raise VplError(f"op {node.name!r}: missing required argument {key!r}")
+    return node.props[key]
+
+
+@register_read("from_container")
+def _op_from_container(spark: SparkSession, node: VplNode) -> DataFrame:
+    from versatiles_rs_spark.sources import read_tile_table
+
+    return read_tile_table(spark, str(_req(node, "filename")))
+
+
+@register_read("from_csv")
+def _op_from_csv(spark: SparkSession, node: VplNode) -> DataFrame:
+    from versatiles_rs_spark.sources import from_csv
+
+    return from_csv(
+        spark,
+        str(_req(node, "filename")),
+        lon_col=str(node.props.get("lon", "longitude")),
+        lat_col=str(node.props.get("lat", "latitude")),
+        id_col=node.props.get("id"),
+        min_zoom=int(node.props.get("level_min", 0)),
+        max_zoom=int(node.props.get("level_max", 14)),
+        layer_name=str(node.props.get("layer", "points")),
+        props_cols=[str(c) for c in node.props.get("properties", [])],
+    )
+
+
+@register_read("from_color")
+def _op_from_color(spark: SparkSession, node: VplNode) -> DataFrame:
+    from versatiles_rs_spark.sources import from_color
+
+    rgba = tuple(int(c) for c in _req(node, "color"))
+    return from_color(
+        spark, rgba, int(node.props.get("level_min", 0)), int(node.props.get("level_max", 4))
+    )
+
+
+@register_read("from_debug")
+def _op_from_debug(spark: SparkSession, node: VplNode) -> DataFrame:
+    from versatiles_rs_spark.sources import from_debug
+
+    return from_debug(
+        spark, int(node.props.get("level_min", 0)), int(node.props.get("level_max", 4))
+    )
+
+
+@register_read("from_stacked")
+def _op_from_stacked(spark: SparkSession, node: VplNode) -> DataFrame:
+    from versatiles_rs_spark.operators.stacked import from_stacked
+
+    if not node.children:
+        raise VplError("from_stacked: needs a [source, source, ...] list")
+    return from_stacked([build_pipeline(spark, c) for c in node.children])
+
+
+@register_read("from_merged_vector")
+def _op_from_merged(spark: SparkSession, node: VplNode) -> DataFrame:
+    from versatiles_rs_spark.operators.stacked import from_merged_vector
+
+    if not node.children:
+        raise VplError("from_merged_vector: needs a [source, source, ...] list")
+    return from_merged_vector([build_pipeline(spark, c) for c in node.children])
+
+
+@register_transform("filter")
+def _op_filter(df: DataFrame, node: VplNode) -> DataFrame:
+    out = df
+    if "level_min" in node.props:
+        out = out.filter(F.col("z") >= int(node.props["level_min"]))
+    if "level_max" in node.props:
+        out = out.filter(F.col("z") <= int(node.props["level_max"]))
+    if "bbox" in node.props:
+        w, s, e, n = (float(v) for v in node.props["bbox"])
+        from versatiles_rs_spark.tile_math.coords import tile_bounds_cols
+
+        tw, ts, te, tn = tile_bounds_cols(F.col("z"), F.col("x"), F.col("y"))
+        out = out.filter((te > w) & (tw < e) & (tn > s) & (ts < n))
+    return out
+
+
+@register_transform("vector_filter_layers")
+def _op_filter_layers(df: DataFrame, node: VplNode) -> DataFrame:
+    from versatiles_rs_spark.operators.vector_transforms import vector_filter_layers
+
+    layers = [str(x) for x in _req(node, "layers")]
+    return vector_filter_layers(df, layers, invert=bool(node.props.get("invert", False)))
+
+
+@register_transform("vector_filter_properties")
+def _op_filter_props(df: DataFrame, node: VplNode) -> DataFrame:
+    from versatiles_rs_spark.operators.vector_transforms import vector_filter_properties
+
+    return vector_filter_properties(
+        df, str(_req(node, "pattern")), invert=bool(node.props.get("invert", False))
+    )
+
+
+@register_transform("vector_overview")
+def _op_overview(df: DataFrame, node: VplNode) -> DataFrame:
+    from versatiles_rs_spark.operators.overview import build_overviews
+
+    return build_overviews(
+        df, int(_req(node, "level_base")), int(node.props.get("level_min", 0)), kind="vector"
+    )
+
+
+@register_transform("vector_overzoom")
+def _op_overzoom(df: DataFrame, node: VplNode) -> DataFrame:
+    from versatiles_rs_spark.operators.overzoom import overzoom_to
+
+    return overzoom_to(
+        df,
+        int(_req(node, "level_base")),
+        int(_req(node, "level_target")),
+        buffer=int(node.props.get("buffer", 80)),
+    )
+
+
+def build_pipeline(spark: SparkSession, nodes: list[VplNode] | str) -> DataFrame:
+    """Plan a parsed pipeline: first node must be a read op, the rest
+    transforms (factory.rs:81-123 contract). All validation happens here,
+    before any job runs."""
+    if isinstance(nodes, str):
+        nodes = parse_vpl(nodes)
+    if not nodes:
+        raise VplError("empty pipeline")
+    head, rest = nodes[0], nodes[1:]
+    if head.name not in READ_OPS:
+        if head.name in TRANSFORM_OPS:
+            raise VplError(f"pipeline must start with a read op, got transform {head.name!r}")
+        raise VplError(f"unknown read op {head.name!r} (have: {sorted(READ_OPS)})")
+    df = READ_OPS[head.name](spark, head)
+    for node in rest:
+        if node.name not in TRANSFORM_OPS:
+            if node.name in READ_OPS:
+                raise VplError(f"read op {node.name!r} cannot appear mid-pipeline")
+            raise VplError(f"unknown transform op {node.name!r} (have: {sorted(TRANSFORM_OPS)})")
+        df = TRANSFORM_OPS[node.name](df, node)
+    return df
