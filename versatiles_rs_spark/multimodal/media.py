@@ -1,0 +1,163 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The Spark-side plumbing is real and tested — schemas, partitioning, UDF
+signatures, Arrow batch shapes. The codec step is the only stub: image/audio
+libraries are not in this container, so ``decode_image_stub`` produces a
+deterministic fake pixel array from the bytes (size-seeded), clearly marked.
+Real PNG decoding (the one codec we do ship, functions/raster.py) is used
+when the blob *is* a PNG — so the pipeline exercises a genuine decode path
+too.
+
+Pattern per SURVEY.md mandate: decode / feature-extract / resize /
+frame-sample all run as vectorized pandas UDFs over ``mapInPandas`` —
+binary in, fixed-schema struct out, never per-row Python on the driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from versatiles_rs_spark.functions.raster import _PNG_SIG, png_decode
+
+
+def decode_image_stub(blob: bytes, size: int = 8) -> np.ndarray:
+    """Decode stub: PNG blobs decode for real; other formats produce a
+    deterministic fake (splitmix-seeded) so downstream feature extraction is
+    testable without codecs. A production build swaps this for Pillow/
+    torchvision — the UDF signature does not change."""
+    if blob[:8] == _PNG_SIG:
+        return png_decode(blob)
+    # DETERMINISTIC FAKE (no image library in this container)
+    seed = np.uint64(len(blob))
+    for b in blob[:16]:
+        with np.errstate(over="ignore"):
+            seed = seed * np.uint64(31) + np.uint64(b)
+    rng = np.random.default_rng(int(seed))
+    return rng.integers(0, 256, (size, size, 3), dtype=np.uint8)
+
+
+_META_SCHEMA = StructType(
+    [
+        StructField("media_type", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+    ]
+)
+
+_MAGIC = {
+    b"\x89PNG": "image/png",
+    b"\xff\xd8\xff": "image/jpeg",
+    b"RIFF": "audio/wav-or-webp",
+    b"OggS": "audio/ogg",
+    b"\x1aE\xdf\xa3": "video/webm",
+}
+
+
+def with_media_metadata(df: DataFrame, blob_col: str = "media") -> DataFrame:
+    """Append typed metadata struct columns sniffed from the binary column."""
+    out_schema = StructType(list(df.schema.fields) + list(_META_SCHEMA.fields))
+    in_cols = [f.name for f in df.schema.fields]
+
+    def probe(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            metas = []
+            for blob in pdf[blob_col]:
+                b = bytes(blob)
+                mt = "application/octet-stream"
+                for magic, t in _MAGIC.items():
+                    if b.startswith(magic):
+                        mt = t
+                        break
+                w = h = c = None
+                if mt == "image/png":
+                    img = png_decode(b)
+                    h, w, c = (int(v) for v in img.shape)
+                metas.append((mt, len(b), w, h, c))
+            meta = pd.DataFrame(
+                metas, columns=["media_type", "n_bytes", "width", "height", "channels"]
+            )
+            yield pd.concat([pdf[in_cols].reset_index(drop=True), meta], axis=1)
+
+    return df.mapInPandas(probe, schema=out_schema)
+
+
+_FEAT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("mean_rgb", ArrayType(DoubleType())),
+        StructField("brightness", DoubleType()),
+        StructField("embedding8", ArrayType(DoubleType())),
+    ]
+)
+
+
+def extract_image_features(df: DataFrame, id_col: str = "doc_id", blob_col: str = "media") -> DataFrame:
+    """Decode + feature-extract per Arrow batch: channel means, brightness,
+    and a tiny 8-dim downsample 'embedding' (stand-in for a vision encoder)."""
+
+    def feats(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for did, blob in zip(pdf[id_col], pdf[blob_col]):
+                img = decode_image_stub(bytes(blob)).astype(np.float64)
+                mean_rgb = img.reshape(-1, img.shape[2]).mean(axis=0)[:3]
+                bright = float(img.mean() / 255.0)
+                g = img.mean(axis=2)
+                hq, wq = max(1, g.shape[0] // 2), max(1, g.shape[1] // 4)
+                emb = [
+                    float(g[i * hq : (i + 1) * hq, j * wq : (j + 1) * wq].mean() / 255.0)
+                    for i in range(2)
+                    for j in range(4)
+                ]
+                rows.append((int(did), [round(float(v), 6) for v in mean_rgb], round(bright, 6), [round(v, 6) for v in emb]))
+            yield pd.DataFrame(rows, columns=["doc_id", "mean_rgb", "brightness", "embedding8"])
+
+    return df.select(id_col, blob_col).mapInPandas(feats, _FEAT_SCHEMA)
+
+
+_FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_offset_bytes", LongType()),
+        StructField("frame", StringType()),
+    ]
+)
+
+
+def frame_sample_video(
+    df: DataFrame, every_n: int = 10, id_col: str = "doc_id", blob_col: str = "media"
+) -> DataFrame:
+    """Frame-sampling plumbing: emits one row per sampled frame with the
+    byte offset a real demuxer would seek to. The frame payload is a STUB
+    (no video codec in this container) — marked explicitly."""
+
+    def sample(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for did, blob in zip(pdf[id_col], pdf[blob_col]):
+                n = len(bytes(blob))
+                n_frames = max(1, n // 1024)  # pretend 1 KiB per frame
+                for i in range(0, n_frames, every_n):
+                    rows.append((int(did), i, i * 1024, "STUB_FRAME_NO_CODEC"))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "frame_offset_bytes", "frame"]
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(sample, _FRAME_SCHEMA)
