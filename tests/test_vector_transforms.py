@@ -157,3 +157,38 @@ def test_explode_reassemble_roundtrip(spark, doc_tiles):
     a = {(r["z"], r["x"], r["y"]): bytes(r["tile"]) for r in full.collect()}
     b = {(r["z"], r["x"], r["y"]): bytes(r["tile"]) for r in doc_tiles.collect()}
     assert a == b
+
+
+def test_vector_repair_clean_passthrough(doc_tiles):
+    from versatiles_rs_spark.operators.vector_transforms import vector_repair
+
+    out = vector_repair(doc_tiles)
+    a = {(r["z"], r["x"], r["y"]): bytes(r["tile"]) for r in out.collect()}
+    b = {(r["z"], r["x"], r["y"]): bytes(r["tile"]) for r in doc_tiles.collect()}
+    assert a == b  # clean tiles forwarded byte-identically
+
+
+def test_vector_repair_fixes_duplicate_layers(spark):
+    import pandas as pd
+
+    from versatiles_rs_spark.functions.mvt import (
+        GEOM_POINT,
+        MvtFeature,
+        encode_tile,
+        validate_tile,
+    )
+    from versatiles_rs_spark.operators.vector_transforms import vector_repair
+
+    f = MvtFeature(GEOM_POINT, [[(0, 0)]], {}, fid=1)
+    one = encode_tile({"l": [f]})
+    broken = one + one  # duplicate layer 'l'
+    assert validate_tile(broken)
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [(0, 0, 0, "mvt", "none", broken, 2)],
+            columns=["z", "x", "y", "format", "compression", "tile", "n_features"],
+        )
+    )
+    out = vector_repair(df).collect()
+    assert len(out) == 1
+    assert validate_tile(bytes(out[0]["tile"])) == []

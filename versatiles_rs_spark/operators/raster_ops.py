@@ -1,0 +1,191 @@
+"""Raster tile operators: levels / flatten / format / mask / overscale /
+tile_resize / dem_quantize (SURVEY.md §2.3/§2.7/§2.10 raster inventory).
+
+All are per-tile mapInPandas transforms (zero shuffle) except tile_resize
+merge (a groupBy-parent, same shape as overview). raster_mask is the full
+spatial composition: classify tile vs polygon (FullyInside passthrough /
+FullyOutside drop / Partial per-pixel), then vectorized ray-cast PIP on the
+pixel grid of Partial tiles -> alpha channel (raster_mask/mask_geometry.rs:
+237 classify, :402 contains_point, :442 alpha grid; the signed-distance
+blur is approximated by the binary alpha + optional box smoothing).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from versatiles_rs_spark.functions.compression import compress, decompress
+from versatiles_rs_spark.functions.raster import (
+    dem_decode,
+    dem_encode,
+    flatten_onto,
+    levels,
+    png_decode,
+    png_encode,
+)
+from versatiles_rs_spark.operators.convert import TILE_SCHEMA, grouped_tile_map
+from versatiles_rs_spark.spatial.pip import (
+    FULLY_INSIDE,
+    FULLY_OUTSIDE,
+    Polygon,
+    classify_tiles,
+    pip_contains_np,
+)
+from versatiles_rs_spark.tile_math.coords import tile_geo_bbox_np
+
+
+def _map_tiles(tiles: DataFrame, img_fn) -> DataFrame:
+    """Lift img -> img-or-None onto tile rows (None drops the tile)."""
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                img = png_decode(decompress(bytes(r["tile"]), r["compression"]))
+                out = img_fn(img, int(r["z"]), int(r["x"]), int(r["y"]))
+                if out is None:
+                    continue
+                blob = compress(png_encode(out), r["compression"])
+                rows.append(
+                    (int(r["z"]), int(r["x"]), int(r["y"]), "png", r["compression"], blob,
+                     int(r["n_features"]))
+                )
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["z", "x", "y", "format", "compression", "tile", "n_features"]
+                )
+
+    return tiles.mapInPandas(run, schema=TILE_SCHEMA)
+
+
+def raster_levels(tiles: DataFrame, brightness: float = 0.0, contrast: float = 1.0,
+                  gamma: float = 1.0) -> DataFrame:
+    """Per-pixel brightness/contrast/gamma (raster_levels.rs:64-84)."""
+    return _map_tiles(tiles, lambda img, *_: levels(img, brightness, contrast, gamma))
+
+
+def raster_flatten(tiles: DataFrame, bg: tuple[int, int, int] = (255, 255, 255)) -> DataFrame:
+    """RGBA -> RGB onto a background color (raster_flatten.rs)."""
+
+    def fn(img, *_):
+        return flatten_onto(img, bg) if img.shape[2] == 4 else img
+
+    return _map_tiles(tiles, fn)
+
+
+def raster_format(tiles: DataFrame, compression_by_zoom: dict[int, str] | None = None,
+                  default: str = "none") -> DataFrame:
+    """Re-encode with a per-zoom compression schedule (raster_format.rs
+    quality-list analog; PNG is lossless so 'quality' maps to codec)."""
+    sched = compression_by_zoom or {}
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                raw = decompress(bytes(r["tile"]), r["compression"])
+                codec = sched.get(int(r["z"]), default)
+                rows.append(
+                    (int(r["z"]), int(r["x"]), int(r["y"]), "png", codec,
+                     compress(raw, codec), int(r["n_features"]))
+                )
+            yield pd.DataFrame(
+                rows, columns=["z", "x", "y", "format", "compression", "tile", "n_features"]
+            )
+
+    return tiles.mapInPandas(run, schema=TILE_SCHEMA)
+
+
+def raster_mask(tiles: DataFrame, poly: Polygon, smooth: int = 0) -> DataFrame:
+    """Mask raster tiles to a polygon: FullyOutside tiles drop, FullyInside
+    pass through untouched (the lazy-decode no-op path), Partial tiles get a
+    per-pixel PIP alpha grid. ``smooth`` > 0 box-blurs the alpha edge
+    (approximation of the signed-distance blur, blur_function.rs)."""
+    edges = poly.edges()
+
+    def fn(img, z, x, y):
+        cls = classify_tiles(z, np.array([x]), np.array([y]), poly)[0]
+        if cls == FULLY_OUTSIDE:
+            return None
+        if img.shape[2] == 3:
+            img = np.concatenate([img, np.full(img.shape[:2] + (1,), 255, np.uint8)], axis=2)
+        if cls == FULLY_INSIDE:
+            return img
+        h, w = img.shape[:2]
+        west, south, east, north = (
+            a[0] for a in tile_geo_bbox_np(z, np.array([x]), np.array([y]))
+        )
+        lons = west + (np.arange(w) + 0.5) / w * (east - west)
+        lats = north - (np.arange(h) + 0.5) / h * (north - south)
+        gx, gy = np.meshgrid(lons, lats)
+        inside = pip_contains_np(gx.ravel(), gy.ravel(), edges).reshape(h, w)
+        alpha = inside.astype(np.float64)
+        for _ in range(smooth):
+            padded = np.pad(alpha, 1, mode="edge")
+            alpha = (
+                padded[:-2, 1:-1] + padded[2:, 1:-1] + padded[1:-1, :-2]
+                + padded[1:-1, 2:] + padded[1:-1, 1:-1]
+            ) / 5.0
+        out = img.copy()
+        out[:, :, 3] = np.round(out[:, :, 3].astype(np.float64) * alpha).astype(np.uint8)
+        return out
+
+    return _map_tiles(tiles, fn)
+
+
+def raster_tile_split(tiles: DataFrame, size: int = 256) -> DataFrame:
+    """512->256-style retiling: split each tile into 4 children at z+1
+    (raster_tile_resize.rs split direction) — a shuffle-free flat-map."""
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                img = png_decode(decompress(bytes(r["tile"]), r["compression"]))
+                h, w = img.shape[:2]
+                hh, hw = h // 2, w // 2
+                for dy in (0, 1):
+                    for dx in (0, 1):
+                        sub = img[dy * hh : (dy + 1) * hh, dx * hw : (dx + 1) * hw]
+                        # upscale x2 by pixel duplication to keep tile size
+                        up = np.repeat(np.repeat(sub, 2, axis=0), 2, axis=1)
+                        blob = compress(png_encode(up), r["compression"])
+                        rows.append(
+                            (int(r["z"]) + 1, int(r["x"]) * 2 + dx, int(r["y"]) * 2 + dy,
+                             "png", r["compression"], blob, 0)
+                        )
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["z", "x", "y", "format", "compression", "tile", "n_features"]
+                )
+
+    return tiles.mapInPandas(run, schema=TILE_SCHEMA)
+
+
+def raster_overscale(tiles: DataFrame, levels_up: int = 1) -> DataFrame:
+    """Serve z+Δ from zoom z: crop the parent's pixel sub-region and upscale
+    (raster_overscale.rs:49-111 find/extract). Implemented as Δ chained
+    splits — each is the crop+x2-upscale for all 4 children."""
+    out = tiles
+    for _ in range(levels_up):
+        out = raster_tile_split(out)
+    return out
+
+
+def dem_quantize(tiles: DataFrame, elevation_error: float = 1.0, schema: str = "terrarium") -> DataFrame:
+    """Quantize DEM tiles: snap elevations to a power-of-2 step derived from
+    the allowed error (dem_quantize.rs:45 compute_quantizer, :87
+    quantize_pixel round-to-nearest) — improves compression."""
+    step = max(1.0, 2.0 ** np.ceil(np.log2(max(elevation_error, 1e-9))))
+
+    def fn(img, *_):
+        elev = dem_decode(img[:, :, :3], schema)
+        q = np.round(elev / step) * step
+        return dem_encode(q, schema)
+
+    return _map_tiles(tiles, fn)

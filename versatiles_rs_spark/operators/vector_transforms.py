@@ -164,6 +164,44 @@ def vector_update_properties(
     return _transform_tiles(tiles, fn)
 
 
+def vector_repair(tiles: DataFrame) -> DataFrame:
+    """Validate each tile; forward the ORIGINAL blob untouched when the
+    validator finds it clean (the recompression-avoidance / lazy-decode
+    optimization, vector_repair.rs + versatiles_pipeline README §vector_
+    repair), else re-encode a repaired tile (duplicate layers merged,
+    empty layers dropped — repair_tile, vector_tile/repair.rs:44)."""
+    from versatiles_rs_spark.functions.mvt import validate_tile
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _, row in pdf.iterrows():
+                codec = row["compression"]
+                raw = decompress(bytes(row["tile"]), codec)
+                issues = validate_tile(raw)
+                if not issues:
+                    blob = bytes(row["tile"])  # clean: no decode/re-encode
+                else:
+                    decoded = decode_tile(raw)
+                    layers = {
+                        name: d["features"] for name, d in decoded.items()
+                        if d["features"] and name
+                    }
+                    if not layers:
+                        continue
+                    blob = compress(encode_tile(layers), codec)
+                rows.append(
+                    (int(row["z"]), int(row["x"]), int(row["y"]), row["format"], codec,
+                     blob, int(row["n_features"]))
+                )
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["z", "x", "y", "format", "compression", "tile", "n_features"]
+                )
+
+    return tiles.mapInPandas(run, schema=TILE_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # relational form
 # ---------------------------------------------------------------------------

@@ -642,6 +642,72 @@ FROM documents
 """
 
 
+
+# ---------------------------------------------------------------------------
+# 16. event-time tumbling window aggregation (batch form of the streaming op)
+# ---------------------------------------------------------------------------
+
+def q_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_geo(spark, sf_dir)
+    x, y = lonlat_to_tile_cols(F.col("lon"), F.col("lat"), 3)
+    return (
+        ev.withColumn("x", x).withColumn("y", y)
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"), "x", "y"
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("value_sum"))
+    )
+
+
+O_WINDOWED_EVENTS = f"""
+WITH pts AS (
+  SELECT event_id, ts, value,
+         {LON_SQL.format(id="event_id")} AS lon, {LAT_SQL.format(id="event_id")} AS lat
+  FROM events
+)
+SELECT date_trunc('hour', ts) AS window_start,
+       {_tile_sql("x", "3")} AS x, {_tile_sql("y", "3")} AS y,
+       count(*) AS n, round(sum(value), 6) AS value_sum
+FROM pts GROUP BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# 17. set operations on coordinate sets (tile_cover/set_ops.rs analog)
+# ---------------------------------------------------------------------------
+
+def q_coord_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    z = 5
+    docs = _docs_geo(spark, sf_dir)
+    dx, dy = lonlat_to_tile_cols(F.col("lon"), F.col("lat"), z)
+    a = docs.select(dx.alias("x"), dy.alias("y")).distinct()
+    ev = _events_geo(spark, sf_dir)
+    ex, ey = lonlat_to_tile_cols(F.col("lon"), F.col("lat"), z)
+    b = ev.select(ex.alias("x"), ey.alias("y")).distinct()
+    union = a.union(b).distinct().select(F.lit("union").alias("op"), "x", "y")
+    inter = a.intersect(b).select(F.lit("intersect").alias("op"), "x", "y")
+    diff = a.exceptAll(a.intersect(b)).select(F.lit("difference").alias("op"), "x", "y")
+    return union.unionByName(inter).unionByName(diff)
+
+
+O_COORD_SET_OPS = f"""
+WITH dpts AS (
+  SELECT {LON_SQL.format(id="doc_id")} AS lon, {LAT_SQL.format(id="doc_id")} AS lat FROM documents
+), a AS (
+  SELECT DISTINCT {_tile_sql("x", "5")} AS x, {_tile_sql("y", "5")} AS y FROM dpts
+), epts AS (
+  SELECT {LON_SQL.format(id="event_id")} AS lon, {LAT_SQL.format(id="event_id")} AS lat FROM events
+), b AS (
+  SELECT DISTINCT {_tile_sql("x", "5")} AS x, {_tile_sql("y", "5")} AS y FROM epts
+)
+SELECT 'union' AS op, x, y FROM (SELECT x, y FROM a UNION SELECT x, y FROM b)
+UNION ALL
+SELECT 'intersect' AS op, x, y FROM (SELECT x, y FROM a INTERSECT SELECT x, y FROM b)
+UNION ALL
+SELECT 'difference' AS op, x, y FROM (SELECT x, y FROM a EXCEPT SELECT x, y FROM b)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -672,6 +738,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "ngram_jaccard": q_ngram_jaccard,
     "doc_fingerprint": q_doc_fingerprint,
+    "windowed_events": q_windowed_events,
+    "coord_set_ops": q_coord_set_ops,
 }
 
 ORACLES: dict[str, str] = {
@@ -696,4 +764,6 @@ ORACLES: dict[str, str] = {
     "filter_features_en": O_FILTER_FEATURES_EN,
     "ngram_jaccard": O_NGRAM_JACCARD,
     "doc_fingerprint": O_DOC_FINGERPRINT,
+    "windowed_events": O_WINDOWED_EVENTS,
+    "coord_set_ops": O_COORD_SET_OPS,
 }
