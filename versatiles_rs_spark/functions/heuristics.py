@@ -1,0 +1,79 @@
+"""Zoom heuristics + CEL-expression translation.
+
+- ``auto_max_zoom``: versatiles_geometry/src/feature_import/heuristics.rs:
+  25-68 — median feature size (mercator length for lines, sqrt(area) for
+  polygons) mapped to the zoom where it spans ≈ 4 px of a 4096-extent tile;
+  point-only sources get 14.
+
+- ``cel_to_spark_expr``: the plan-time translation of the reference's CEL
+  feature predicates (vector_filter_features.rs:9-81) into Catalyst SQL
+  expressions over the exploded-features props map — same compile-once,
+  analyze-at-build property.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TILE_EXTENT = 4096
+TARGET_PX = 4.0
+WORLD_SIZE = 2.0 * math.pi * 6_378_137.0
+POINT_ONLY_MAX_ZOOM = 14
+
+
+def auto_max_zoom_from_size(median_size_m: float | None) -> int:
+    """Zoom where median_size ≈ TARGET_PX pixels (heuristics.rs math):
+    ground size of one px at z = WORLD_SIZE / (2^z * TILE_EXTENT/256 px...)
+    We use the tile-edge px convention: px_size(z) = WORLD_SIZE / (2^z * 256).
+    """
+    if median_size_m is None or median_size_m <= 0:
+        return POINT_ONLY_MAX_ZOOM
+    z = math.log2(WORLD_SIZE * TARGET_PX / (median_size_m * 256.0))
+    return max(0, min(POINT_ONLY_MAX_ZOOM, math.ceil(z)))
+
+
+def auto_max_zoom(features: DataFrame, size_col: str | None = None) -> int:
+    """Distributed form: percentile_approx(median) of the size column; a
+    null/absent size column means point-only -> 14."""
+    if size_col is None or size_col not in features.columns:
+        return POINT_ONLY_MAX_ZOOM
+    med = features.agg(F.percentile_approx(size_col, 0.5).alias("m")).collect()[0]["m"]
+    return auto_max_zoom_from_size(med)
+
+
+# ---------------------------------------------------------------------------
+# CEL -> Spark SQL
+# ---------------------------------------------------------------------------
+
+_CEL_REWRITES = [
+    (re.compile(r"\bprops\[(?P<q>['\"])(?P<k>[^'\"]+)(?P=q)\]"), r"props['\g<k>']"),
+    (re.compile(r"(?<![=!<>])\s==\s"), " = "),
+    (re.compile(r"\s&&\s"), " AND "),
+    (re.compile(r"\s\|\|\s"), " OR "),
+    (re.compile(r"!\s*\("), "NOT ("),
+    (re.compile(r"\bmatches\((?P<a>[^,]+),\s*(?P<b>[^)]+)\)"), r"\g<a> RLIKE \g<b>"),
+    (re.compile(r"\bhas\(props\[(?P<q>['\"])(?P<k>[^'\"]+)(?P=q)\]\)"), r"props['\g<k>'] IS NOT NULL"),
+]
+
+
+def cel_to_spark_expr(cel: str) -> str:
+    """Translate the CEL subset the reference documents (map access, ==, &&,
+    ||, !, matches, has) into a Spark SQL boolean expression string. Raises
+    at plan time if the result does not parse — mirroring the reference's
+    compile-at-build contract."""
+    out = cel
+    for rx, rep in _CEL_REWRITES:
+        out = rx.sub(rep, out)
+    return out
+
+
+def filter_features_cel(exploded: DataFrame, cel: str) -> DataFrame:
+    """Apply a CEL predicate to an explode_features DataFrame. The
+    expression is analyzed here (plan build); bad CEL fails before any job
+    runs — vector_filter_features.rs:68-81 behavior."""
+    expr = cel_to_spark_expr(cel)
+    return exploded.filter(F.expr(expr))
