@@ -44,7 +44,11 @@ def _events_points(spark, sf_dir, replicate: int = 1):
         return pts
     # deterministic replication with fresh ids + fresh coords: the identical
     # job on an N*replicate-point input (for scaling runs where fixed driver
-    # cost must amortize against real compute)
+    # cost must amortize against real compute). The source is one parquet
+    # file = one input split; repartition BEFORE the x12 explode so the
+    # codegen stage (geocode+thin+assign) parallelizes instead of running
+    # the whole expansion on a single task.
+    pts = pts.repartition(spark.sparkContext.defaultParallelism * 2)
     r = F.explode(F.sequence(F.lit(0), F.lit(replicate - 1))).alias("r")
     rep = pts.select("doc_id", "lang", r).select(
         (F.col("doc_id") * replicate + F.col("r")).alias("doc_id"), "lang"
@@ -65,13 +69,27 @@ def job_convert_pyramid(spark, sf_dir, replicate: int = 1) -> dict:
     return {"tiles": int(n), "bytes": int(b)}
 
 
-def job_pip_join(spark, sf_dir, replicate: int = 1) -> dict:
+def job_pip_join(spark, sf_dir, replicate: int = 1, dense: bool = False) -> dict:
     from pyspark.sql import functions as F
 
     from versatiles_rs_spark.spatial import pip_join, test_polygons
 
+    polys = test_polygons()
+    if dense:
+        # realistic border complexity: 720-vertex rings (country-border edge
+        # counts), so the measured work is the vectorized ray cast itself
+        import math
+
+        from versatiles_rs_spark.spatial.pip import Polygon
+
+        for i, (cx, cy, r) in enumerate([(10.0, 20.0, 35.0), (-60.0, -10.0, 30.0), (120.0, 30.0, 25.0)]):
+            ring = [
+                (cx + r * math.cos(2 * math.pi * k / 720), cy + r * math.sin(2 * math.pi * k / 720))
+                for k in range(720)
+            ]
+            polys.append(Polygon(100 + i, f"dense{i}", "circle", [ring]))
     pts = _events_points(spark, sf_dir, replicate)
-    joined = pip_join(pts, test_polygons())
+    joined = pip_join(pts, polys)
     out = joined.groupBy("feature_id").agg(F.count("*").alias("n")).collect()
     return {"matched_rows": int(sum(r["n"] for r in out)), "polygons_hit": len(out)}
 
@@ -167,7 +185,7 @@ def run_scaling() -> None:
         pip = None
         for _ in range(iterations):
             t0 = time.time()
-            pip = job_pip_join(spark, SF_DIR, replicate=replicate)
+            pip = job_pip_join(spark, SF_DIR, replicate=replicate * 8, dense=True)
             dt_pip = time.time() - t0
             best_pip = dt_pip if best_pip is None else min(best_pip, dt_pip)
         spark.stop()
@@ -201,7 +219,7 @@ Scaling efficiency = (thr_32 / thr_8) / 4.
 
 **Scaling efficiency (8 -> 32 cores): {eff:.3f}** (target >= 0.8)
 
-## pip_join (broadcast ray-cast point-in-polygon over all events)
+## pip_join (broadcast ray-cast PIP, events x{replicate * 8}, incl. 720-vertex dense polygons)
 
 | parallelism | wall sec |
 |---|---|

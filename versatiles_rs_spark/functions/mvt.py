@@ -40,7 +40,7 @@ CMD_CLOSE_PATH = 7
 # low-level protobuf writers
 # ---------------------------------------------------------------------------
 
-def _varint(v: int) -> bytes:
+def _varint_slow(v: int) -> bytes:
     out = bytearray()
     v &= 0xFFFFFFFFFFFFFFFF
     while True:
@@ -51,6 +51,17 @@ def _varint(v: int) -> bytes:
         else:
             out.append(b)
             return bytes(out)
+
+
+# ~all varints in tile encoding are small (tags, lengths, zigzagged deltas
+# within the 4096 grid); a precomputed table removes the hot-loop cost
+_VARINT_CACHE = [_varint_slow(i) for i in range(1 << 14)]
+
+
+def _varint(v: int) -> bytes:
+    if 0 <= v < (1 << 14):
+        return _VARINT_CACHE[v]
+    return _varint_slow(v)
 
 
 def _tag(fieldno: int, wire: int) -> bytes:

@@ -69,21 +69,42 @@ class Polygon:
         return min(xs), min(ys), max(xs), max(ys)
 
 
+_PT_BLOCK = 2048
+_EDGE_BLOCK = 128
+
+
 def pip_contains_np(px: np.ndarray, py: np.ndarray, edges) -> np.ndarray:
     """Even-odd ray cast of N points against E edges; bool mask.
 
     Exact ``ray_crosses`` arithmetic (mask_geometry.rs:85): note the strict
     ``>`` on both y-comparisons (half-open rule — a vertex counts for the
     edge whose y1 is at/below the ray) and the strict ``<`` on x.
+
+    Blocked over both axes so the (pts x edges) float64 intermediates stay
+    cache-resident — the naive full matrix saturates memory bandwidth and
+    anti-scales past ~8 concurrent workers. Crossing counts are integers, so
+    blocking does not change any result bit.
     """
-    x1, y1, x2, y2 = edges
-    px = np.asarray(px, dtype=np.float64)[:, None]  # (N, 1)
-    py = np.asarray(py, dtype=np.float64)[:, None]
-    straddles = (y1[None, :] > py) != (y2[None, :] > py)  # (N, E)
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    x1, y1, x2, y2 = (np.asarray(a, dtype=np.float64) for a in edges)
+    n, e = len(px), len(x1)
+    crossings = np.zeros(n, dtype=np.int64)
     with np.errstate(divide="ignore", invalid="ignore"):
-        x_at_y = (x2 - x1)[None, :] * (py - y1[None, :]) / (y2 - y1)[None, :] + x1[None, :]
-    crosses = straddles & (px < x_at_y)
-    return (crosses.sum(axis=1) % 2).astype(bool)
+        for p0 in range(0, n, _PT_BLOCK):
+            p1 = min(p0 + _PT_BLOCK, n)
+            bpx = px[p0:p1, None]
+            bpy = py[p0:p1, None]
+            acc = np.zeros(p1 - p0, dtype=np.int64)
+            for e0 in range(0, e, _EDGE_BLOCK):
+                e1 = min(e0 + _EDGE_BLOCK, e)
+                ey1 = y1[None, e0:e1]
+                ey2 = y2[None, e0:e1]
+                straddles = (ey1 > bpy) != (ey2 > bpy)
+                x_at_y = (x2 - x1)[None, e0:e1] * (bpy - ey1) / (ey2 - ey1) + x1[None, e0:e1]
+                acc += (straddles & (bpx < x_at_y)).sum(axis=1)
+            crossings[p0:p1] = acc
+    return (crossings % 2).astype(bool)
 
 
 def _segments_intersect_rect(
@@ -168,6 +189,12 @@ def pip_join(
     SQL cross-join-filter oracle).
     """
     spark = points.sparkSession
+    # scale hygiene: a zero-shuffle map pipeline inherits the source's
+    # partitioning; a single fat parquet file would serialize the whole probe
+    # onto one task. Spread to at least the cluster's parallelism.
+    target = spark.sparkContext.defaultParallelism
+    if points.rdd.getNumPartitions() < target:
+        points = points.repartition(target)
     payload = [
         (p.feature_id, p.name, p.edges(), p.bbox())
         for p in polygons
