@@ -272,6 +272,56 @@ def _op_overview(df: DataFrame, node: VplNode) -> DataFrame:
     )
 
 
+@register_read("from_geo")
+def _op_from_geo(spark: SparkSession, node: VplNode) -> DataFrame:
+    from versatiles_rs_spark.operators.from_geo import from_geo
+
+    return from_geo(
+        spark,
+        str(_req(node, "filename")),
+        min_zoom=int(node.props.get("level_min", 0)),
+        max_zoom=int(node.props.get("level_max", 8)),
+        layer_name=str(node.props.get("layer", "features")),
+        simplify_px=float(node.props.get("simplify", 1.0)),
+    )
+
+
+@register_transform("vector_repair")
+def _op_vector_repair(df: DataFrame, node: VplNode) -> DataFrame:
+    from versatiles_rs_spark.operators.vector_transforms import vector_repair
+
+    return vector_repair(df)
+
+
+@register_transform("raster_levels")
+def _op_raster_levels(df: DataFrame, node: VplNode) -> DataFrame:
+    from versatiles_rs_spark.operators.raster_ops import raster_levels
+
+    return raster_levels(
+        df,
+        brightness=float(node.props.get("brightness", 0.0)),
+        contrast=float(node.props.get("contrast", 1.0)),
+        gamma=float(node.props.get("gamma", 1.0)),
+    )
+
+
+@register_transform("raster_flatten")
+def _op_raster_flatten(df: DataFrame, node: VplNode) -> DataFrame:
+    from versatiles_rs_spark.operators.raster_ops import raster_flatten
+
+    bg = node.props.get("color", [255, 255, 255])
+    return raster_flatten(df, bg=tuple(int(c) for c in bg)[:3])
+
+
+@register_transform("raster_overview")
+def _op_raster_overview(df: DataFrame, node: VplNode) -> DataFrame:
+    from versatiles_rs_spark.operators.overview import build_overviews
+
+    return build_overviews(
+        df, int(_req(node, "level_base")), int(node.props.get("level_min", 0)), kind="raster"
+    )
+
+
 @register_transform("vector_overzoom")
 def _op_overzoom(df: DataFrame, node: VplNode) -> DataFrame:
     from versatiles_rs_spark.operators.overzoom import overzoom_to

@@ -436,6 +436,19 @@ WHERE c.c % 2 = 1
 O_PIP_JOIN_DOCS = _pip_oracle_sql()
 
 
+def q_pip_join_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-cover two-stage spatial join (the 100 TB path) — must produce
+    exactly the broadcast join's rows, so it shares that oracle."""
+    from versatiles_rs_spark.spatial.cells import pip_join_cells
+    from versatiles_rs_spark.spatial import test_polygons
+
+    pts = _docs_geo(spark, sf_dir).select("doc_id", "lon", "lat")
+    return pip_join_cells(pts, test_polygons(), cell_zoom=6).select(
+        "doc_id", "feature_id", "poly_name"
+    )
+
+
+
 # ---------------------------------------------------------------------------
 # 12. kNN via cell-ring expansion (north rule) — oracle: SQL brute force
 # ---------------------------------------------------------------------------
@@ -729,6 +742,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tile_render_summary": q_tile_render_summary,
     "pip_join_docs": q_pip_join_docs,
     "knn": q_knn,
+    "pip_join_cells": q_pip_join_cells,
     "stacked_coalesce": q_stacked_coalesce,
     "merged_vector_counts": q_merged_vector_counts,
     "filter_features_en": q_filter_features_en,
@@ -759,6 +773,7 @@ ORACLES: dict[str, str] = {
     "tile_render_summary": O_TILE_RENDER_SUMMARY,
     "pip_join_docs": O_PIP_JOIN_DOCS,
     "knn": O_KNN,
+    "pip_join_cells": O_PIP_JOIN_DOCS,
     "stacked_coalesce": O_STACKED_COALESCE,
     "merged_vector_counts": O_MERGED_VECTOR_COUNTS,
     "filter_features_en": O_FILTER_FEATURES_EN,
