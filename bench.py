@@ -64,7 +64,7 @@ def job_convert_pyramid(spark, sf_dir, replicate: int = 1) -> dict:
     from versatiles_rs_spark.operators.convert import convert_pages_to_tiles
 
     pts = _events_points(spark, sf_dir, replicate)
-    tiles = convert_pages_to_tiles(pts, 0, 14, keep_ratio=0.7)
+    tiles = convert_pages_to_tiles(pts, 0, 14, keep_ratio=0.7, compression="optimize")
     n, b = tiles.agg(F.count("*"), F.sum(F.length("tile"))).collect()[0]
     return {"tiles": int(n), "bytes": int(b)}
 

@@ -125,3 +125,66 @@ def test_hilbert_key_unique_and_ordered(tiles):
     # z0 tile has hilbert_id 0; all z1 ids in [1,4], etc.
     z0 = hk[hk["z"] == 0]["hilbert_id"].iloc[0]
     assert z0 == 0
+
+
+def test_fast_path_byte_identical():
+    """Single-point fast path must produce byte-identical blobs to the
+    generic encode_tile path (same codec)."""
+    import numpy as np
+    import pandas as pd
+
+    from versatiles_rs_spark.functions.mvt import MvtFeature, GEOM_POINT, encode_tile
+    from versatiles_rs_spark.operators.convert import _encode_tile_rows
+
+    n = 500
+    rng = np.random.default_rng(9)
+    pdf = pd.DataFrame(
+        {
+            "z": np.full(n, 12, dtype=np.int32),
+            "x": np.arange(n, dtype=np.int64),  # all distinct -> all singles
+            "y": np.arange(n, dtype=np.int64),
+            "lon": rng.uniform(-179, 179, n),
+            "lat": rng.uniform(-80, 80, n),
+            "doc_id": rng.integers(0, 1 << 40, n),
+            "lang": rng.choice(["en", "de", "zh"], n),
+        }
+    )
+    out = _encode_tile_rows(pdf.copy(), "pages", ["lang"], "gzip").set_index(["x", "y"])
+    # recompute each via the generic encoder
+    from versatiles_rs_spark.functions.compression import compress
+    from versatiles_rs_spark.operators.convert import _quantize_grid
+
+    gx, gy = _quantize_grid(pdf)
+    for i in range(n):
+        f = MvtFeature(GEOM_POINT, [[(int(gx[i]), int(gy[i]))]],
+                       {"lang": pdf["lang"].values[i]}, fid=int(pdf["doc_id"].values[i]))
+        want = compress(encode_tile({"pages": [f]}), "gzip")
+        got = out.loc[(pdf["x"].values[i], pdf["y"].values[i])]
+        assert bytes(got["tile"]) == want, f"row {i} differs"
+
+
+def test_optimize_compression_mode():
+    import numpy as np
+    import pandas as pd
+
+    from versatiles_rs_spark.operators.convert import _encode_tile_rows
+
+    n = 200
+    rng = np.random.default_rng(10)
+    pdf = pd.DataFrame(
+        {
+            "z": np.full(n, 12, dtype=np.int32),
+            "x": np.arange(n, dtype=np.int64),
+            "y": np.arange(n, dtype=np.int64),
+            "lon": rng.uniform(-179, 179, n),
+            "lat": rng.uniform(-80, 80, n),
+            "doc_id": np.arange(n),
+            "lang": rng.choice(["en", "de"], n),
+        }
+    )
+    out = _encode_tile_rows(pdf, "pages", ["lang"], "optimize")
+    # tiny single-point tiles are smaller uncompressed -> codec 'none'
+    assert (out["compression"] == "none").all()
+    from versatiles_rs_spark.functions.mvt import validate_tile
+
+    assert all(validate_tile(bytes(b)) == [] for b in out["tile"])

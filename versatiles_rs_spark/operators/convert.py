@@ -87,6 +87,63 @@ def _quantize_grid(pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
     return gx, gy
 
 
+def _finalize_blob(raw: bytes, compression: str) -> tuple[bytes, str]:
+    """'optimize' = keep whichever of {raw, gzip} is smaller — the
+    optimize_compression semantics (compression/functions.rs:54); tiny
+    sparse tiles are SMALLER uncompressed (gzip header overhead)."""
+    if compression == "optimize":
+        gz = compress(raw, GZIP)
+        return (gz, GZIP) if len(gz) < len(raw) else (raw, "none")
+    return compress(raw, compression), compression
+
+
+def _encode_single_point_tiles(
+    z, x, y, fid, gx, gy, prop_vals: dict[str, np.ndarray],
+    layer_name: str, compression: str,
+) -> list[tuple]:
+    """Vectorized fast path for 1-feature point tiles (the dominant shape at
+    deep zooms over sparse data). Assembles protobuf bytes from cached
+    segments; output is byte-identical to the generic encode_tile path
+    (verified by test_fast_path_byte_identical)."""
+    from versatiles_rs_spark.functions.mvt import (
+        _encode_value,
+        _len_field,
+        _varint,
+        _varint_field,
+        zigzag,
+    )
+
+    head = _varint_field(15, 2) + _len_field(1, layer_name.encode("utf-8"))
+    extent_tail = _varint_field(5, TILE_EXTENT)
+    sorted_props = sorted(prop_vals)
+    keys_section = b"".join(_len_field(3, k.encode("utf-8")) for k in sorted_props)
+    # single feature: key index i pairs with value index i -> tags 0,0,1,1,…
+    tags_section = (
+        _len_field(2, b"".join(_varint(i) + _varint(i) for i in range(len(sorted_props))))
+        if sorted_props
+        else b""
+    )
+    type_geom_head = _varint_field(3, GEOM_POINT)
+    cmd = _varint(9)  # MoveTo count=1
+
+    val_cache: dict[tuple, bytes] = {}
+    rows = []
+    n = len(fid)
+    for i in range(n):
+        vals = tuple(prop_vals[k][i] for k in sorted_props)
+        vb = val_cache.get(vals)
+        if vb is None:
+            vb = b"".join(_len_field(4, _encode_value(v)) for v in vals)
+            val_cache[vals] = vb
+        geom = cmd + _varint(zigzag(int(gx[i]))) + _varint(zigzag(int(gy[i])))
+        feat = _varint_field(1, int(fid[i])) + tags_section + type_geom_head + _len_field(4, geom)
+        layer = head + _len_field(2, feat) + keys_section + vb + extent_tail
+        raw = _len_field(3, layer)
+        blob, codec = _finalize_blob(raw, compression)
+        rows.append((int(z[i]), int(x[i]), int(y[i]), "mvt", codec, blob, 1))
+    return rows
+
+
 def _encode_tile_rows(
     body: pd.DataFrame,
     layer_name: str,
@@ -99,15 +156,28 @@ def _encode_tile_rows(
     repartition + boundary-carry logic in the caller). One pandas groupby per
     Arrow batch instead of one Spark group per tile — this is what makes the
     render scale to hundreds of thousands of sparse tiles per task.
+    Single-feature tiles take a segment-cached fast path.
     """
     gx, gy = _quantize_grid(body)
     body = body.assign(_gx=gx, _gy=gy).sort_values(["z", "x", "y", "doc_id"], kind="stable")
-    rows: list[tuple] = []
     prop_arrays = {c: body[c].values for c in props_cols}
     ids = body["doc_id"].values
     gxv, gyv = body["_gx"].values, body["_gy"].values
+    zv, xv, yv = body["z"].values, body["x"].values, body["y"].values
+
+    # null props change the per-tile key table -> those rows use the generic
+    # path (the fast path assumes every prop key is present)
+    has_null = np.zeros(len(body), dtype=bool)
+    for c in props_cols:
+        has_null |= pd.isna(prop_arrays[c])
+
     grp = body.groupby(["z", "x", "y"], sort=False).indices
+    singles: list[int] = []
+    rows: list[tuple] = []
     for (z, x, y), idx in grp.items():
+        if len(idx) == 1 and not has_null[idx[0]]:
+            singles.append(idx[0])
+            continue
         feats = [
             MvtFeature(
                 geom_type=GEOM_POINT,
@@ -117,8 +187,17 @@ def _encode_tile_rows(
             )
             for i in idx
         ]
-        blob = compress(encode_tile({layer_name: feats}), compression)
-        rows.append((int(z), int(x), int(y), "mvt", compression, blob, len(feats)))
+        blob, codec = _finalize_blob(encode_tile({layer_name: feats}), compression)
+        rows.append((int(z), int(x), int(y), "mvt", codec, blob, len(feats)))
+    if singles:
+        si = np.asarray(singles)
+        rows.extend(
+            _encode_single_point_tiles(
+                zv[si], xv[si], yv[si], ids[si], gxv[si], gyv[si],
+                {c: prop_arrays[c][si] for c in props_cols},
+                layer_name, compression,
+            )
+        )
     return pd.DataFrame(
         rows, columns=["z", "x", "y", "format", "compression", "tile", "n_features"]
     )
