@@ -599,7 +599,7 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from versatiles_rs_spark.dedup.embedding import embedding_neardup_pairs
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return embedding_neardup_pairs(emb, min_dot=700_000_000_000)
+    return embedding_neardup_pairs(emb, min_dot=250_000_000_000)
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
