@@ -88,7 +88,9 @@ def job_pip_join(spark, sf_dir, replicate: int = 1, dense: bool = False) -> dict
                 for k in range(720)
             ]
             polys.append(Polygon(100 + i, f"dense{i}", "circle", [ring]))
-    pts = _events_points(spark, sf_dir, replicate)
+    # minimal probe columns: the join's per-row payload should not carry
+    # strings it does not need (Arrow transfer is part of the measured path)
+    pts = _events_points(spark, sf_dir, replicate).select("doc_id", "lon", "lat")
     joined = pip_join(pts, polys)
     out = joined.groupBy("feature_id").agg(F.count("*").alias("n")).collect()
     return {"matched_rows": int(sum(r["n"] for r in out)), "polygons_hit": len(out)}
@@ -168,7 +170,7 @@ def run_scaling() -> None:
     amortizes), then best-of-3 timed runs of the identical job.
     """
     iterations = 2
-    replicate = int(os.environ.get("SPARK_GRAFT_SCALING_REPLICATE", "12"))
+    replicate = int(os.environ.get("SPARK_GRAFT_SCALING_REPLICATE", "48"))
     results = {}
     for cpus in (8, 32):
         spark = _session(cpus)

@@ -127,21 +127,39 @@ def _encode_single_point_tiles(
     cmd = _varint(9)  # MoveTo count=1
 
     val_cache: dict[tuple, bytes] = {}
-    rows = []
     n = len(fid)
+    blobs: list[bytes] = []
+    codecs: list[str] = []
+    fid_l = fid.tolist()
+    gx_l = gx.tolist()
+    gy_l = gy.tolist()
+    prop_lists = [prop_vals[k].tolist() for k in sorted_props]
     for i in range(n):
-        vals = tuple(prop_vals[k][i] for k in sorted_props)
+        vals = tuple(pl[i] for pl in prop_lists)
         vb = val_cache.get(vals)
         if vb is None:
             vb = b"".join(_len_field(4, _encode_value(v)) for v in vals)
             val_cache[vals] = vb
-        geom = cmd + _varint(zigzag(int(gx[i]))) + _varint(zigzag(int(gy[i])))
-        feat = _varint_field(1, int(fid[i])) + tags_section + type_geom_head + _len_field(4, geom)
+        geom = cmd + _varint(zigzag(gx_l[i])) + _varint(zigzag(gy_l[i]))
+        feat = _varint_field(1, fid_l[i]) + tags_section + type_geom_head + _len_field(4, geom)
         layer = head + _len_field(2, feat) + keys_section + vb + extent_tail
         raw = _len_field(3, layer)
         blob, codec = _finalize_blob(raw, compression)
-        rows.append((int(z[i]), int(x[i]), int(y[i]), "mvt", codec, blob, 1))
-    return rows
+        blobs.append(blob)
+        codecs.append(codec)
+    # columnar construction: per-row python tuples into DataFrame() cost more
+    # than the encode itself at millions of tiles per task
+    return pd.DataFrame(
+        {
+            "z": z.astype("int32"),
+            "x": x,
+            "y": y,
+            "format": "mvt",
+            "compression": codecs,
+            "tile": blobs,
+            "n_features": np.int64(1),
+        }
+    )
 
 
 def _encode_tile_rows(
@@ -189,18 +207,20 @@ def _encode_tile_rows(
         ]
         blob, codec = _finalize_blob(encode_tile({layer_name: feats}), compression)
         rows.append((int(z), int(x), int(y), "mvt", codec, blob, len(feats)))
-    if singles:
-        si = np.asarray(singles)
-        rows.extend(
-            _encode_single_point_tiles(
-                zv[si], xv[si], yv[si], ids[si], gxv[si], gyv[si],
-                {c: prop_arrays[c][si] for c in props_cols},
-                layer_name, compression,
-            )
-        )
-    return pd.DataFrame(
+    multi = pd.DataFrame(
         rows, columns=["z", "x", "y", "format", "compression", "tile", "n_features"]
     )
+    if not singles:
+        return multi
+    si = np.asarray(singles)
+    single = _encode_single_point_tiles(
+        zv[si], xv[si], yv[si], ids[si], gxv[si], gyv[si],
+        {c: prop_arrays[c][si] for c in props_cols},
+        layer_name, compression,
+    )
+    if not len(multi):
+        return single
+    return pd.concat([multi, single], ignore_index=True)
 
 
 def grouped_tile_map(

@@ -165,3 +165,25 @@ def parent_coord_cols(x: Column, y: Column, levels: int = 1) -> tuple[Column, Co
 def flip_y_col(z: Column, y: Column) -> Column:
     """TMS y-flip: y' = 2^z - 1 - y (tile_coord.rs flip_y / mbtiles reader)."""
     return F.pow(F.lit(2.0), z.cast("double")).cast("bigint") - F.lit(1) - y.cast("bigint")
+
+
+def swap_xy_cols(x: Column, y: Column) -> tuple[Column, Column]:
+    """Axis swap (tile_coord.rs swap_xy)."""
+    return y, x
+
+
+def at_level_cols(z: Column, x: Column, y: Column, target: int) -> tuple[Column, Column]:
+    """Rescale coords to another zoom (tile_coord.rs:264 at_level): multiply
+    when zooming in, integer-divide when zooming out."""
+    scale = F.pow(F.lit(2.0), (F.lit(target) - z).cast("double"))
+    up_x = (x.cast("bigint") * scale.cast("bigint"))
+    up_y = (y.cast("bigint") * scale.cast("bigint"))
+    down = F.pow(F.lit(2.0), (z - F.lit(target)).cast("double")).cast("bigint")
+    nx = F.when(F.lit(target) >= z, up_x).otherwise(F.floor(x.cast("bigint") / down).cast("bigint"))
+    ny = F.when(F.lit(target) >= z, up_y).otherwise(F.floor(y.cast("bigint") / down).cast("bigint"))
+    return nx, ny
+
+
+def ground_size_meters_col(z: Column) -> Column:
+    """Tile edge length in meters at the equator (tile_coord.rs:411)."""
+    return F.lit(WORLD_SIZE) / F.pow(F.lit(2.0), z.cast("double"))
