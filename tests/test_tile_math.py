@@ -178,3 +178,31 @@ def test_column_form_matches_numpy(spark):
         .collect()[0]["s"]
     )
     assert si == (4**10 - 1) // 3 + 335 * 2**10 + 550
+
+
+def test_at_level_and_flip_and_ground_size(spark):
+    from pyspark.sql import functions as F
+
+    from versatiles_rs_spark.tile_math.coords import (
+        WORLD_SIZE,
+        at_level_cols,
+        flip_y_col,
+        ground_size_meters_col,
+        swap_xy_cols,
+    )
+
+    df = spark.createDataFrame([(10, 550, 335)], ["z", "x", "y"])
+    up_x, up_y = at_level_cols(F.col("z"), F.col("x"), F.col("y"), 12)
+    dn_x, dn_y = at_level_cols(F.col("z"), F.col("x"), F.col("y"), 8)
+    fy = flip_y_col(F.col("z"), F.col("y"))
+    gs = ground_size_meters_col(F.col("z"))
+    sx, sy = swap_xy_cols(F.col("x"), F.col("y"))
+    row = df.select(
+        up_x.alias("ux"), up_y.alias("uy"), dn_x.alias("dx"), dn_y.alias("dy"),
+        fy.alias("fy"), gs.alias("gs"), sx.alias("sx"), sy.alias("sy"),
+    ).collect()[0]
+    assert (row["ux"], row["uy"]) == (550 * 4, 335 * 4)  # at_level up (tile_coord.rs:264)
+    assert (row["dx"], row["dy"]) == (550 // 4, 335 // 4)
+    assert row["fy"] == 2**10 - 1 - 335
+    assert abs(row["gs"] - WORLD_SIZE / 1024) < 1e-6
+    assert (row["sx"], row["sy"]) == (335, 550)
