@@ -83,9 +83,9 @@ def job_convert_pyramid(spark, sf_dir, replicate: int = 1) -> dict:
 def job_pip_join(spark, sf_dir, replicate: int = 1, dense: bool = False) -> dict:
     from pyspark.sql import functions as F
 
-    from versatiles_rs_spark.spatial import pip_join, test_polygons
+    from versatiles_rs_spark.spatial import pip_join, sample_polygons
 
-    polys = test_polygons()
+    polys = sample_polygons()
     if dense:
         # realistic border complexity: 720-vertex rings (country-border edge
         # counts), so the measured work is the vectorized ray cast itself

@@ -7,7 +7,7 @@ import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
-from versatiles_rs_spark.spatial import pip_join, test_polygons
+from versatiles_rs_spark.spatial import pip_join, sample_polygons
 from versatiles_rs_spark.spatial.cells import pip_join_cells, point_cells, polygon_cell_cover
 from versatiles_rs_spark.spatial.knn import knn_bruteforce, knn_cell_ring
 from versatiles_rs_spark.spatial.pip import FULLY_INSIDE, PARTIAL
@@ -27,7 +27,7 @@ def pts_df(spark):
 
 
 def test_polygon_cell_cover_partition():
-    poly = test_polygons()[0]  # eurasia_box
+    poly = sample_polygons()[0]  # eurasia_box
     ids, classes = polygon_cell_cover(poly, zoom=6)
     assert len(ids) == len(set(ids.tolist()))  # disjoint cells
     assert (classes == FULLY_INSIDE).sum() > 0
@@ -36,8 +36,8 @@ def test_polygon_cell_cover_partition():
 
 def test_pip_join_cells_matches_broadcast(spark, pts_df):
     df, _ = pts_df
-    a = pip_join(df, test_polygons()).select("doc_id", "feature_id")
-    b = pip_join_cells(df, test_polygons(), cell_zoom=6).select("doc_id", "feature_id")
+    a = pip_join(df, sample_polygons()).select("doc_id", "feature_id")
+    b = pip_join_cells(df, sample_polygons(), cell_zoom=6).select("doc_id", "feature_id")
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
 

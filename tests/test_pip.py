@@ -11,7 +11,7 @@ from versatiles_rs_spark.spatial import (
     classify_tiles,
     pip_contains_np,
     pip_join,
-    test_polygons,
+    sample_polygons,
 )
 from versatiles_rs_spark.spatial.pip import FULLY_INSIDE, FULLY_OUTSIDE, PARTIAL
 
@@ -45,7 +45,7 @@ def test_pip_boundary_rule_half_open():
 
 
 def test_pip_concave():
-    arrow = next(p for p in test_polygons() if p.name == "concave_arrow")
+    arrow = next(p for p in sample_polygons() if p.name == "concave_arrow")
     # the notch (90, -15) is outside; (70, -45) inside left prong
     got = pip_contains_np(np.array([90.0, 70.0]), np.array([-15.0, -45.0]), arrow.edges())
     assert got.tolist() == [False, True]
@@ -57,7 +57,7 @@ def test_pip_matches_matplotlib_oracle():
     rng = np.random.default_rng(11)
     px = rng.uniform(-180, 180, 4000)
     py = rng.uniform(-85, 85, 4000)
-    for poly in test_polygons():
+    for poly in sample_polygons():
         ours = pip_contains_np(px, py, poly.edges())
         path = mpl.Path(np.array(poly.rings[0] + [poly.rings[0][0]]))
         theirs = path.contains_points(np.c_[px, py])
@@ -106,13 +106,13 @@ def test_pip_join_dataframe(spark):
         }
     )
     df = spark.createDataFrame(pts)
-    out = pip_join(df, test_polygons()).toPandas()
+    out = pip_join(df, sample_polygons()).toPandas()
     by_doc = out.groupby("doc_id")["poly_name"].apply(list).to_dict()
     assert by_doc[0] == ["eurasia_box"]  # Berlin
     assert by_doc[1] == ["america_box"]
     assert 2 not in by_doc  # notch of the concave arrow
     assert 3 not in by_doc  # southern ocean
-    left = pip_join(df, test_polygons(), how="left").toPandas()
+    left = pip_join(df, sample_polygons(), how="left").toPandas()
     assert len(left) == 4
     assert left.loc[left["doc_id"] == 2, "feature_id"].isna().all()
 
@@ -122,5 +122,5 @@ def test_pip_join_multi_polygon_membership(spark):
     import pandas as pd
 
     df = spark.createDataFrame(pd.DataFrame({"doc_id": [0], "lon": [6.0], "lat": [0.0]}))
-    out = pip_join(df, test_polygons()).toPandas()
+    out = pip_join(df, sample_polygons()).toPandas()
     assert sorted(out["poly_name"]) == ["africa_tri", "sliver"]

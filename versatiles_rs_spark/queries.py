@@ -393,10 +393,10 @@ FROM pts CROSS JOIN zs GROUP BY 1, 2, 3
 # ---------------------------------------------------------------------------
 
 def q_pip_join_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from versatiles_rs_spark.spatial import pip_join, test_polygons
+    from versatiles_rs_spark.spatial import pip_join, sample_polygons
 
     pts = _docs_geo(spark, sf_dir).select("doc_id", "lon", "lat")
-    return pip_join(pts, test_polygons()).select("doc_id", "feature_id", "poly_name")
+    return pip_join(pts, sample_polygons()).select("doc_id", "feature_id", "poly_name")
 
 
 def _pip_oracle_sql() -> str:
@@ -440,10 +440,10 @@ def q_pip_join_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cell-cover two-stage spatial join (the 100 TB path) — must produce
     exactly the broadcast join's rows, so it shares that oracle."""
     from versatiles_rs_spark.spatial.cells import pip_join_cells
-    from versatiles_rs_spark.spatial import test_polygons
+    from versatiles_rs_spark.spatial import sample_polygons
 
     pts = _docs_geo(spark, sf_dir).select("doc_id", "lon", "lat")
-    return pip_join_cells(pts, test_polygons(), cell_zoom=6).select(
+    return pip_join_cells(pts, sample_polygons(), cell_zoom=6).select(
         "doc_id", "feature_id", "poly_name"
     )
 
@@ -721,6 +721,36 @@ SELECT 'difference' AS op, x, y FROM (SELECT x, y FROM a EXCEPT SELECT x, y FROM
 """
 
 
+
+# ---------------------------------------------------------------------------
+# 18. linear sort-index ordering key (tile_coord.rs:235-239, §2.8)
+# ---------------------------------------------------------------------------
+
+def q_sort_index_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from versatiles_rs_spark.tile_math.coords import sort_index_col
+
+    z = 6
+    docs = _docs_geo(spark, sf_dir)
+    x, y = lonlat_to_tile_cols(F.col("lon"), F.col("lat"), z)
+    t = docs.select("doc_id", F.lit(z).alias("z"), x.alias("x"), y.alias("y"))
+    return t.select(
+        "doc_id", "x", "y", sort_index_col(F.col("z"), F.col("x"), F.col("y")).alias("sort_key")
+    )
+
+
+O_SORT_INDEX_KEY = f"""
+WITH pts AS (
+  SELECT doc_id, {LON_SQL.format(id="doc_id")} AS lon, {LAT_SQL.format(id="doc_id")} AS lat
+  FROM documents
+), t AS (
+  SELECT doc_id, {_tile_sql("x", "6")} AS x, {_tile_sql("y", "6")} AS y FROM pts
+)
+SELECT doc_id, x, y,
+       CAST(floor((pow(4.0, 6) - 1) / 3) AS BIGINT) + y * 64 + x AS sort_key
+FROM t
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -754,6 +784,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": q_doc_fingerprint,
     "windowed_events": q_windowed_events,
     "coord_set_ops": q_coord_set_ops,
+    "sort_index_key": q_sort_index_key,
 }
 
 ORACLES: dict[str, str] = {
@@ -781,4 +812,5 @@ ORACLES: dict[str, str] = {
     "doc_fingerprint": O_DOC_FINGERPRINT,
     "windowed_events": O_WINDOWED_EVENTS,
     "coord_set_ops": O_COORD_SET_OPS,
+    "sort_index_key": O_SORT_INDEX_KEY,
 }

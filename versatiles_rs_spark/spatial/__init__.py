@@ -4,4 +4,4 @@ from versatiles_rs_spark.spatial.pip import (  # noqa: F401
     pip_contains_np,
     pip_join,
 )
-from versatiles_rs_spark.spatial.polygons import test_polygons  # noqa: F401
+from versatiles_rs_spark.spatial.polygons import sample_polygons  # noqa: F401

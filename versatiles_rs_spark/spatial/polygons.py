@@ -37,7 +37,7 @@ _RAW: list[tuple[int, str, str, list[tuple[float, float]]]] = [
 ]
 
 
-def test_polygons() -> list[Polygon]:
+def sample_polygons() -> list[Polygon]:
     return [Polygon(fid, name, kind, [ring]) for fid, name, kind, ring in _RAW]
 
 
