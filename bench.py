@@ -87,7 +87,7 @@ def job_pip_join(spark, sf_dir, replicate: int = 1, dense: bool = False) -> dict
 
     polys = sample_polygons()
     if dense:
-        # realistic border complexity: 720-vertex rings (country-border edge
+        # realistic border complexity: 2880-vertex rings (country-border edge
         # counts), so the measured work is the vectorized ray cast itself
         import math
 
@@ -95,8 +95,8 @@ def job_pip_join(spark, sf_dir, replicate: int = 1, dense: bool = False) -> dict
 
         for i, (cx, cy, r) in enumerate([(10.0, 20.0, 35.0), (-60.0, -10.0, 30.0), (120.0, 30.0, 25.0)]):
             ring = [
-                (cx + r * math.cos(2 * math.pi * k / 720), cy + r * math.sin(2 * math.pi * k / 720))
-                for k in range(720)
+                (cx + r * math.cos(2 * math.pi * k / 2880), cy + r * math.sin(2 * math.pi * k / 2880))
+                for k in range(2880)
             ]
             polys.append(Polygon(100 + i, f"dense{i}", "circle", [ring]))
     # minimal probe columns: the join's per-row payload should not carry
@@ -154,6 +154,7 @@ def run_bench() -> dict:
     timings: dict[str, float] = {}
     extras: dict[str, dict] = {}
     for name, fn in JOBS.items():
+        fn(spark, SF_DIR)  # untimed warm-up (JIT, Python worker spawn)
         t0 = time.time()
         extras[name] = fn(spark, SF_DIR)
         timings[name] = round(time.time() - t0, 3)
@@ -214,7 +215,7 @@ def run_scaling() -> None:
         pip = None
         for _ in range(iterations):
             t0 = time.time()
-            pip = job_pip_join(spark, SF_DIR, replicate=replicate * 8, dense=True)
+            pip = job_pip_join(spark, SF_DIR, replicate=replicate * 2, dense=True)
             dt_pip = time.time() - t0
             best_pip = dt_pip if best_pip is None else min(best_pip, dt_pip)
         spark.stop()
@@ -260,7 +261,7 @@ number is the one that moves toward the normalized one.
 **Scaling efficiency (8 -> 32 cores): raw {eff:.3f}, hardware-normalized
 {min(1.0, eff / hw_eff):.3f}** (target >= 0.8)
 
-## pip_join (broadcast ray-cast PIP, events x{replicate * 8}, incl. 720-vertex dense polygons)
+## pip_join (broadcast ray-cast PIP, events x{replicate * 2}, incl. 2880-vertex dense polygons)
 
 | parallelism | wall sec |
 |---|---|
