@@ -110,3 +110,50 @@ def overzoom_to(tiles_at_base: DataFrame, base_zoom: int, target_zoom: int,
     for _ in range(base_zoom, target_zoom):
         out = vector_overzoom_step(out, buffer, compression)
     return out
+
+
+def overzoom_lookup(
+    child_coords: DataFrame,
+    tiles: DataFrame,
+    target_zoom: int,
+    max_climb: int = 4,
+) -> DataFrame:
+    """Serve arbitrary child coords from a multi-level tile table with
+    *climbing*: for each requested (x, y) at ``target_zoom``, find the
+    nearest ancestor tile present in ``tiles``, preferring the deepest
+    (vector_overzoom.rs:193-217 climbing behavior).
+
+    Spark shape: one join per climb level against the parent coordinate
+    (cheap — the parent levels shrink 4x per step), coalesced by depth via
+    a rank over the union. Returns (x, y, parent_z, parent_x, parent_y,
+    tile, compression).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    hits = None
+    for climb in range(0, max_climb + 1):
+        pz = target_zoom - 1 - climb
+        if pz < 0:
+            break
+        shift = 1 + climb
+        cand = child_coords.select(
+            "x", "y",
+            F.shiftright(F.col("x"), shift).alias("px"),
+            F.shiftright(F.col("y"), shift).alias("py"),
+            F.lit(pz).alias("pz"),
+            F.lit(climb).alias("climb"),
+        )
+        lvl = tiles.filter(F.col("z") == pz).select(
+            F.col("z").alias("pz"), F.col("x").alias("px"), F.col("y").alias("py"),
+            "tile", "compression",
+        )
+        j = cand.join(lvl, ["pz", "px", "py"])
+        hits = j if hits is None else hits.unionByName(j)
+    w = Window.partitionBy("x", "y").orderBy(F.asc("climb"))
+    return (
+        hits.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("x", "y", F.col("pz").alias("parent_z"), F.col("px").alias("parent_x"),
+                F.col("py").alias("parent_y"), "tile", "compression")
+    )

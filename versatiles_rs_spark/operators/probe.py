@@ -51,6 +51,17 @@ def top_k_per_zoom(tiles: DataFrame, k: int = 10) -> DataFrame:
     return sized.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def sample_windows(tiles: DataFrame, window_size: int = 8, keep_ratio: float = 0.1) -> DataFrame:
+    """Windowed sampling for probe depths (tools/tile_sampling.rs:1-6):
+    keep contiguous ``window_size`` x ``window_size`` squares of tiles so
+    remote range requests coalesce; windows chosen by a stable hash of the
+    window coordinate (deterministic sample)."""
+    wx = F.shiftright(F.col("x"), int(window_size).bit_length() - 1)
+    wy = F.shiftright(F.col("y"), int(window_size).bit_length() - 1)
+    u = (F.abs(F.hash(F.col("z"), wx, wy)) % F.lit(1_000_000)).cast("double") / F.lit(1_000_000.0)
+    return tiles.filter(u < F.lit(keep_ratio))
+
+
 _VALIDATE_SCHEMA = StructType(
     [
         StructField("z", IntegerType()),
