@@ -91,3 +91,40 @@ def test_dem_average_quad():
 def test_jpeg_stub():
     with pytest.raises(NotImplementedError):
         jpeg_decode(b"\xff\xd8")
+
+
+def test_additional_pixel_ops():
+    from versatiles_rs_spark.functions.raster import (
+        average_color,
+        diff,
+        extract,
+        make_opaque,
+        map_color_values,
+        overlay_additive,
+    )
+
+    img = np.zeros((8, 8, 4), np.uint8)
+    img[:4, :4, 0] = 100
+    img[:, :, 3] = 200
+    # extract crop + resize
+    sub = extract(img, 0, 0, 4, 4, dst_size=8)
+    assert sub.shape == (8, 8, 4)
+    assert sub[0, 0, 0] == 100
+    # additive overlay clips at 255
+    bright = np.full((8, 8, 4), 250, np.uint8)
+    out = overlay_additive(bright, bright)
+    assert out[0, 0, 0] == 255
+    # make_opaque
+    assert (make_opaque(img)[:, :, 3] == 255).all()
+    # average color
+    avg = average_color(np.full((2, 2, 3), 10, np.uint8))
+    assert avg == (10.0, 10.0, 10.0)
+    # diff
+    assert diff(img, img) == 0
+    other = img.copy()
+    other[0, 0, 0] += 7
+    assert diff(img, other) == 7
+    # LUT
+    lut = np.arange(256)[::-1]
+    inv = map_color_values(np.full((1, 1, 1), 0, np.uint8), lut)
+    assert inv[0, 0, 0] == 255

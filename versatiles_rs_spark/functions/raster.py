@@ -145,6 +145,53 @@ def flatten_onto(img: np.ndarray, bg: tuple[int, int, int]) -> np.ndarray:
     return np.round(rgb).astype(np.uint8)
 
 
+def overlay_additive(dst: np.ndarray, src: np.ndarray) -> np.ndarray:
+    """Additive blend with alpha weighting, clipped (operation.rs:94)."""
+    sa = src[:, :, 3:4].astype(np.float64) / 255.0
+    rgb = dst[:, :, :3].astype(np.float64) + src[:, :, :3].astype(np.float64) * sa
+    out = dst.copy()
+    out[:, :, :3] = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return out
+
+
+def extract(img: np.ndarray, x: int, y: int, w: int, h: int, dst_size: int | None = None) -> np.ndarray:
+    """Crop a region, optionally nearest-neighbor resize to dst_size square
+    (operation.rs extract — the overscale crop primitive)."""
+    sub = img[y : y + h, x : x + w]
+    if dst_size is None or (sub.shape[0] == dst_size and sub.shape[1] == dst_size):
+        return sub.copy()
+    yi = (np.arange(dst_size) * sub.shape[0] // dst_size).clip(0, sub.shape[0] - 1)
+    xi = (np.arange(dst_size) * sub.shape[1] // dst_size).clip(0, sub.shape[1] - 1)
+    return sub[yi][:, xi]
+
+
+def make_opaque(img: np.ndarray) -> np.ndarray:
+    """Force full alpha (operation.rs make_opaque)."""
+    if img.shape[2] in (2, 4):
+        out = img.copy()
+        out[:, :, -1] = 255
+        return out
+    return img
+
+
+def average_color(img: np.ndarray) -> tuple[float, ...]:
+    """Channel-wise mean (info.rs average_color)."""
+    return tuple(float(v) for v in img.reshape(-1, img.shape[2]).mean(axis=0))
+
+
+def diff(a: np.ndarray, b: np.ndarray) -> int:
+    """Max absolute channel difference (operation.rs diff — the
+    convert_integrity comparison primitive)."""
+    return int(np.abs(a.astype(np.int32) - b.astype(np.int32)).max())
+
+
+def map_color_values(img: np.ndarray, lut: np.ndarray) -> np.ndarray:
+    """Apply a 256-entry lookup table per channel (levels is implemented on
+    top of this in the reference)."""
+    assert lut.shape == (256,)
+    return lut.astype(np.uint8)[img]
+
+
 def is_empty(img: np.ndarray) -> bool:
     """All-transparent (info.rs:54)."""
     return img.shape[2] in (2, 4) and bool((img[:, :, -1] == 0).all())

@@ -751,6 +751,34 @@ FROM t
 """
 
 
+
+# ---------------------------------------------------------------------------
+# 19. salted two-phase aggregation (hot-tile skew valve) — must equal the
+#     plain groupBy, which IS the oracle
+# ---------------------------------------------------------------------------
+
+def q_salted_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from versatiles_rs_spark.operators.skew import salted_tile_stats
+
+    ev = _events_geo(spark, sf_dir)
+    assigned = assign_tiles(
+        ev.select(F.col("event_id").alias("doc_id"), "lon", "lat", "value"), 0, 6
+    )
+    return salted_tile_stats(assigned, n_salts=8, id_col="doc_id", value_col="value")
+
+
+O_SALTED_TILE_STATS = f"""
+WITH pts AS (
+  SELECT event_id, value,
+         {LON_SQL.format(id="event_id")} AS lon, {LAT_SQL.format(id="event_id")} AS lat
+  FROM events
+), zs AS (SELECT z FROM generate_series(0, 6) t(z))
+SELECT CAST(z AS INTEGER) AS z, {_tile_sql("x")} AS x, {_tile_sql("y")} AS y,
+       count(*) AS n, round(sum(value), 6) AS value_sum
+FROM pts CROSS JOIN zs GROUP BY 1, 2, 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -785,6 +813,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "windowed_events": q_windowed_events,
     "coord_set_ops": q_coord_set_ops,
     "sort_index_key": q_sort_index_key,
+    "salted_tile_stats": q_salted_tile_stats,
 }
 
 ORACLES: dict[str, str] = {
@@ -813,4 +842,5 @@ ORACLES: dict[str, str] = {
     "windowed_events": O_WINDOWED_EVENTS,
     "coord_set_ops": O_COORD_SET_OPS,
     "sort_index_key": O_SORT_INDEX_KEY,
+    "salted_tile_stats": O_SALTED_TILE_STATS,
 }
