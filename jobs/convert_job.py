@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Cluster entry point: resumable pages -> tile-pyramid conversion.
+
+Submit (the north-rule deployment shape):
+
+    python scripts/build_pyfiles.py   # -> dist/versatiles_rs_spark.zip
+    spark-submit \\
+        --py-files dist/versatiles_rs_spark.zip \\
+        jobs/convert_job.py \\
+        --input /data/pages_parquet --output /data/tiles_table \\
+        --min-zoom 0 --max-zoom 14 --keep-ratio 0.7
+
+On a cluster, omit ``--master``; spark-submit supplies it. The job is
+resumable: re-submitting after a kill skips every batch already committed
+to the output table's manifest (lineage.py protocol).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="pages parquet (url, warc_ts, html, text, lang) OR documents parquet")
+    ap.add_argument("--output", required=True, help="tile table root")
+    ap.add_argument("--min-zoom", type=int, default=0)
+    ap.add_argument("--max-zoom", type=int, default=14)
+    ap.add_argument("--keep-ratio", type=float, default=1.0)
+    ap.add_argument("--layer", default="pages")
+    ap.add_argument("--compression", default="optimize")
+    ap.add_argument("--block-bits", type=int, default=6)
+    ap.add_argument("--master", default=None, help="local[N] for testing; omit under spark-submit")
+    args = ap.parse_args()
+
+    from versatiles_rs_spark.lineage import convert_resumable, lineage_table
+    from versatiles_rs_spark.operators.convert import convert_pages_to_tiles
+    from versatiles_rs_spark.pages.extract import with_extracted_text
+    from versatiles_rs_spark.session import get_spark
+
+    spark = get_spark(app_name="versatiles-convert", master=args.master)
+    src = spark.read.parquet(args.input)
+    cols = {f.name for f in src.schema.fields}
+    if {"url", "html"} <= cols:
+        pages_geo = with_extracted_text(src)
+        if "doc_id" not in cols:
+            from pyspark.sql import functions as F
+
+            pages_geo = pages_geo.withColumn(
+                "doc_id", F.xxhash64("url")
+            )
+    else:  # documents-shaped input: synthesize deterministic geo
+        from pyspark.sql import functions as F
+
+        from versatiles_rs_spark.pages.generator import lat_expr, lon_expr
+
+        pages_geo = src.withColumn("lon", lon_expr(F.col("doc_id"))).withColumn(
+            "lat", lat_expr(F.col("doc_id"))
+        )
+
+    tiles = convert_pages_to_tiles(
+        pages_geo,
+        min_zoom=args.min_zoom,
+        max_zoom=args.max_zoom,
+        keep_ratio=args.keep_ratio,
+        layer_name=args.layer,
+        compression=args.compression,
+    )
+    records = convert_resumable(tiles, args.output, args.min_zoom, args.max_zoom, args.block_bits)
+    summary = {
+        "batches_run": len(records),
+        "rows": int(sum(r["row_count"] for r in records)),
+        "bytes": int(sum(r["bytes"] for r in records)),
+    }
+    try:
+        lt = lineage_table(spark, args.output)
+        summary["batches_total"] = lt.count()
+    except Exception:
+        pass
+    print(json.dumps(summary))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
