@@ -1,0 +1,97 @@
+"""Parity tests on the reference's OWN testdata fixtures (read-only inputs
+at /root/reference/testdata — data, not code): quakes.csv, cities.csv,
+places.geojsonl, borders.geojson, and the berlin.vpl pipeline semantics."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from versatiles_rs_spark.functions.compression import decompress
+from versatiles_rs_spark.functions.mvt import GEOM_LINESTRING, GEOM_POINT, decode_tile
+from versatiles_rs_spark.operators.from_geo import from_geo
+from versatiles_rs_spark.operators.vector_transforms import vector_update_properties
+from versatiles_rs_spark.sources import from_csv
+from versatiles_rs_spark.spatial.geojson_io import load_polygons_geojson
+from versatiles_rs_spark.spatial.pip import pip_contains_np
+from versatiles_rs_spark.tile_math import lonlat_to_tile_np
+
+TD = "/root/reference/testdata"
+
+pytestmark = pytest.mark.skipif(not os.path.isdir(TD), reason="reference testdata absent")
+
+
+def test_quakes_csv_tile_assignment(spark):
+    """quakes.csv (Berlin/Hamburg/Munich quakes) -> exact slippy tiles."""
+    tiles = from_csv(
+        spark, f"{TD}/quakes.csv", id_col="event_id", min_zoom=10, max_zoom=10,
+        layer_name="quakes", props_cols=["magnitude"],
+    ).cache()
+    coords = {(r["x"], r["y"]) for r in tiles.collect()}
+    # Berlin 13.4050, 52.5200 @ z10 -> (550, 335) (tile_coord.rs doctest city)
+    assert (550, 335) in coords
+    for lon, lat in ((13.4050, 52.5200), (9.9937, 53.5511), (11.5761, 48.1372)):
+        x, y = lonlat_to_tile_np(np.array([lon]), np.array([lat]), 10)
+        assert (x[0], y[0]) in coords
+    assert tiles.agg(F.sum("n_features")).collect()[0][0] == 3
+
+
+def test_places_geojsonl_cascade(spark):
+    """places.geojsonl: point + linestring (+ more) through the from_geo
+    cascade; Berlin point lands in its exact z10 tile."""
+    tiles = from_geo(spark, f"{TD}/places.geojsonl", 0, 10, layer_name="places").cache()
+    z0 = tiles.filter("z = 0").collect()
+    assert len(z0) == 1
+    layers = decode_tile(decompress(bytes(z0[0]["tile"]), z0[0]["compression"]))
+    types = {f.geom_type for f in layers["places"]["features"]}
+    assert GEOM_POINT in types and GEOM_LINESTRING in types
+    berlin = tiles.filter("z = 10 and x = 550 and y = 335")
+    assert berlin.count() == 1
+    blayers = decode_tile(
+        decompress(bytes(berlin.first()["tile"]), berlin.first()["compression"])
+    )
+    names = {f.props.get("name") for f in blayers["places"]["features"]}
+    assert "Berlin" in names
+
+
+def test_borders_geojson_pip_degenerate_edges():
+    """borders.geojson's shared wiggly border (x=5.999 -> 6.001) stresses
+    PIP numerics: every probe point near the border belongs to exactly one
+    of the two admin polygons (half-open rule, no double-count, no gap)."""
+    polys = load_polygons_geojson(f"{TD}/borders.geojson")
+    assert len(polys) >= 2
+    west = next(p for p in polys if p.name == "west")
+    east = next(p for p in polys if p.name == "east")
+    rng = np.random.default_rng(3)
+    px = rng.uniform(5.9, 6.1, 20000)
+    py = rng.uniform(2.05, 2.95, 20000)
+    in_w = pip_contains_np(px, py, west.edges())
+    in_e = pip_contains_np(px, py, east.edges())
+    both = (in_w & in_e).sum()
+    neither = (~in_w & ~in_e).sum()
+    assert both == 0, f"{both} points counted in both polygons"
+    assert neither == 0, f"{neither} points in the gap"
+
+
+def test_berlin_vpl_semantics_update_properties(spark):
+    """berlin.vpl: vector_update_properties joining cities.csv on the
+    feature's `name` property (data_source_path/id_field semantics)."""
+    tiles = from_geo(spark, f"{TD}/places.geojsonl", 0, 2, layer_name="place_labels")
+    cities = spark.read.option("header", "true").option("inferSchema", "true").csv(
+        f"{TD}/cities.csv"
+    )
+    out = vector_update_properties(
+        tiles, cities, id_prop="name", dim_id_col="city_name"
+    )
+    z0 = out.filter("z = 0").first()
+    layers = decode_tile(decompress(bytes(z0["tile"]), z0["compression"]))
+    feats = layers["place_labels"]["features"]
+    by_name = {f.props.get("name"): f.props for f in feats}
+    assert by_name["Berlin"]["city_population"] == 3755251
+    assert by_name["Berlin"]["city_id"] == 1
+    # non-city features (the rail line) keep their props, gain nothing
+    rail = [p for n, p in by_name.items() if p.get("kind") == "rail"]
+    assert rail and "city_population" not in rail[0]
