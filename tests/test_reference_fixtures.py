@@ -95,3 +95,26 @@ def test_berlin_vpl_semantics_update_properties(spark):
     # non-city features (the rail line) keep their props, gain nothing
     rail = [p for n, p in by_name.items() if p.get("kind") == "rail"]
     assert rail and "city_population" not in rail[0]
+
+
+def test_admin_shapefile(spark):
+    """admin.shp/.dbf through the dependency-free shapefile reader and the
+    tiling cascade."""
+    from versatiles_rs_spark.sources.shapefile import (
+        from_shapefile,
+        read_shapefile_features,
+        read_shapefile_records,
+    )
+
+    recs = read_shapefile_records(f"{TD}/admin.shp")
+    assert len(recs) >= 1
+    feats = read_shapefile_features(spark, f"{TD}/admin.shp")
+    rows = feats.collect()
+    assert all(r["geom_type"] in ("Point", "LineString", "Polygon") for r in rows)
+    # attributes joined from .dbf
+    assert any(r["props"] for r in rows)
+    tiles = from_shapefile(spark, f"{TD}/admin.shp", 0, 4, layer_name="admin")
+    assert tiles.count() > 0
+    from versatiles_rs_spark.operators.probe import validate_tiles
+
+    assert validate_tiles(tiles).filter("n_issues > 0").count() == 0
