@@ -200,32 +200,45 @@ def run_scaling() -> None:
     hw_eff = (hw[8] / hw[32]) / 4.0
 
     results = {}
-    for cpus in (8, 32):
-        spark = _session(cpus)
-        job_convert_pyramid(spark, SF_DIR)  # warm-up, untimed (JIT, workers)
-        job_pip_join(spark, SF_DIR)
-        best = None
-        out = None
-        for _ in range(iterations):
-            t0 = time.time()
-            out = job_convert_pyramid(spark, SF_DIR, replicate=replicate)
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        best_pip = None
-        pip = None
-        for _ in range(iterations):
-            t0 = time.time()
-            pip = job_pip_join(spark, SF_DIR, replicate=replicate * 2, dense=True)
-            dt_pip = time.time() - t0
-            best_pip = dt_pip if best_pip is None else min(best_pip, dt_pip)
-        spark.stop()
-        results[cpus] = {
-            "convert_sec": best,
-            "tiles_per_sec": out["tiles"] / best,
-            "pip_sec": best_pip,
-            "tiles": out["tiles"],
-            "pip_rows": pip["matched_rows"],
-        }
+    # interleave passes over both parallelism levels: shared-tenancy noise
+    # on this box drifts on minute timescales, so alternating measurements
+    # cancels it; keep the best per level across passes.
+    for _pass in range(2):
+        for cpus in (8, 32):
+            spark = _session(cpus)
+            job_convert_pyramid(spark, SF_DIR)  # warm-up, untimed (JIT, workers)
+            job_pip_join(spark, SF_DIR)
+            best = None
+            out = None
+            for _ in range(iterations):
+                t0 = time.time()
+                out = job_convert_pyramid(spark, SF_DIR, replicate=replicate)
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            best_pip = None
+            pip = None
+            for _ in range(iterations):
+                t0 = time.time()
+                pip = job_pip_join(spark, SF_DIR, replicate=replicate * 2, dense=True)
+                dt_pip = time.time() - t0
+                best_pip = dt_pip if best_pip is None else min(best_pip, dt_pip)
+            spark.stop()
+            rec = {
+                "convert_sec": best,
+                "tiles_per_sec": out["tiles"] / best,
+                "pip_sec": best_pip,
+                "tiles": out["tiles"],
+                "pip_rows": pip["matched_rows"],
+            }
+            prev = results.get(cpus)
+            if prev is None or rec["convert_sec"] < prev["convert_sec"]:
+                rec2 = dict(rec)
+                if prev is not None:
+                    rec2["pip_sec"] = min(rec["pip_sec"], prev["pip_sec"])
+                results[cpus] = rec2
+            elif rec["pip_sec"] < prev["pip_sec"]:
+                prev["pip_sec"] = rec["pip_sec"]
+
     eff = (results[32]["tiles_per_sec"] / results[8]["tiles_per_sec"]) / 4.0
     eff_pip = (results[8]["pip_sec"] / results[32]["pip_sec"]) / 4.0
     os.makedirs("BENCH", exist_ok=True)
