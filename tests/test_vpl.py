@@ -84,3 +84,28 @@ def test_execute_overview_pipeline(spark, tmp_path):
     )
     stats = {r["z"]: r["n"] for r in df.groupBy("z").agg(F.sum("n_features").alias("n")).collect()}
     assert stats == {0: 2, 1: 2, 2: 2, 3: 2}
+
+
+def test_vpl_shapefile_and_raster_mask(spark):
+    import os
+
+    td = "/root/reference/testdata"
+    if not os.path.isdir(td):
+        pytest.skip("reference testdata absent")
+    df = build_pipeline(spark, f'from_shapefile filename="{td}/admin.shp" level_max=3 layer=admin')
+    assert df.count() > 0
+    # raster_mask over a color pyramid, masked to the borders fixture
+    masked = build_pipeline(
+        spark,
+        f'from_color color=[40,40,40,255] level_min=5 level_max=5 | '
+        f'raster_mask filename="{td}/borders.geojson" feature=west',
+    )
+    n_all = 4**5
+    n_masked = masked.count()
+    assert 0 < n_masked < n_all  # outside tiles dropped
+    with pytest.raises(VplError, match="no usable polygon"):
+        build_pipeline(
+            spark,
+            f'from_color color=[0,0,0,255] level_max=1 | '
+            f'raster_mask filename="{td}/borders.geojson" feature=nonexistent',
+        )

@@ -286,6 +286,40 @@ def _op_from_geo(spark: SparkSession, node: VplNode) -> DataFrame:
     )
 
 
+@register_read("from_shapefile")
+def _op_from_shapefile(spark: SparkSession, node: VplNode) -> DataFrame:
+    from versatiles_rs_spark.sources.shapefile import from_shapefile
+
+    return from_shapefile(
+        spark,
+        str(_req(node, "filename")),
+        min_zoom=int(node.props.get("level_min", 0)),
+        max_zoom=int(node.props.get("level_max", 8)),
+        layer_name=str(node.props.get("layer", "features")),
+    )
+
+
+@register_transform("raster_mask")
+def _op_raster_mask(df: DataFrame, node: VplNode) -> DataFrame:
+    from versatiles_rs_spark.operators.raster_ops import raster_mask
+    from versatiles_rs_spark.spatial.geojson_io import load_polygons_geojson
+
+    polys = load_polygons_geojson(str(_req(node, "filename")))
+    want = node.props.get("feature")
+    if want is not None:
+        polys = [p for p in polys if p.name == str(want)]
+    if not polys:
+        raise VplError(f"raster_mask: no usable polygon (feature={want!r}) in mask file")
+    if len(polys) > 1:
+        # multi-polygon mask: union of rings under the even-odd rule only
+        # works for disjoint shapes; merge rings into one Polygon feature
+        from versatiles_rs_spark.spatial.pip import Polygon
+
+        rings = [ring for p in polys for ring in p.rings]
+        polys = [Polygon(polys[0].feature_id, "mask_union", "mask", rings)]
+    return raster_mask(df, polys[0], smooth=int(node.props.get("smooth", 0)))
+
+
 @register_transform("vector_repair")
 def _op_vector_repair(df: DataFrame, node: VplNode) -> DataFrame:
     from versatiles_rs_spark.operators.vector_transforms import vector_repair
