@@ -156,3 +156,25 @@ def test_from_geo_deterministic(spark, geojson_path):
     a = from_geo(spark, geojson_path, 0, 3).select("z", "x", "y", "tile")
     b = from_geo(spark, geojson_path, 0, 3).select("z", "x", "y", "tile")
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_polygon_winding_matches_reference(spark, tmp_path):
+    """MVT 2.1 §4.3.3.3 / reference normalize_polygon_winding
+    (vector_tile/feature.rs:65): decoded exterior rings have POSITIVE
+    shoelace area in y-down tile coords; holes NEGATIVE."""
+    p = tmp_path / "donut.geojsonl"
+    feat = {"type": "Feature", "id": 1, "properties": {},
+            "geometry": {"type": "Polygon", "coordinates": [
+                [[-40.0, -40.0], [40.0, -40.0], [40.0, 40.0], [-40.0, 40.0], [-40.0, -40.0]],
+                [[-10.0, -10.0], [10.0, -10.0], [10.0, 10.0], [-10.0, 10.0], [-10.0, -10.0]],
+            ]}}
+    p.write_text(json.dumps(feat))
+    tiles = from_geo(spark, str(p), 0, 0, layer_name="t").collect()
+    assert len(tiles) == 1
+    layers = decode_tile(decompress(bytes(tiles[0]["tile"]), tiles[0]["compression"]))
+    polys = [f for f in layers["t"]["features"] if f.geom_type == GEOM_POLYGON]
+    assert len(polys) == 1
+    rings = polys[0].rings
+    assert len(rings) == 2
+    assert ring_area2(rings[0]) > 0, "exterior ring must have positive area2"
+    assert ring_area2(rings[1]) < 0, "hole ring must have negative area2"

@@ -99,3 +99,27 @@ def test_dem_quantize_snaps(spark):
     out = dem_quantize(df, elevation_error=2.0).collect()
     back = dem_decode(png_decode(bytes(out[0]["tile"])), "terrarium")
     assert np.allclose(back % 2.0, 0.0, atol=1 / 256)
+
+
+def test_raster_mask_overlapping_polygons_or_semantics(spark):
+    """Overlapping mask features: a pixel inside BOTH polygons stays
+    unmasked (per-polygon containment OR-ed, mask_geometry.rs:185-219) —
+    the even-odd rule over concatenated rings would wrongly toggle the
+    overlap to 'outside'."""
+    img = np.full((8, 8, 4), 200, np.uint8)
+    df = _tiles_df(spark, [(3, x, y, "png", "none", png_encode(img), 0)
+                           for x in range(8) for y in range(8)])
+    # two big overlapping boxes; their overlap covers lon 0..60, lat -40..40
+    p1 = Polygon(1, "a", "box", [[(-60.0, -40.0), (60.0, -40.0), (60.0, 40.0), (-60.0, 40.0)]])
+    p2 = Polygon(2, "b", "box", [[(0.0, -40.0), (120.0, -40.0), (120.0, 40.0), (0.0, 40.0)]])
+    out = raster_mask(df, [p1, p2]).toPandas()
+    blob = {(r["x"], r["y"]): bytes(r["tile"]) for _, r in out.iterrows()}
+    # tile (4,3) at z3 spans lon 0..45, lat 0..~40.98 — (almost) entirely in
+    # the overlap region; its interior pixels must keep full source alpha
+    tile = png_decode(blob[(4, 3)])
+    h, w = tile.shape[:2]
+    assert (tile[h // 2 :, : w // 2, 3] == 200).all(), (
+        "overlap region was masked out — even-odd over concatenated rings"
+    )
+    # sanity: a tile far outside both polygons is dropped
+    assert (7, 0) not in blob

@@ -178,6 +178,20 @@ def test_column_form_matches_numpy(spark):
         .collect()[0]["s"]
     )
     assert si == (4**10 - 1) // 3 + 335 * 2**10 + 550
+    # high zoom: 4^z - 1 > 2^53 — Column form must stay exact-integer
+    # (tile_coord.rs:235, MAX_ZOOM_LEVEL=30)
+    for z, x, y in ((27, 12345678, 98765432), (30, 2**30 - 1, 2**30 - 1)):
+        si_hi = (
+            df.select(
+                sort_index_col(
+                    F.lit(z), F.lit(x).cast("bigint"), F.lit(y).cast("bigint")
+                ).alias("s")
+            )
+            .limit(1)
+            .collect()[0]["s"]
+        )
+        want = sort_index_np(np.array([z]), np.array([x]), np.array([y]))[0]
+        assert si_hi == int(want) == (4**z - 1) // 3 + y * 2**z + x
 
 
 def test_at_level_and_flip_and_ground_size(spark):

@@ -219,11 +219,14 @@ def render_geo_tiles(cands: DataFrame, layer_name: str = "features",
                         q = quantize_ring(clipped, TILE_EXTENT, is_ring=True)
                         if not q:
                             continue
-                        # spec winding: outer CW in screen coords (y down),
-                        # holes CCW -> outer has negative area2 in y-down
+                        # MVT 2.1 §4.3.3.3 winding in tile coords (y down):
+                        # exterior rings have POSITIVE shoelace area (visually
+                        # clockwise), interior rings (holes) NEGATIVE — matches
+                        # the reference normalize_polygon_winding
+                        # (vector_tile/feature.rs:65).
                         a2 = ring_area2(q)
                         want_outer = k == 0
-                        if (a2 > 0) == want_outer:
+                        if (a2 > 0) != want_outer:
                             q = q[::-1]
                         q = q + [q[0]]
                         out_rings.append(q)

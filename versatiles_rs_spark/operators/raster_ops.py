@@ -101,20 +101,31 @@ def raster_format(tiles: DataFrame, compression_by_zoom: dict[int, str] | None =
     return tiles.mapInPandas(run, schema=TILE_SCHEMA)
 
 
-def raster_mask(tiles: DataFrame, poly: Polygon, smooth: int = 0) -> DataFrame:
-    """Mask raster tiles to a polygon: FullyOutside tiles drop, FullyInside
-    pass through untouched (the lazy-decode no-op path), Partial tiles get a
-    per-pixel PIP alpha grid. ``smooth`` > 0 box-blurs the alpha edge
-    (approximation of the signed-distance blur, blur_function.rs)."""
-    edges = poly.edges()
+def raster_mask(
+    tiles: DataFrame, poly: Polygon | list[Polygon], smooth: int = 0
+) -> DataFrame:
+    """Mask raster tiles to one or more polygons: FullyOutside tiles drop,
+    FullyInside tiles pass through untouched (the lazy-decode no-op path),
+    Partial tiles get a per-pixel PIP alpha grid. ``smooth`` > 0 box-blurs
+    the alpha edge (approximation of the signed-distance blur,
+    blur_function.rs).
+
+    Multi-polygon semantics match the reference (mask_geometry.rs:185-219):
+    a pixel is kept if it is inside ANY polygon (per-polygon even-odd ring
+    test, results OR-ed) — NOT the even-odd rule over the concatenated ring
+    set, which would wrongly unmask regions where two polygons overlap."""
+    polys = [poly] if isinstance(poly, Polygon) else list(poly)
+    edge_sets = [p.edges() for p in polys]
 
     def fn(img, z, x, y):
-        cls = classify_tiles(z, np.array([x]), np.array([y]), poly)[0]
-        if cls == FULLY_OUTSIDE:
+        classes = [
+            classify_tiles(z, np.array([x]), np.array([y]), p)[0] for p in polys
+        ]
+        if all(c == FULLY_OUTSIDE for c in classes):
             return None
         if img.shape[2] == 3:
             img = np.concatenate([img, np.full(img.shape[:2] + (1,), 255, np.uint8)], axis=2)
-        if cls == FULLY_INSIDE:
+        if any(c == FULLY_INSIDE for c in classes):
             return img
         h, w = img.shape[:2]
         west, south, east, north = (
@@ -123,7 +134,12 @@ def raster_mask(tiles: DataFrame, poly: Polygon, smooth: int = 0) -> DataFrame:
         lons = west + (np.arange(w) + 0.5) / w * (east - west)
         lats = north - (np.arange(h) + 0.5) / h * (north - south)
         gx, gy = np.meshgrid(lons, lats)
-        inside = pip_contains_np(gx.ravel(), gy.ravel(), edges).reshape(h, w)
+        inside = np.zeros(h * w, dtype=bool)
+        for cls, edges in zip(classes, edge_sets):
+            if cls == FULLY_OUTSIDE:
+                continue
+            inside |= pip_contains_np(gx.ravel(), gy.ravel(), edges)
+        inside = inside.reshape(h, w)
         alpha = inside.astype(np.float64)
         for _ in range(smooth):
             padded = np.pad(alpha, 1, mode="edge")

@@ -310,14 +310,9 @@ def _op_raster_mask(df: DataFrame, node: VplNode) -> DataFrame:
         polys = [p for p in polys if p.name == str(want)]
     if not polys:
         raise VplError(f"raster_mask: no usable polygon (feature={want!r}) in mask file")
-    if len(polys) > 1:
-        # multi-polygon mask: union of rings under the even-odd rule only
-        # works for disjoint shapes; merge rings into one Polygon feature
-        from versatiles_rs_spark.spatial.pip import Polygon
-
-        rings = [ring for p in polys for ring in p.rings]
-        polys = [Polygon(polys[0].feature_id, "mask_union", "mask", rings)]
-    return raster_mask(df, polys[0], smooth=int(node.props.get("smooth", 0)))
+    # multi-polygon mask: per-polygon containment OR-ed inside raster_mask
+    # (mask_geometry.rs:185-219) — overlapping features stay masked-in.
+    return raster_mask(df, polys, smooth=int(node.props.get("smooth", 0)))
 
 
 @register_transform("vector_repair")

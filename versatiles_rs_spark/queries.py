@@ -109,7 +109,7 @@ per_tile AS (
   SELECT CAST(z AS INTEGER) AS z, {_tile_sql("x")} AS x, {_tile_sql("y")} AS y, count(*) AS n
   FROM pts CROSS JOIN zs GROUP BY 1, 2, 3
 )
-SELECT z, count(*) AS tile_count, sum(n) AS point_count, max(n) AS max_per_tile
+SELECT z, count(*) AS tile_count, CAST(sum(n) AS BIGINT) AS point_count, max(n) AS max_per_tile
 FROM per_tile GROUP BY z
 """
 
@@ -129,7 +129,7 @@ def q_drop_rate_thin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 O_DROP_RATE_THIN = """
 WITH zs AS (SELECT z FROM generate_series(0, 8) t(z))
-SELECT CAST(z AS INTEGER) AS z, count(*) AS kept, sum(doc_id) AS id_sum
+SELECT CAST(z AS INTEGER) AS z, count(*) AS kept, CAST(sum(doc_id) AS BIGINT) AS id_sum
 FROM documents CROSS JOIN zs
 WHERE ((doc_id * 2654435761) % 4294967296) / 4294967296.0 < pow(0.5, CAST(8 - z AS DOUBLE))
 GROUP BY 1
@@ -218,7 +218,7 @@ def q_update_properties_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 O_UPDATE_PROPERTIES_JOIN = """
-SELECT n.n_name, count(*) AS n_docs, sum(d.n_chars) AS chars_sum
+SELECT n.n_name, count(*) AS n_docs, CAST(sum(d.n_chars) AS BIGINT) AS chars_sum
 FROM documents d JOIN nation n ON CAST(d.doc_id % 25 AS INTEGER) = n.n_nationkey
 GROUP BY n.n_name
 """
@@ -263,26 +263,32 @@ SELECT doc_id, CAST({_TOKEN_COUNT_EXPR} AS BIGINT) AS n_tokens,
 FROM documents
 """
 
-_QUALITY_EXPR = (
-    "round(("
-    "  (length(text) - length(replace(text, 'the', ''))) / 3.0"
-    ") / (length(text) + 1), 6)"
+# Integer micro-quantization instead of round(x, 6): DuckDB rounds decimal
+# ties half-even while Spark rounds half-up, so decimal `round` hash-mismatches.
+# floor(x*1e6 + 0.5) as BIGINT is tie-unambiguous and identical on both engines
+# (scores here are always >= 0).
+_QUALITY_RAW = (
+    "(((length(text) - length(replace(text, 'the', ''))) / 3.0)"
+    " / (length(text) + 1))"
 )
+_QUALITY_EXPR = f"CAST(floor({_QUALITY_RAW} * 1000000 + 0.5) AS BIGINT)"
+_MEAN_TOKEN_RAW = f"(length(text) / greatest({_TOKEN_COUNT_EXPR}, 1))"
+_MEAN_TOKEN_EXPR = f"CAST(floor({_MEAN_TOKEN_RAW} * 1000000 + 0.5) AS BIGINT)"
 
 
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality scoring: stopword-density + mean-token-length signals."""
+    """Quality scoring: stopword-density + mean-token-length signals (micro-units)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return docs.select(
         "doc_id",
-        F.expr(_QUALITY_EXPR).alias("stopword_density"),
-        F.expr(f"round(length(text) / greatest({_TOKEN_COUNT_EXPR}, 1), 6)").alias("mean_token_len"),
+        F.expr(_QUALITY_EXPR).alias("stopword_density_u"),
+        F.expr(_MEAN_TOKEN_EXPR).alias("mean_token_len_u"),
     )
 
 
 O_QUALITY_SCORE = f"""
-SELECT doc_id, {_QUALITY_EXPR} AS stopword_density,
-       round(length(text) / greatest({_TOKEN_COUNT_EXPR}, 1), 6) AS mean_token_len
+SELECT doc_id, {_QUALITY_EXPR} AS stopword_density_u,
+       {_MEAN_TOKEN_EXPR} AS mean_token_len_u
 FROM documents
 """
 

@@ -42,7 +42,8 @@ def _read_dbf(path: str) -> list[dict]:
     for _ in range(n_records):
         rec = buf[pos : pos + record_size]
         pos += record_size
-        if rec[:1] == b"*":  # deleted
+        if rec[:1] == b"*":  # deleted — keep a placeholder so positional
+            out.append(None)  # recno -> attrs alignment is preserved
             continue
         row = {}
         roff = 1
@@ -55,6 +56,33 @@ def _read_dbf(path: str) -> list[dict]:
                 row[name] = raw
         out.append(row)
     return out
+
+
+def _ring_area_yup(ring: list[list[float]]) -> float:
+    """Signed shoelace area in geographic (y-up) coords: CCW positive."""
+    s = 0.0
+    n = len(ring)
+    for i in range(n):
+        x0, y0 = ring[i][0], ring[i][1]
+        x1, y1 = ring[(i + 1) % n][0], ring[(i + 1) % n][1]
+        s += x0 * y1 - x1 * y0
+    return 0.5 * s
+
+
+def _split_polygon_parts(rings: list[list[list[float]]]) -> list[list[list[list[float]]]]:
+    """Group shapefile polygon parts into polygons: each CW (outer) ring
+    starts a new polygon; subsequent CCW rings are its holes. A leading CCW
+    ring (degenerate writer) still starts a polygon so nothing is dropped."""
+    polys: list[list[list[list[float]]]] = []
+    for ring in rings:
+        if len(ring) < 3:
+            continue
+        is_outer = _ring_area_yup(ring) < 0  # CW in y-up = outer per spec
+        if is_outer or not polys:
+            polys.append([ring])
+        else:
+            polys[-1].append(ring)
+    return polys
 
 
 def read_shapefile_records(shp_path: str) -> list[tuple[int, str, list[list[list[float]]]]]:
@@ -86,12 +114,17 @@ def read_shapefile_records(shp_path: str) -> list[tuple[int, str, list[list[list
             ]
             bounds = parts + [num_points]
             rings = [pts[bounds[i] : bounds[i + 1]] for i in range(num_parts)]
-            gt = "Polygon" if shape_type == SHAPE_POLYGON else "LineString"
-            if gt == "LineString":
+            if shape_type == SHAPE_POLYLINE:
                 for ring in rings:
-                    out.append((recno, gt, [ring]))
+                    out.append((recno, "LineString", [ring]))
             else:
-                out.append((recno, gt, rings))
+                # A Polygon record's parts may hold several exterior rings
+                # (multipolygon). Shapefile spec: outer rings are CW
+                # (negative shoelace area in y-up coords), holes CCW.
+                # Split parts into one Polygon row per outer ring, each
+                # grouped with its subsequent hole rings.
+                for poly in _split_polygon_parts(rings):
+                    out.append((recno, "Polygon", poly))
         else:
             raise ValueError(f"unsupported shape type {shape_type}")
     return out
@@ -112,7 +145,8 @@ def read_shapefile_features(spark: SparkSession, shp_path: str) -> DataFrame:
         attrs = []
     rows = []
     for recno, gt, coords in recs:
-        props = {k: str(v) for k, v in (attrs[recno - 1] if recno - 1 < len(attrs) else {}).items()}
+        rec_attrs = attrs[recno - 1] if recno - 1 < len(attrs) else None
+        props = {k: str(v) for k, v in (rec_attrs or {}).items()}
         rows.append((recno, gt, coords, props))
     pdf = pd.DataFrame(rows, columns=["feature_id", "geom_type", "coords", "props"])
     return spark.createDataFrame(pdf, schema=FEATURE_ROW_SCHEMA)

@@ -133,10 +133,15 @@ def lonlat_to_tile_cols(lon: Column, lat: Column, z: Column | int) -> tuple[Colu
 
 
 def sort_index_col(z: Column, x: Column, y: Column) -> Column:
-    """Column form of ``sort_index`` — global ordering key for tile writes."""
-    size = F.pow(F.lit(2.0), z.cast("double")).cast("bigint")  # exact for z <= 30
-    offset = (size * size - F.lit(1)) / F.lit(3)
-    return (offset.cast("bigint") + size * y.cast("bigint") + x.cast("bigint")).alias("sort_index")
+    """Column form of ``sort_index`` — global ordering key for tile writes.
+
+    Integer ``div`` keeps the zoom offset (4^z - 1)/3 exact for all
+    z <= MAX_ZOOM_LEVEL (tile_coord.rs:235); float division would lose up
+    to ~64 ULPs once 4^z - 1 exceeds 2^53 (z >= 27).
+    """
+    size = F.call_function("shiftleft", F.lit(1).cast("bigint"), z.cast("int"))  # exact 2^z
+    offset = F.call_function("div", size * size - F.lit(1).cast("bigint"), F.lit(3).cast("bigint"))
+    return (offset + size * y.cast("bigint") + x.cast("bigint")).alias("sort_index")
 
 
 def tile_bounds_cols(z: Column | int, x: Column, y: Column) -> tuple[Column, Column, Column, Column]:
