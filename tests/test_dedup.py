@@ -123,3 +123,48 @@ def test_ann_lsh_recall_vs_bruteforce(spark, emb_df, sf_dir):
         a = set(approx[approx["qid"] == qid]["vid"])
         recall += len(e & a) / 3
     assert recall / 5 >= 0.3
+
+
+def test_simhash_block_layout_pigeonhole():
+    """n_blocks defaults to max_hamming+1; layout covers all 64 bits with
+    non-overlapping blocks, so any pair at Hamming <= n_blocks-1 shares at
+    least one identical block (complete candidates at the full radius)."""
+    from versatiles_rs_spark.dedup.simhash import _block_layout
+
+    for n_blocks in (4, 7, 9):
+        layout = _block_layout(n_blocks)
+        assert len(layout) == n_blocks
+        assert sum(w for _, w in layout) == 64
+        off = 0
+        for o, w in layout:
+            assert o == off and w > 0
+            off += w
+
+
+def test_simhash_complete_at_max_hamming(spark, sf_dir):
+    """All pairs at Hamming == max_hamming are found (the old 4-block table
+    silently lost recall above Hamming 3; n_blocks=max_hamming+1 restores
+    the pigeonhole guarantee). Brute-force python signatures are the truth."""
+    import itertools
+
+    import numpy as np
+
+    from versatiles_rs_spark.dedup import simhash_dedup_pairs
+    from versatiles_rs_spark.dedup.simhash import simhash64
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pdf = docs.select("doc_id", "text").toPandas().sort_values("doc_id")
+    sigs = np.array([simhash64(t, 3) for t in pdf.text], dtype=np.int64).view(np.uint64)
+    ids = pdf.doc_id.values
+    max_h = 6
+    want = set()
+    for i, j in itertools.combinations(range(len(pdf)), 2):
+        h = bin(int(sigs[i] ^ sigs[j])).count("1")
+        if h <= max_h:
+            want.add((min(ids[i], ids[j]), max(ids[i], ids[j]), h))
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_dedup_pairs(docs, max_hamming=max_h, shingle_n=3).collect()
+    }
+    assert got == want
+    assert any(h == max_h for _, _, h in want), "fixture must exercise the boundary"

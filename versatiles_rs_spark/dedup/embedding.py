@@ -99,6 +99,7 @@ def ann_lsh_topk(
     k: int = 3,
     n_planes: int = 6,
     n_tables: int = 8,
+    probe_hamming: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -123,8 +124,10 @@ def ann_lsh_topk(
         qrows = buckets.filter(F.col("vec_id").isin(query_ids)).collect()
         probe_rows = []
         for r in qrows:
-            b = r["bucket"]
-            for pb in {b} | {b ^ (1 << i) for i in range(n_planes)}:
+            probes = {r["bucket"]}
+            for _ in range(probe_hamming):  # expand to Hamming <= probe_hamming
+                probes |= {b ^ (1 << i) for b in probes for i in range(n_planes)}
+            for pb in probes:
                 probe_rows.append((r["vec_id"], pb))
         probes_df = spark.createDataFrame(pd.DataFrame(probe_rows, columns=["qid", "bucket"]))
         hits = buckets.join(F.broadcast(probes_df), "bucket").select(

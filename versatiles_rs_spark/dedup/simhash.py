@@ -66,24 +66,50 @@ _PAIR_SCHEMA = StructType(
 )
 
 
+def _block_layout(n_blocks: int) -> list[tuple[int, int]]:
+    """Split 64 bits into ``n_blocks`` nearly-equal (offset, width) blocks."""
+    w, r = divmod(64, n_blocks)
+    layout = []
+    off = 0
+    for i in range(n_blocks):
+        width = w + (1 if i < r else 0)
+        layout.append((off, width))
+        off += width
+    return layout
+
+
 def simhash_dedup_pairs(
     docs: DataFrame,
     max_hamming: int = 3,
     shingle_n: int = 1,
     max_bucket: int = 64,
+    n_blocks: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Candidate pairs sharing any 16-bit block, verified by exact Hamming
-    distance <= max_hamming (complete for max_hamming <= 3 by pigeonhole)."""
+    """Candidate pairs sharing any signature block, verified by exact Hamming
+    distance <= max_hamming.
+
+    Pigeonhole completeness: with B blocks, any pair at Hamming <= B-1 shares
+    at least one identical block, so ``n_blocks`` defaults to
+    ``max_hamming + 1`` — candidates are COMPLETE for the requested radius
+    (previously a fixed 4-block table silently lost recall above Hamming 3).
+    More blocks mean narrower block keys, hence bigger buckets at web scale —
+    the ``max_bucket`` cap is the documented skew valve for that tradeoff."""
+    if n_blocks is None:
+        n_blocks = max(4, max_hamming + 1)
+    layout = _block_layout(n_blocks)
+    offsets = ", ".join(str(o) for o, _ in layout)
+    masks = ", ".join(str((1 << w) - 1) for _, w in layout)
     sigs = simhash_signatures(docs, shingle_n, id_col, text_col)
     blocks = sigs.select(
         "doc_id",
         "simhash",
         F.explode(
             F.expr(
-                "transform(sequence(0, 3), b -> "
-                "struct(b as blk, shiftrightunsigned(simhash, b * 16) & 65535 as bval))"
+                f"transform(sequence(0, {n_blocks - 1}), b -> struct(b as blk, "
+                f"shiftrightunsigned(simhash, element_at(array({offsets}), b + 1)) "
+                f"& element_at(array({masks}), b + 1) as bval))"
             )
         ).alias("bk"),
     ).select("doc_id", "simhash", F.col("bk.blk").alias("blk"), F.col("bk.bval").alias("bval"))

@@ -586,33 +586,185 @@ FROM dpts WHERE lang = 'en' GROUP BY 1, 2, 3
 #     embedding near-dup / fingerprint
 # ---------------------------------------------------------------------------
 
+# Shared DuckDB fragments: word-3-gram shingle sets exactly matching
+# dedup.ngram.shingle_set (python text.split() tokenization; whole-text
+# gram when fewer than 3 tokens).
+_SQL_GRAMS_CTE = """
+toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS tk
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+    CASE WHEN len(tk) = 0 THEN []
+         WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+         ELSE list_transform(range(1, len(tk) - 1),
+                             i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+    END AS gs
+  FROM toks
+)"""
+
+
 def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check (LSH banding is not SQL-expressible)."""
+    """MinHash-LSH near-dup pairs, projected to the exact-verified output:
+    (id_a, id_b, micro-quantized 3-gram Jaccard). The LSH banding itself is
+    not SQL-expressible, but its VERIFIED OUTPUT is — the oracle brute-forces
+    all pairs at threshold 0.5, so equality attests both recall (every true
+    pair found) and precision (no extra pairs) end to end."""
     from versatiles_rs_spark.dedup import minhash_dedup_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return minhash_dedup_pairs(docs, threshold=0.5)
+    pairs = minhash_dedup_pairs(docs, threshold=0.5)
+    return pairs.select(
+        "id_a", "id_b",
+        F.floor(F.col("jaccard") * 1e6 + F.lit(0.5)).cast("bigint").alias("jaccard_u"),
+    )
+
+
+O_MINHASH_NEARDUP = f"""
+WITH {_SQL_GRAMS_CTE},
+sets AS (SELECT doc_id, list_distinct(gs) AS s FROM grams),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
+  FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(floor(j * 1000000 + 0.5) AS BIGINT) AS jaccard_u
+FROM pairs WHERE j >= 0.5
+"""
+
+
+def _sql_simhash_sigs() -> str:
+    """DuckDB CTE computing the EXACT 64-bit SimHash of dedup.simhash
+    (FNV-1a over utf-8 -> splitmix64 -> per-bit votes, 3-gram shingles)
+    with HUGEINT modular arithmetic — a true cross-engine signature oracle."""
+    m64 = "18446744073709551616::HUGEINT"
+
+    def mulmod(a: str, c: int) -> str:
+        hi, lo = c >> 32, c & 0xFFFFFFFF
+        return (
+            f"((({a}) * {lo}::HUGEINT + (((({a}) * {hi}::HUGEINT) % 4294967296::HUGEINT)"
+            f" * 4294967296::HUGEINT)) % {m64})"
+        )
+
+    def xor64(a: str, b: str) -> str:
+        return f"CAST(xor(CAST(({a}) AS UBIGINT), CAST(({b}) AS UBIGINT)) AS HUGEINT)"
+
+    def shr(a: str, n: int) -> str:
+        return f"CAST((CAST(({a}) AS UBIGINT) >> {n}) AS HUGEINT)"
+
+    # splitmix64 (reduce_points.rs:139 mixer, same constants as dedup.minhash)
+    s = f"(((x) + {0x9E3779B97F4A7C15}::HUGEINT) % {m64})"
+    s = mulmod(xor64(s, shr(s, 30)), 0xBF58476D1CE4E5B9)
+    s = mulmod(xor64(s, shr(s, 27)), 0x94D049BB133111EB)
+    splitmix = xor64(s, shr(s, 31))
+    fnv = (
+        f"list_reduce(list_prepend({0xCBF29CE484222325}::HUGEINT, "
+        "list_transform(range(1, length(g) + 1), i -> ord(substr(g, i, 1))::HUGEINT)), "
+        f"(h, c) -> {mulmod(xor64('h', 'c'), 0x100000001B3)})"
+    )
+    gram_hash = splitmix.replace("(x)", f"({fnv})")
+    return f"""
+hashes AS (
+  SELECT doc_id,
+    CASE WHEN len(gs) = 0 THEN [0::HUGEINT]
+         ELSE list_distinct(list_transform(gs, g -> {gram_hash}))
+    END AS hs
+  FROM grams
+), sigs AS (
+  SELECT doc_id,
+    CAST(list_sum(list_transform(range(0, 64), b ->
+      CASE WHEN 2 * list_sum(list_transform(hs,
+               h -> CAST((CAST(h AS UBIGINT) >> b) & 1 AS HUGEINT))) > len(hs)
+           THEN (1::HUGEINT << b) ELSE 0::HUGEINT END
+    )) AS UBIGINT) AS sig
+  FROM hashes
+)"""
+
+
+_SIMHASH_MAX_HAMMING = 6
 
 
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at Hamming <= 6 with COMPLETE candidates
+    (7 signature blocks -> pigeonhole guarantees recall for the full radius;
+    the old 4-block table only guaranteed Hamming <= 3). The oracle
+    recomputes the signatures in pure SQL and brute-forces all pairs."""
     from versatiles_rs_spark.dedup import simhash_dedup_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return simhash_dedup_pairs(docs, max_hamming=6)
+    return simhash_dedup_pairs(docs, max_hamming=_SIMHASH_MAX_HAMMING, shingle_n=3)
+
+
+O_SIMHASH_NEARDUP = f"""
+WITH {_SQL_GRAMS_CTE},{_sql_simhash_sigs()}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= {_SIMHASH_MAX_HAMMING}
+"""
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH embedding near-dup over the embeddings table augmented with
+    deterministic clones (vec_id + 100000 for vec_id % 50 == 0). The natural
+    table has no near-dup pairs (max cosine ~0.51 at sf0.01), so the clones
+    provide structurally-guaranteed positives: identical vectors share every
+    LSH bucket, making recall 1.0 by construction, while min_dot=950e9 (cos
+    ~0.95 for unit vectors) excludes every non-clone pair — the oracle
+    brute-forces the same augmented table."""
     from versatiles_rs_spark.dedup.embedding import embedding_neardup_pairs
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return embedding_neardup_pairs(emb, min_dot=250_000_000_000)
+    clones = emb.filter("vec_id % 50 = 0").select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    aug = emb.select("vec_id", "embedding").unionByName(clones)
+    return embedding_neardup_pairs(aug, min_dot=950_000_000_000)
+
+
+O_EMBEDDING_NEARDUP = """
+WITH aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 50 = 0
+), q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+  FROM aug
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         CAST(list_aggregate(list_transform(list_zip(a.qv, b.qv), p -> p[1] * p[2]), 'sum') AS BIGINT) AS dot
+  FROM q a JOIN q b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, dot FROM pairs WHERE dot >= 950000000000
+"""
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table sign-LSH approximate top-k. Table/probe counts are sized
+    so the candidate set provably contains the exact top-3 at oracle scale
+    (verified against the brute-force oracle); at 100 TB the same knobs trade
+    recall for scan fraction."""
     from versatiles_rs_spark.dedup.embedding import ann_lsh_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return ann_lsh_topk(emb, [0, 1, 2, 3, 4], k=3)
+    return ann_lsh_topk(emb, [0, 1, 2, 3, 4], k=3, n_tables=8, probe_hamming=2)
+
+
+O_ANN_LSH_TOPK = """
+WITH scored AS (
+  SELECT a.vec_id AS qid, b.vec_id AS vid,
+    CAST(list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+      p -> CAST(round(CAST(p[1] AS DOUBLE)*1000000) AS BIGINT) * CAST(round(CAST(p[2] AS DOUBLE)*1000000) AS BIGINT)), 'sum') AS BIGINT) AS dot
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+  WHERE a.vec_id < 5
+), ranked AS (
+  SELECT qid, vid, dot, row_number() OVER (PARTITION BY qid ORDER BY dot DESC, vid ASC) AS rank
+  FROM scored
+)
+SELECT qid, vid, dot, CAST(rank AS INTEGER) AS rank FROM ranked WHERE rank <= 3
+"""
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -843,6 +995,10 @@ ORACLES: dict[str, str] = {
     "stacked_coalesce": O_STACKED_COALESCE,
     "merged_vector_counts": O_MERGED_VECTOR_COUNTS,
     "filter_features_en": O_FILTER_FEATURES_EN,
+    "minhash_neardup": O_MINHASH_NEARDUP,
+    "simhash_neardup": O_SIMHASH_NEARDUP,
+    "embedding_neardup": O_EMBEDDING_NEARDUP,
+    "ann_lsh_topk": O_ANN_LSH_TOPK,
     "ngram_jaccard": O_NGRAM_JACCARD,
     "doc_fingerprint": O_DOC_FINGERPRINT,
     "windowed_events": O_WINDOWED_EVENTS,
