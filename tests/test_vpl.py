@@ -109,3 +109,62 @@ def test_vpl_shapefile_and_raster_mask(spark):
             f'from_color color=[0,0,0,255] level_max=1 | '
             f'raster_mask filename="{td}/borders.geojson" feature=nonexistent',
         )
+
+
+def test_vpl_berlin_equivalent_pipeline(spark, tmp_path):
+    """berlin.vpl analog (reference testdata/berlin.vpl): container read |
+    vector_update_properties from cities.csv | CEL feature filter |
+    zoom filter | meta_update — end-to-end through build_pipeline, using a
+    real .mbtiles container built from the reference's places fixture."""
+    from versatiles_rs_spark.functions.compression import decompress
+    from versatiles_rs_spark.functions.mvt import decode_tile
+    from versatiles_rs_spark.operators.from_geo import from_geo
+    from versatiles_rs_spark.plans.vpl import build_pipeline
+    from versatiles_rs_spark.sources.mbtiles import write_mbtiles
+
+    tiles = from_geo(
+        spark, "/root/reference/testdata/places.geojsonl", 0, 6, layer_name="place_labels"
+    )
+    mb = str(tmp_path / "places.mbtiles")
+    write_mbtiles(tiles, mb)
+    meta: dict = {}
+    vpl = f"""
+    from_mbtiles filename="{mb}" |
+    vector_update_properties
+       data_source_path="/root/reference/testdata/cities.csv"
+       layer_name="place_labels"
+       id_field_tiles="name"
+       id_field_data="city_name" |
+    vector_filter_features layer=["place_labels"] expr="has(props.city_population) || kind != 'capital'" |
+    filter level_max=5 |
+    meta_update name="berlin-equiv" attribution="test"
+    """
+    out = build_pipeline(spark, vpl, meta=meta)
+    rows = out.collect()
+    assert rows and all(r["z"] <= 5 for r in rows)
+    assert meta == {"name": "berlin-equiv", "attribution": "test"}
+    # Berlin (in cities.csv) gained city_population; its row survives the CEL
+    found_berlin = False
+    for r in rows:
+        layers = decode_tile(decompress(bytes(r["tile"]), r["compression"]))
+        for f in layers.get("place_labels", {"features": []})["features"]:
+            if f.props.get("name") == "Berlin":
+                found_berlin = True
+                assert int(f.props["city_population"]) == 3755251
+            assert not (f.props.get("kind") == "capital"
+                        and "city_population" not in f.props)
+    assert found_berlin
+
+
+def test_vpl_new_registry_ops_validate_at_build(spark):
+    """Newly registered ops fail fast on bad args / malformed CEL."""
+    import pytest
+
+    from versatiles_rs_spark.plans.vpl import VplError, build_pipeline
+
+    with pytest.raises(VplError, match="CEL"):
+        build_pipeline(spark, 'from_debug | vector_filter_features expr="population >="')
+    with pytest.raises(VplError, match="missing required argument"):
+        build_pipeline(spark, "from_debug | vector_update_properties id_field_tiles=\"x\"")
+    with pytest.raises(VplError, match="missing required argument"):
+        build_pipeline(spark, "from_mbtiles")

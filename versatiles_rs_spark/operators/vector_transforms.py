@@ -126,17 +126,24 @@ def vector_update_properties(
     dim_id_col: str,
     replace: bool = False,
     remove_non_matching: bool = False,
-    include_id: bool = True,
+    include_id: bool = False,
+    layer_name: str | None = None,
 ) -> DataFrame:
     """Broadcast hash join features x dim rows by id property
     (vector_update_properties.rs:63-121): the dim DataFrame is collected to
     a dict (the reference's HashMap build :75-94) and merged into each
-    matching feature's props; inner vs left via ``remove_non_matching``."""
+    matching feature's props; inner vs left via ``remove_non_matching``.
+    ``include_id`` keeps the DATA SOURCE's id column in the merged props
+    (vector_update_properties.rs:89-91 — tile-side props are never removed).
+    ``layer_name`` scopes the update to one layer; other layers pass
+    through unchanged (vector_update_properties.rs Args.layer_name)."""
     rows = dim.collect()
     lookup: dict[object, dict] = {}
     for r in rows:
         d = r.asDict()
-        key = d.pop(dim_id_col)
+        key = d[dim_id_col]
+        if not include_id:
+            d.pop(dim_id_col)
         lookup[str(key)] = d
     bc = tiles.sparkSession.sparkContext.broadcast(lookup)
 
@@ -144,6 +151,9 @@ def vector_update_properties(
         table = bc.value
         out = {}
         for name, feats in lyrs.items():
+            if layer_name is not None and name != layer_name:
+                out[name] = feats
+                continue
             nf = []
             for f in feats:
                 key = f.props.get(id_prop)
@@ -153,10 +163,6 @@ def vector_update_properties(
                         nf.append(f)
                     continue
                 props = dict(hit) if replace else {**f.props, **hit}
-                if include_id:
-                    props[id_prop] = key
-                elif id_prop in props:
-                    del props[id_prop]
                 nf.append(MvtFeature(f.geom_type, f.rings, props, f.fid))
             out[name] = nf
         return out

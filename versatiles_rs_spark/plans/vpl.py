@@ -363,10 +363,151 @@ def _op_overzoom(df: DataFrame, node: VplNode) -> DataFrame:
     )
 
 
-def build_pipeline(spark: SparkSession, nodes: list[VplNode] | str) -> DataFrame:
+@register_read("from_tile")
+def _op_from_tile(spark: SparkSession, node: VplNode) -> DataFrame:
+    import base64
+
+    from versatiles_rs_spark.sources import from_tile
+
+    if "filename" in node.props:
+        with open(str(node.props["filename"]), "rb") as f:
+            blob = f.read()
+    else:
+        blob = base64.b64decode(str(_req(node, "blob_base64")))
+    return from_tile(
+        spark,
+        blob,
+        str(node.props.get("format", "png")),
+        int(node.props.get("level_min", 0)),
+        int(node.props.get("level_max", 4)),
+    )
+
+
+@register_read("from_stacked_raster")
+def _op_from_stacked_raster(spark: SparkSession, node: VplNode) -> DataFrame:
+    from versatiles_rs_spark.operators.stacked import from_stacked_raster
+
+    if not node.children:
+        raise VplError("from_stacked_raster: needs a [source, source, ...] list")
+    return from_stacked_raster([build_pipeline(spark, c) for c in node.children])
+
+
+@register_read("from_mbtiles")
+def _op_from_mbtiles(spark: SparkSession, node: VplNode) -> DataFrame:
+    from versatiles_rs_spark.sources.mbtiles import read_mbtiles
+
+    return read_mbtiles(spark, str(_req(node, "filename")))
+
+
+@register_transform("vector_filter_features")
+def _op_vector_filter_features(df: DataFrame, node: VplNode) -> DataFrame:
+    """CEL predicate over feature properties; layers outside ``layer`` pass
+    through untouched (vector_filter_features.rs:25-53). The expression
+    compiles HERE, so malformed CEL fails at plan-build time."""
+    from versatiles_rs_spark.functions.cel import CelParseError, compile_cel
+    from versatiles_rs_spark.operators.vector_transforms import vector_filter_features
+
+    expr = str(_req(node, "expr"))
+    layers = node.props.get("layer")
+    layer_set = {str(x) for x in layers} if layers else None
+    try:
+        pred = compile_cel(expr)
+    except CelParseError as e:
+        raise VplError(f"vector_filter_features: failed to compile CEL expression: {e}") from e
+
+    def predicate(layer_name: str, props: dict) -> bool:
+        if layer_set is not None and layer_name not in layer_set:
+            return True  # out-of-scope layers untouched
+        return pred(props)
+
+    return vector_filter_features(df, predicate)
+
+
+@register_transform("vector_update_properties")
+def _op_vector_update_properties(df: DataFrame, node: VplNode) -> DataFrame:
+    from versatiles_rs_spark.operators.vector_transforms import vector_update_properties
+
+    spark = df.sparkSession
+    path = str(_req(node, "data_source_path"))
+    sep = str(node.props.get("field_separator", "\t" if path.endswith(".tsv") else ","))
+    dim = spark.read.csv(path, header=True, inferSchema=True, sep=sep)
+    return vector_update_properties(
+        df,
+        dim,
+        id_prop=str(_req(node, "id_field_tiles")),
+        dim_id_col=str(_req(node, "id_field_data")),
+        replace=bool(node.props.get("replace_properties", False)),
+        remove_non_matching=bool(node.props.get("remove_non_matching", False)),
+        include_id=bool(node.props.get("include_id", False)),
+        layer_name=(str(node.props["layer_name"]) if "layer_name" in node.props else None),
+    )
+
+
+@register_transform("raster_format")
+def _op_raster_format(df: DataFrame, node: VplNode) -> DataFrame:
+    from versatiles_rs_spark.operators.raster_ops import raster_format
+
+    by_zoom = node.props.get("compression_by_zoom")
+    schedule = (
+        {int(k): str(v) for k, v in by_zoom.items()} if isinstance(by_zoom, dict) else None
+    )
+    return raster_format(df, schedule, default=str(node.props.get("compression", "none")))
+
+
+@register_transform("raster_overscale")
+def _op_raster_overscale(df: DataFrame, node: VplNode) -> DataFrame:
+    from versatiles_rs_spark.operators.raster_ops import raster_overscale
+
+    return raster_overscale(df, levels_up=int(node.props.get("levels", 1)))
+
+
+@register_transform("raster_tile_resize")
+def _op_raster_tile_resize(df: DataFrame, node: VplNode) -> DataFrame:
+    from versatiles_rs_spark.operators.raster_ops import raster_tile_split
+
+    return raster_tile_split(df, size=int(node.props.get("tile_size", 256)))
+
+
+@register_transform("dem_overview")
+def _op_dem_overview(df: DataFrame, node: VplNode) -> DataFrame:
+    from versatiles_rs_spark.operators.overview import build_overviews
+
+    return build_overviews(
+        df, int(_req(node, "level_base")), int(node.props.get("level_min", 0)), kind="dem"
+    )
+
+
+@register_transform("dem_quantize")
+def _op_dem_quantize(df: DataFrame, node: VplNode) -> DataFrame:
+    from versatiles_rs_spark.operators.raster_ops import dem_quantize
+
+    return dem_quantize(
+        df,
+        elevation_error=float(node.props.get("elevation_error", 1.0)),
+        schema=str(node.props.get("encoding", "terrarium")),
+    )
+
+
+# Build-time TileJSON side channel for meta_update: build_pipeline pushes the
+# caller's metadata dict while constructing (driver-side, single-threaded);
+# meta_update merges its props into it (meta_update.rs TileJSON merge).
+_META_STACK: list[dict] = []
+
+
+@register_transform("meta_update")
+def _op_meta_update(df: DataFrame, node: VplNode) -> DataFrame:
+    if _META_STACK:
+        _META_STACK[-1].update(node.props)
+    return df
+
+
+def build_pipeline(
+    spark: SparkSession, nodes: list[VplNode] | str, meta: dict | None = None
+) -> DataFrame:
     """Plan a parsed pipeline: first node must be a read op, the rest
     transforms (factory.rs:81-123 contract). All validation happens here,
-    before any job runs."""
+    before any job runs. Pass ``meta`` (a dict) to receive TileJSON updates
+    from any ``meta_update`` nodes in this pipeline."""
     if isinstance(nodes, str):
         nodes = parse_vpl(nodes)
     if not nodes:
@@ -376,11 +517,17 @@ def build_pipeline(spark: SparkSession, nodes: list[VplNode] | str) -> DataFrame
         if head.name in TRANSFORM_OPS:
             raise VplError(f"pipeline must start with a read op, got transform {head.name!r}")
         raise VplError(f"unknown read op {head.name!r} (have: {sorted(READ_OPS)})")
-    df = READ_OPS[head.name](spark, head)
-    for node in rest:
-        if node.name not in TRANSFORM_OPS:
-            if node.name in READ_OPS:
-                raise VplError(f"read op {node.name!r} cannot appear mid-pipeline")
-            raise VplError(f"unknown transform op {node.name!r} (have: {sorted(TRANSFORM_OPS)})")
-        df = TRANSFORM_OPS[node.name](df, node)
+    _META_STACK.append(meta if meta is not None else {})
+    try:
+        df = READ_OPS[head.name](spark, head)
+        for node in rest:
+            if node.name not in TRANSFORM_OPS:
+                if node.name in READ_OPS:
+                    raise VplError(f"read op {node.name!r} cannot appear mid-pipeline")
+                raise VplError(
+                    f"unknown transform op {node.name!r} (have: {sorted(TRANSFORM_OPS)})"
+                )
+            df = TRANSFORM_OPS[node.name](df, node)
+    finally:
+        _META_STACK.pop()
     return df

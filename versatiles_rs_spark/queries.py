@@ -394,6 +394,37 @@ FROM pts CROSS JOIN zs GROUP BY 1, 2, 3
 """
 
 
+def q_container_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Render a z0-4 pyramid, export it to a real .mbtiles file (stdlib
+    sqlite3, XYZ->TMS flip per mbtiles/writer.rs), re-ingest it with the
+    distributed rowid-sliced reader, and emit the surviving coordinates.
+    The oracle recomputes the expected non-empty tile set from the raw
+    documents — coordinate identity proves the TMS flip + schema round-trip.
+    (Byte-identity of the blobs is asserted in tests/test_mbtiles.py.)"""
+    import hashlib
+    import tempfile
+
+    from versatiles_rs_spark.sources.mbtiles import read_mbtiles, write_mbtiles
+
+    geo = _docs_geo(spark, sf_dir)
+    tiles = convert_pages_to_tiles(geo, 0, 4, keep_ratio=1.0)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = f"{tempfile.gettempdir()}/vt_roundtrip_{tag}.mbtiles"
+    write_mbtiles(tiles, path)
+    back = read_mbtiles(spark, path)
+    return back.select("z", "x", "y")
+
+
+O_CONTAINER_ROUNDTRIP = f"""
+WITH pts AS (
+  SELECT doc_id, {LON_SQL.format(id="doc_id")} AS lon, {LAT_SQL.format(id="doc_id")} AS lat
+  FROM documents
+), zs AS (SELECT z FROM generate_series(0, 4) t(z))
+SELECT DISTINCT CAST(z AS INTEGER) AS z, {_tile_sql("x")} AS x, {_tile_sql("y")} AS y
+FROM pts CROSS JOIN zs
+"""
+
+
 # ---------------------------------------------------------------------------
 # 11. spatial join: broadcast ray-cast point-in-polygon (raster_mask core)
 # ---------------------------------------------------------------------------
@@ -956,6 +987,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "ann_topk": q_ann_topk,
     "tile_render_summary": q_tile_render_summary,
+    "container_roundtrip": q_container_roundtrip,
     "pip_join_docs": q_pip_join_docs,
     "knn": q_knn,
     "pip_join_cells": q_pip_join_cells,
@@ -989,6 +1021,7 @@ ORACLES: dict[str, str] = {
     "dedup_exact": O_DEDUP_EXACT,
     "ann_topk": O_ANN_TOPK,
     "tile_render_summary": O_TILE_RENDER_SUMMARY,
+    "container_roundtrip": O_CONTAINER_ROUNDTRIP,
     "pip_join_docs": O_PIP_JOIN_DOCS,
     "knn": O_KNN,
     "pip_join_cells": O_PIP_JOIN_DOCS,
