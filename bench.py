@@ -100,9 +100,11 @@ def job_pip_join(spark, sf_dir, replicate: int = 1, dense: bool = False) -> dict
             ]
             polys.append(Polygon(100 + i, f"dense{i}", "circle", [ring]))
     # minimal probe columns: the join's per-row payload should not carry
-    # strings it does not need (Arrow transfer is part of the measured path)
+    # strings it does not need (Arrow transfer is part of the measured path);
+    # payload_cols drops lon/lat from the RETURN stream too — the probe
+    # consumes them internally
     pts = _events_points(spark, sf_dir, replicate).select("doc_id", "lon", "lat")
-    joined = pip_join(pts, polys)
+    joined = pip_join(pts, polys, payload_cols=["doc_id"])
     out = joined.groupBy("feature_id").agg(F.count("*").alias("n")).collect()
     return {"matched_rows": int(sum(r["n"] for r in out)), "polygons_hit": len(out)}
 

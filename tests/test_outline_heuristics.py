@@ -117,3 +117,50 @@ def test_filter_features_cel_end_to_end(spark, sf_dir):
     assert en.count() == want
     with pytest.raises(Exception):
         filter_features_cel(feats, "props[[[").count()
+
+
+def test_distributed_outline_matches_local_cancellation(spark):
+    """The groupBy edge-cancellation path emits byte-identical GeoJSON to the
+    all-local _boundary_rings dissolve on the same tile set (incl. a hole)."""
+    import json
+
+    import pandas as pd
+
+    from versatiles_rs_spark.operators.outline import (
+        _boundary_rings,
+        _chain_rings,
+        _surviving_edges,
+        tile_outline_geojson,
+    )
+
+    # 5x5 block with a hole at (2,2), plus a detached 2x1 island
+    coords = {(x, y) for x in range(5) for y in range(5)} - {(2, 2)}
+    coords |= {(8, 1), (9, 1)}
+    pdf = pd.DataFrame(
+        [(4, x, y, "mvt", "none", b"", 0) for x, y in sorted(coords)],
+        columns=["z", "x", "y", "format", "compression", "tile", "n_features"],
+    )
+    df = spark.createDataFrame(pdf)
+    survivors = _surviving_edges(df, 4)
+    assert sorted(_chain_rings(survivors)) == sorted(_boundary_rings(coords))
+    gj = json.loads(tile_outline_geojson(df, 4))
+    assert gj["type"] == "MultiPolygon"
+    assert len(gj["coordinates"]) == 3  # shell, hole ring, island
+
+
+def test_measure_tile_sizes_bounded(spark):
+    import pandas as pd
+
+    from versatiles_rs_spark.functions.raster import png_decode
+    from versatiles_rs_spark.operators.outline import measure_tile_sizes
+
+    pdf = pd.DataFrame(
+        [(6, x, y, "png", "none", bytes(100 * (x + 1)), 0) for x in range(8) for y in range(8)],
+        columns=["z", "x", "y", "format", "compression", "tile", "n_features"],
+    )
+    df = spark.createDataFrame(pdf)
+    # max_side smaller than 2^z -> downsampled grid, never a 64x64 image
+    blob = measure_tile_sizes(df, 6, max_side=16)
+    img = png_decode(blob)
+    assert img.shape[0] == 16 and img.shape[1] == 16
+    assert img.max() > 0

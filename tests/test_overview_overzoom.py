@@ -132,3 +132,21 @@ def test_overzoom_two_levels_valid(spark, base_tiles):
             for ring in f.rings:
                 for gx, gy in ring:
                     assert 0 <= gx <= 4096 and 0 <= gy <= 4096
+
+
+def test_build_overviews_checkpoint_dir_identical(spark, tmp_path):
+    """The disk-spill path (checkpoint_dir) produces byte-identical levels
+    to the in-memory persist path — only the storage strategy differs."""
+    from versatiles_rs_spark.operators.convert import convert_pages_to_tiles
+    from versatiles_rs_spark.operators.overview import build_overviews
+    from versatiles_rs_spark.queries import _docs_geo
+
+    base_z = 4
+    base = convert_pages_to_tiles(
+        _docs_geo(spark, "/root/testdata/sf0.001"), base_z, base_z, keep_ratio=1.0
+    )
+    mem = build_overviews(base, base_z, 0, kind="vector")
+    disk = build_overviews(base, base_z, 0, kind="vector", checkpoint_dir=str(tmp_path))
+    a = {(r["z"], r["x"], r["y"]): bytes(r["tile"]) for r in mem.collect()}
+    b = {(r["z"], r["x"], r["y"]): bytes(r["tile"]) for r in disk.collect()}
+    assert a == b

@@ -342,10 +342,95 @@ def decode_tile(blob: bytes) -> dict[str, dict]:
 # validation (validator.rs:120 analog)
 # ---------------------------------------------------------------------------
 
+# validator parity with versatiles_geometry/src/vector_tile/validator.rs
+WINDING_EPSILON = 1e-14  # feature.rs:55
+
+
+def _ring_area2_signed(ring: list[tuple[float, float]]) -> float:
+    """2x signed ring area, trapezoid form (feature.rs:38) — algebraically
+    identical to the shoelace used elsewhere; positive = CCW."""
+    n = len(ring)
+    if n < 3:
+        return 0.0
+    s = 0.0
+    px, py = ring[-1]
+    for x, y in ring:
+        s += (px - x) * (y + py)
+        px, py = x, y
+    return s
+
+
+def _parse_geom_strict(cmds: list[int]) -> list[list[tuple[int, int]]]:
+    """Strict command-stream parse (validator.rs MalformedCommandStream
+    contract): unknown command ids, zero-count MoveTo/LineTo, ClosePath with
+    count != 1, and truncated parameter pairs all raise ValueError."""
+    rings: list[list[tuple[int, int]]] = []
+    cur: list[tuple[int, int]] = []
+    cx = cy = 0
+    i = 0
+    while i < len(cmds):
+        cmd = cmds[i] & 0x7
+        count = cmds[i] >> 3
+        i += 1
+        if cmd == CMD_MOVE_TO or cmd == CMD_LINE_TO:
+            if count == 0:
+                raise ValueError(f"command {cmd} with count 0")
+            if i + 2 * count > len(cmds):
+                raise ValueError("truncated parameter stream")
+            for _ in range(count):
+                cx += unzigzag(cmds[i])
+                cy += unzigzag(cmds[i + 1])
+                i += 2
+                if cmd == CMD_MOVE_TO:
+                    if cur:
+                        rings.append(cur)
+                    cur = [(cx, cy)]
+                else:
+                    if not cur:
+                        raise ValueError("LineTo before any MoveTo")
+                    cur.append((cx, cy))
+        elif cmd == CMD_CLOSE_PATH:
+            if count != 1:
+                raise ValueError(f"ClosePath with count {count}")
+            if not cur:
+                raise ValueError("ClosePath before any MoveTo")
+            cur.append(cur[0])
+        else:
+            raise ValueError(f"unknown command id {cmd}")
+    if cur:
+        rings.append(cur)
+    return rings
+
+
+def _degeneracy_reason(ring: list[tuple[int, int]], is_line: bool = False) -> str | None:
+    """validator.rs degeneracy_reason / degeneracy_reason_for_linestring."""
+    if is_line:
+        if len(ring) < 2:
+            return "TooFewVertices"
+        if len({(round(x), round(y)) for x, y in ring}) < 2:
+            return "SubPixel"
+        return None
+    n = len(ring) - 1 if len(ring) >= 2 and ring[0] == ring[-1] else len(ring)
+    if n < 3:
+        return "TooFewVertices"
+    pts = ring[:n]
+    if len({(round(x), round(y)) for x, y in pts}) < 3:
+        return "SubPixel"
+    if abs(_ring_area2_signed(pts)) < WINDING_EPSILON:
+        return "Collinear"
+    return None
+
+
 def validate_tile(blob: bytes) -> list[str]:
-    """Return a list of spec issues (empty == valid). Mirrors the checks of
-    versatiles_geometry/src/vector_tile/validator.rs:62-118: missing
-    extent/version, duplicate layer names, empty layer name, bad geometry."""
+    """Return a list of spec issues (empty == valid). Check-for-check parity
+    with versatiles_geometry/src/vector_tile/validator.rs:62-118:
+
+    layer-level — MissingExtent, MissingVersion, DuplicateLayerName;
+    feature-level — UnknownGeometryType (type 0 with non-empty geometry),
+    MalformedCommandStream, EmptyGeometryForType, OrphanInnerRing (negative-
+    area ring before any positive), DegenerateRing(TooFewVertices/SubPixel/
+    Collinear). (Unknown, empty) features are the spec's "no geometry" form
+    and stay silent, as in the reference."""
     issues: list[str] = []
     seen: set[str] = set()
     for fno, payload in _iter_fields(blob):
@@ -355,34 +440,69 @@ def validate_tile(blob: bytes) -> list[str]:
         name = None
         version = None
         extent = None
-        n_keys = n_vals = 0
-        max_tag = -1
+        raw_feats: list[bytes] = []
         for lf, lv in _iter_fields(payload):
             if lf == 1:
                 name = lv.decode("utf-8")
-            elif lf == 3:
-                n_keys += 1
-            elif lf == 4:
-                n_vals += 1
+            elif lf == 2:
+                raw_feats.append(lv)
             elif lf == 5:
                 extent = lv
             elif lf == 15:
                 version = lv
-            elif lf == 2:
-                for ff, fv in _iter_fields(lv):
-                    if ff == 2:
-                        j = 0
-                        while j < len(fv):
-                            t, j = _read_varint(fv, j)
-                            max_tag = max(max_tag, t)
+        lname = name or ""
         if not name:
             issues.append("layer with empty name")
         elif name in seen:
-            issues.append(f"duplicate layer name {name!r}")
+            issues.append(f"{lname}: DuplicateLayerName")
         else:
             seen.add(name)
-        if version not in (1, 2):
-            issues.append(f"layer {name!r}: missing/bad version {version!r}")
-        if extent is None or extent <= 0:
-            issues.append(f"layer {name!r}: missing extent")
+        if version is None:
+            issues.append(f"{lname}: MissingVersion")
+        if extent is None:
+            issues.append(f"{lname}: MissingExtent")
+
+        for fi, rf in enumerate(raw_feats):
+            gtype = 0
+            cmds: list[int] = []
+            for ff, fv in _iter_fields(rf):
+                if ff == 3:
+                    gtype = fv
+                elif ff == 4:
+                    j = 0
+                    while j < len(fv):
+                        c, j = _read_varint(fv, j)
+                        cmds.append(c)
+            if gtype == 0:
+                # (Unknown, empty) is the canonical no-geometry form — silent
+                if cmds:
+                    issues.append(f"{lname}[{fi}]: UnknownGeometryType")
+                continue
+            try:
+                rings = _parse_geom_strict(cmds)
+            except ValueError as e:
+                issues.append(f"{lname}[{fi}]: MalformedCommandStream({e})")
+                continue
+            if all(len(r) == 0 for r in rings) or not rings:
+                issues.append(f"{lname}[{fi}]: EmptyGeometryForType({gtype})")
+                continue
+            if gtype == GEOM_POLYGON:
+                saw_outer = False
+                for ring in rings:
+                    reason = _degeneracy_reason(ring)
+                    if reason is not None:
+                        issues.append(f"{lname}[{fi}]: DegenerateRing({reason})")
+                        continue
+                    a2 = _ring_area2_signed(
+                        ring[:-1] if len(ring) >= 2 and ring[0] == ring[-1] else ring
+                    )
+                    if a2 > WINDING_EPSILON:
+                        saw_outer = True
+                    elif a2 < -WINDING_EPSILON and not saw_outer:
+                        issues.append(f"{lname}[{fi}]: OrphanInnerRing")
+            elif gtype == GEOM_LINESTRING:
+                for ring in rings:
+                    reason = _degeneracy_reason(ring, is_line=True)
+                    if reason is not None:
+                        issues.append(f"{lname}[{fi}]: DegenerateRing({reason})")
     return issues

@@ -125,16 +125,33 @@ def build_overviews(
     base_zoom: int,
     min_zoom: int = 0,
     kind: str = "vector",
+    checkpoint_dir: str | None = None,
     **kwargs,
 ) -> DataFrame:
     """Iterate z = base_zoom..min_zoom+1, each level aggregated from the
-    previous; returns the union of all levels incl. the base."""
+    previous; returns the union of all levels incl. the base.
+
+    Memory contract: every level feeds BOTH the next rollup and the output
+    union, so without a sink each level must stay resident. With
+    ``checkpoint_dir`` set (the 100-TB path), each level is written to
+    parquet as soon as it is computed and read back for the union — executor
+    storage holds at most ONE level's shuffle at a time and nothing stays
+    pinned. Without it (small pyramids, tests) levels persist
+    MEMORY_AND_DISK and are unpersisted by Spark's LRU under pressure."""
+    from pyspark import StorageLevel
+
     step = {"vector": vector_overview_step, "raster": raster_overview_step, "dem": dem_overview_step}[kind]
+    spark = base.sparkSession
     levels = [base]
     current = base
-    for _ in range(base_zoom, min_zoom, -1):
+    for i in range(base_zoom, min_zoom, -1):
         current = step(current, **kwargs)
-        current = current.persist()
+        if checkpoint_dir is not None:
+            path = f"{checkpoint_dir}/overview_z{i - 1}"
+            current.write.mode("overwrite").parquet(path)
+            current = spark.read.parquet(path)
+        else:
+            current = current.persist(StorageLevel.MEMORY_AND_DISK)
         levels.append(current)
     out = levels[0]
     for lv in levels[1:]:

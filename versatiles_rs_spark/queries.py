@@ -433,7 +433,7 @@ def q_pip_join_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from versatiles_rs_spark.spatial import pip_join, sample_polygons
 
     pts = _docs_geo(spark, sf_dir).select("doc_id", "lon", "lat")
-    return pip_join(pts, sample_polygons()).select("doc_id", "feature_id", "poly_name")
+    return pip_join(pts, sample_polygons(), payload_cols=["doc_id"])
 
 
 def _pip_oracle_sql() -> str:
@@ -481,7 +481,7 @@ def q_pip_join_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pts = _docs_geo(spark, sf_dir).select("doc_id", "lon", "lat")
     return pip_join_cells(pts, sample_polygons(), cell_zoom=6).select(
-        "doc_id", "feature_id", "poly_name"
+        "doc_id", F.col("feature_id").cast("int").alias("feature_id"), "poly_name"
     )
 
 

@@ -11,10 +11,11 @@ Re-expresses raster_mask's spatial machinery
   iff ``(y1 > py) != (y2 > py)`` and ``px < (x2-x1)*(py-y1)/(y2-y1) + x1``.
 - ``pip_join``        : DataFrame join point-rows x polygon-set. The polygon
   set is broadcast (like the reference's one-time R-tree build,
-  mask_geometry.rs:164); the probe side is a zero-shuffle mapInPandas with a
+  mask_geometry.rs:164); the probe side is a zero-shuffle mapInArrow with a
   per-batch bbox prefilter standing in for the R-tree — candidate pruning is
   O(1) numpy compares per polygon instead of tree descent, which wins for
-  broadcastable polygon counts.
+  broadcastable polygon counts. No pandas frame is materialized on either
+  side of the Arrow boundary, and ``payload_cols`` trims the return stream.
 
 Scale: no shuffle at all — each task streams its point partition against the
 broadcast edge arrays; 10^12 points parallelize embarrassingly. For polygon
@@ -28,7 +29,6 @@ from collections.abc import Iterator
 from dataclasses import dataclass
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
     IntegerType,
@@ -181,17 +181,39 @@ def pip_join(
     lon_col: str = "lon",
     lat_col: str = "lat",
     how: str = "inner",
+    payload_cols: list[str] | None = None,
 ) -> DataFrame:
     """Join point rows to the polygons containing them (even-odd rule).
 
     ``how='inner'`` drops points in no polygon; ``'left'`` keeps them with
     NULL feature_id. A point inside k polygons yields k rows (matching the
     SQL cross-join-filter oracle).
+
+    ``payload_cols`` names the input columns carried through the probe and
+    returned alongside (feature_id, poly_name). Default: every input column.
+    Pass the minimal set (e.g. ``["doc_id"]``) to shrink BOTH Arrow streams —
+    lon/lat are consumed inside the probe and need not ride the return path.
+
+    The probe is a ``mapInArrow`` stage: lon/lat come out of the RecordBatch
+    as zero-copy numpy views, hit rows are gathered with one C++-side
+    ``Table.take`` per batch, and no pandas frame is ever materialized —
+    JVM<->Python transfer is the measured bottleneck at bench scale, so the
+    hot path stays entirely in Arrow.
     """
+    import pyarrow as pa
+
     spark = points.sparkSession
+    if payload_cols is not None:
+        keep = list(dict.fromkeys(list(payload_cols) + [lon_col, lat_col]))
+        points = points.select(*keep)
+        out_names = list(payload_cols)
+    else:
+        out_names = [f.name for f in points.schema.fields]
     # scale hygiene: a zero-shuffle map pipeline inherits the source's
     # partitioning; a single fat parquet file would serialize the whole probe
-    # onto one task. Spread to at least the cluster's parallelism.
+    # onto one task. Spread (on the already-projected slim columns) to at
+    # least the cluster's parallelism. On a many-partition production table
+    # this guard never fires and the plan stays exchange-free.
     target = spark.sparkContext.defaultParallelism
     if points.rdd.getNumPartitions() < target:
         points = points.repartition(target)
@@ -201,34 +223,53 @@ def pip_join(
     ]
     bc = spark.sparkContext.broadcast(payload)
 
-    out_schema = StructType(list(points.schema.fields) + _PIP_EXTRA)
-    in_cols = [f.name for f in points.schema.fields]
+    base_fields = [f for f in points.schema.fields if f.name in out_names]
+    out_schema = StructType(base_fields + _PIP_EXTRA)
 
-    def probe(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def probe(it: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
         polys = bc.value
-        for pdf in it:
-            px = pdf[lon_col].values.astype(np.float64)
-            py = pdf[lat_col].values.astype(np.float64)
-            hits: list[pd.DataFrame] = []
-            matched = np.zeros(len(pdf), dtype=bool)
+        for batch in it:
+            tbl = pa.Table.from_batches([batch])
+            lon_i = batch.schema.get_field_index(lon_col)
+            lat_i = batch.schema.get_field_index(lat_col)
+            px = batch.column(lon_i).to_numpy(zero_copy_only=False).astype(np.float64)
+            py = batch.column(lat_i).to_numpy(zero_copy_only=False).astype(np.float64)
+            n = len(px)
+            idx_parts: list[np.ndarray] = []
+            fid_parts: list[np.ndarray] = []
+            name_parts: list[np.ndarray] = []
+            matched = np.zeros(n, dtype=bool)
             for fid, name, edges, (bx0, by0, bx1, by1) in polys:
                 cand = (px >= bx0) & (px <= bx1) & (py >= by0) & (py <= by1)
                 if not cand.any():
                     continue
-                inside = np.zeros(len(pdf), dtype=bool)
+                inside = np.zeros(n, dtype=bool)
                 inside[cand] = pip_contains_np(px[cand], py[cand], edges)
-                if inside.any():
-                    sub = pdf.loc[inside, in_cols].copy()
-                    sub["feature_id"] = np.int32(fid)
-                    sub["poly_name"] = name
-                    hits.append(sub)
+                hit_idx = np.nonzero(inside)[0]
+                if len(hit_idx):
+                    idx_parts.append(hit_idx)
+                    fid_parts.append(np.full(len(hit_idx), fid, dtype=np.int32))
+                    name_parts.append(np.full(len(hit_idx), name, dtype=object))
                     matched |= inside
             if how == "left":
-                misses = pdf.loc[~matched, in_cols].copy()
-                misses["feature_id"] = pd.array([None] * len(misses), dtype="Int32")
-                misses["poly_name"] = None
-                hits.append(misses)
-            if hits:
-                yield pd.concat(hits, ignore_index=True)
+                miss_idx = np.nonzero(~matched)[0]
+                if len(miss_idx):
+                    idx_parts.append(miss_idx)
+                    fid_parts.append(np.full(len(miss_idx), -1, dtype=np.int32))
+                    name_parts.append(np.full(len(miss_idx), None, dtype=object))
+            if not idx_parts:
+                continue
+            idx = np.concatenate(idx_parts)
+            fids = np.concatenate(fid_parts)
+            names = np.concatenate(name_parts)
+            taken = tbl.select(out_names).take(pa.array(idx))
+            fid_arr = pa.array(fids, type=pa.int32())
+            if how == "left":
+                fid_arr = pa.array(
+                    [None if f == -1 else int(f) for f in fids], type=pa.int32()
+                )
+            cols = list(taken.columns) + [fid_arr, pa.array(names, type=pa.string())]
+            out = pa.Table.from_arrays(cols, names=out_names + ["feature_id", "poly_name"])
+            yield from out.combine_chunks().to_batches()
 
-    return points.mapInPandas(probe, schema=out_schema)
+    return points.mapInArrow(probe, schema=out_schema)
