@@ -28,12 +28,11 @@ ZSTD = "zstd"
 
 
 def available_codecs() -> list[str]:
-    out = [UNCOMPRESSED, GZIP]
-    if _brotli is not None:
-        out.append(BROTLI)
-    if _zstd is not None:
-        out.append(ZSTD)
-    return out
+    """All four codecs are always writable: when the real brotli/zstd libs
+    are absent, streams are emitted in spec-conformant STORED mode (valid
+    per RFC 7932/8878 — any real decoder reads them; see stored_codecs.py).
+    Reading an entropy-coded stream without the lib raises a clear error."""
+    return [UNCOMPRESSED, GZIP, BROTLI, ZSTD]
 
 
 def compress(data: bytes, codec: str) -> bytes:
@@ -42,10 +41,18 @@ def compress(data: bytes, codec: str) -> bytes:
     if codec == GZIP:
         # mtime=0 => deterministic bytes across runs
         return _gzip.compress(data, compresslevel=9, mtime=0)
-    if codec == BROTLI and _brotli is not None:
-        return _brotli.compress(data)
-    if codec == ZSTD and _zstd is not None:
-        return _zstd.ZstdCompressor().compress(data)
+    if codec == BROTLI:
+        if _brotli is not None:
+            return _brotli.compress(data)
+        from versatiles_rs_spark.functions.stored_codecs import brotli_compress_stored
+
+        return brotli_compress_stored(data)
+    if codec == ZSTD:
+        if _zstd is not None:
+            return _zstd.ZstdCompressor().compress(data)
+        from versatiles_rs_spark.functions.stored_codecs import zstd_compress_stored
+
+        return zstd_compress_stored(data)
     raise ValueError(f"codec {codec!r} unavailable (have: {available_codecs()})")
 
 
@@ -54,10 +61,18 @@ def decompress(data: bytes, codec: str) -> bytes:
         return data
     if codec == GZIP:
         return _gzip.decompress(data)
-    if codec == BROTLI and _brotli is not None:
-        return _brotli.decompress(data)
-    if codec == ZSTD and _zstd is not None:
-        return _zstd.ZstdDecompressor().decompress(data)
+    if codec == BROTLI:
+        if _brotli is not None:
+            return _brotli.decompress(data)
+        from versatiles_rs_spark.functions.stored_codecs import brotli_decompress_stored
+
+        return brotli_decompress_stored(data)
+    if codec == ZSTD:
+        if _zstd is not None:
+            return _zstd.ZstdDecompressor().decompress(data)
+        from versatiles_rs_spark.functions.stored_codecs import zstd_decompress_stored
+
+        return zstd_decompress_stored(data)
     raise ValueError(f"codec {codec!r} unavailable")
 
 
@@ -68,13 +83,24 @@ def recompress(data: bytes, src: str, dst: str) -> bytes:
     return compress(decompress(data, src), dst)
 
 
+def _real_codecs() -> list[str]:
+    """Codecs that actually shrink data (stored-mode fallbacks excluded —
+    they are format-valid but inflate, so never PREFER them)."""
+    out = [UNCOMPRESSED, GZIP]
+    if _brotli is not None:
+        out.append(BROTLI)
+    if _zstd is not None:
+        out.append(ZSTD)
+    return out
+
+
 def optimize_compression(data: bytes, codec: str, accepted: list[str]) -> tuple[bytes, str]:
     """functions.rs:54 — keep the current codec when the client accepts it,
     else recompress to the best accepted codec (first in preference order)."""
     if codec in accepted:
         return data, codec
     for pref in (BROTLI, ZSTD, GZIP, UNCOMPRESSED):
-        if pref in accepted and (pref in available_codecs()):
+        if pref in accepted and (pref in _real_codecs()):
             return recompress(data, codec, pref), pref
     return decompress(data, codec), UNCOMPRESSED
 

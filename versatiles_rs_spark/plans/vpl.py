@@ -171,9 +171,11 @@ def _req(node: VplNode, key: str):
 
 @register_read("from_container")
 def _op_from_container(spark: SparkSession, node: VplNode) -> DataFrame:
-    from versatiles_rs_spark.sources import read_tile_table
+    """Dispatch by extension: .mbtiles / .pmtiles / .versatiles / parquet
+    tile table (from_container.rs + container_registry.rs:85)."""
+    from versatiles_rs_spark.sources import read_container
 
-    return read_tile_table(spark, str(_req(node, "filename")))
+    return read_container(spark, str(_req(node, "filename")))
 
 
 @register_read("from_csv")

@@ -7,3 +7,43 @@ from versatiles_rs_spark.sources.readers import (  # noqa: F401
     read_tile_table,
 )
 from versatiles_rs_spark.sources.tilejson import TileJson  # noqa: F401
+
+
+def read_container(spark, path: str):
+    """Dispatch a container path by extension — the container_registry.rs:85
+    analog: .mbtiles / .pmtiles / .versatiles / parquet tile table /
+    tile directory."""
+    low = path.lower()
+    if low.endswith(".mbtiles"):
+        from versatiles_rs_spark.sources.mbtiles import read_mbtiles
+
+        return read_mbtiles(spark, path)
+    if low.endswith(".pmtiles"):
+        from versatiles_rs_spark.sources.pmtiles import read_pmtiles
+
+        return read_pmtiles(spark, path)
+    if low.endswith(".versatiles"):
+        from versatiles_rs_spark.sources.versatiles_file import read_versatiles
+
+        return read_versatiles(spark, path)
+    return read_tile_table(spark, path)
+
+
+def write_container(tiles, path: str, metadata: dict | None = None) -> dict:
+    """Dispatch a container export by extension (mbtiles/pmtiles/versatiles);
+    any other path writes the parquet tile table."""
+    low = path.lower()
+    if low.endswith(".mbtiles"):
+        from versatiles_rs_spark.sources.mbtiles import write_mbtiles
+
+        return write_mbtiles(tiles, path, metadata=metadata)
+    if low.endswith(".pmtiles"):
+        from versatiles_rs_spark.sources.pmtiles import write_pmtiles
+
+        return write_pmtiles(tiles, path, metadata=metadata)
+    if low.endswith(".versatiles"):
+        from versatiles_rs_spark.sources.versatiles_file import write_versatiles
+
+        return write_versatiles(tiles, path, tilejson=metadata)
+    tiles.write.mode("overwrite").partitionBy("z").parquet(path)
+    return {"tiles": -1, "format": "parquet"}
