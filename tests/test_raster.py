@@ -88,8 +88,9 @@ def test_dem_average_quad():
     assert abs(back.mean() - 150.0) < 1.0
 
 
-def test_jpeg_stub():
-    with pytest.raises(NotImplementedError):
+def test_jpeg_malformed_rejected():
+    # jpeg_decode is now a real baseline codec; truncated input must raise
+    with pytest.raises(ValueError):
         jpeg_decode(b"\xff\xd8")
 
 

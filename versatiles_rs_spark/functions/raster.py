@@ -202,10 +202,37 @@ def is_opaque(img: np.ndarray) -> bool:
     return img.shape[2] in (1, 3) or bool((img[:, :, -1] == 255).all())
 
 
-def jpeg_decode(blob: bytes) -> np.ndarray:  # pragma: no cover - capability stub
-    """JPEG decode stub: the container ships no JPEG library; the Spark-side
-    plumbing treats all raster codecs identically (binary in, HxWxC out)."""
-    raise NotImplementedError("JPEG codec not available in this environment; use PNG")
+def jpeg_decode(blob: bytes) -> np.ndarray:
+    """Baseline JPEG -> HxWxC uint8 (pure-python codec, functions/jpeg.py;
+    versatiles_image/src/format/jpeg.rs analog)."""
+    from versatiles_rs_spark.functions.jpeg import jpeg_decode as _dec
+
+    return _dec(blob)
+
+
+def jpeg_encode(img: np.ndarray, quality: int = 85, subsampling: str = "444") -> bytes:
+    """HxWxC uint8 -> baseline JFIF bytes (alpha dropped, like the
+    reference's JPG export which requires opaque input)."""
+    from versatiles_rs_spark.functions.jpeg import jpeg_encode as _enc
+
+    return _enc(img, quality=quality, subsampling=subsampling)
+
+
+def image_decode(blob: bytes, fmt: str) -> np.ndarray:
+    """Format-dispatched decode (versatiles_image format registry analog)."""
+    if fmt == "png":
+        return png_decode(blob)
+    if fmt in ("jpg", "jpeg"):
+        return jpeg_decode(blob)
+    raise NotImplementedError(f"image format {fmt!r} not available (have png/jpg)")
+
+
+def image_encode(img: np.ndarray, fmt: str, quality: int = 85) -> bytes:
+    if fmt == "png":
+        return png_encode(img)
+    if fmt in ("jpg", "jpeg"):
+        return jpeg_encode(img, quality=quality)
+    raise NotImplementedError(f"image format {fmt!r} not available (have png/jpg)")
 
 
 # ---------------------------------------------------------------------------

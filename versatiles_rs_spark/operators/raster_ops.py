@@ -91,7 +91,7 @@ def raster_format(tiles: DataFrame, compression_by_zoom: dict[int, str] | None =
                 raw = decompress(bytes(r["tile"]), r["compression"])
                 codec = sched.get(int(r["z"]), default)
                 rows.append(
-                    (int(r["z"]), int(r["x"]), int(r["y"]), "png", codec,
+                    (int(r["z"]), int(r["x"]), int(r["y"]), r["format"], codec,
                      compress(raw, codec), int(r["n_features"]))
                 )
             yield pd.DataFrame(
@@ -179,6 +179,79 @@ def raster_tile_split(tiles: DataFrame, size: int = 256) -> DataFrame:
                 yield pd.DataFrame(
                     rows, columns=["z", "x", "y", "format", "compression", "tile", "n_features"]
                 )
+
+    return tiles.mapInPandas(run, schema=TILE_SCHEMA)
+
+
+def parse_quality_schedule(spec: str) -> tuple[int, list[tuple[int, int]]]:
+    """Parse the reference's zoom-dependent quality syntax
+    (raster_format.rs:16-18): "70,14:50,15:20" -> default 70, then quality
+    50 from z14 up, 20 from z15 up. Returns (default, [(zoom, q), ...])."""
+    parts = [p.strip() for p in str(spec).split(",") if p.strip()]
+    default = 85
+    sched: list[tuple[int, int]] = []
+    for i, p in enumerate(parts):
+        if ":" in p:
+            z, q = p.split(":", 1)
+            sched.append((int(z), int(q)))
+        elif i == 0:
+            default = int(p)
+        else:
+            raise ValueError(f"bad quality spec segment {p!r}")
+    sched.sort()
+    return default, sched
+
+
+def _quality_for(z: int, default: int, sched: list[tuple[int, int]]) -> int:
+    q = default
+    for zz, qq in sched:
+        if z >= zz:
+            q = qq
+    return q
+
+
+def raster_image_format(
+    tiles: DataFrame,
+    fmt: str = "png",
+    quality: str | int = 85,
+    quality_translucent: str | int | None = None,
+) -> DataFrame:
+    """Convert the raster IMAGE format (raster_format.rs): png <-> jpg with
+    the reference's zoom-dependent quality syntax. Translucent tiles use
+    ``quality_translucent`` when set (raster_format.rs:19-22); JPG drops
+    alpha, so translucent tiles converted to JPG are flattened onto white
+    first."""
+    from versatiles_rs_spark.functions.raster import (
+        image_decode,
+        image_encode,
+        is_opaque,
+    )
+
+    if fmt not in ("png", "jpg"):
+        raise ValueError(f"raster_image_format: unsupported format {fmt!r}")
+    q_def, q_sched = parse_quality_schedule(str(quality))
+    if quality_translucent is not None:
+        qt_def, qt_sched = parse_quality_schedule(str(quality_translucent))
+    else:
+        qt_def, qt_sched = q_def, q_sched
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                z = int(r["z"])
+                raw = decompress(bytes(r["tile"]), r["compression"])
+                img = image_decode(raw, r["format"])
+                opaque = is_opaque(img)
+                q = _quality_for(z, q_def, q_sched) if opaque else _quality_for(z, qt_def, qt_sched)
+                if fmt == "jpg" and img.shape[2] == 4:
+                    img = flatten_onto(img, (255, 255, 255))
+                blob = compress(image_encode(img, fmt, quality=q), r["compression"])
+                rows.append((z, int(r["x"]), int(r["y"]), fmt, r["compression"], blob,
+                             int(r["n_features"])))
+            yield pd.DataFrame(
+                rows, columns=["z", "x", "y", "format", "compression", "tile", "n_features"]
+            )
 
     return tiles.mapInPandas(run, schema=TILE_SCHEMA)
 

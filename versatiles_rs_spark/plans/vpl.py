@@ -447,13 +447,27 @@ def _op_vector_update_properties(df: DataFrame, node: VplNode) -> DataFrame:
 
 @register_transform("raster_format")
 def _op_raster_format(df: DataFrame, node: VplNode) -> DataFrame:
-    from versatiles_rs_spark.operators.raster_ops import raster_format
+    """Image-format + quality switch (raster_format.rs): ``format=jpg
+    quality="70,14:50"`` converts the image codec with the reference's
+    zoom-dependent quality syntax; ``compression=`` additionally sets the
+    transport codec."""
+    from versatiles_rs_spark.operators.raster_ops import raster_format, raster_image_format
 
-    by_zoom = node.props.get("compression_by_zoom")
-    schedule = (
-        {int(k): str(v) for k, v in by_zoom.items()} if isinstance(by_zoom, dict) else None
-    )
-    return raster_format(df, schedule, default=str(node.props.get("compression", "none")))
+    out = df
+    if "format" in node.props:
+        out = raster_image_format(
+            out,
+            fmt=str(node.props["format"]).lower(),
+            quality=node.props.get("quality", 85),
+            quality_translucent=node.props.get("quality_translucent"),
+        )
+    if "compression" in node.props or "compression_by_zoom" in node.props:
+        by_zoom = node.props.get("compression_by_zoom")
+        schedule = (
+            {int(k): str(v) for k, v in by_zoom.items()} if isinstance(by_zoom, dict) else None
+        )
+        out = raster_format(out, schedule, default=str(node.props.get("compression", "none")))
+    return out
 
 
 @register_transform("raster_overscale")
