@@ -32,6 +32,12 @@ def main() -> int:
     ap.add_argument("--layer", default="pages")
     ap.add_argument("--compression", default="optimize")
     ap.add_argument("--block-bits", type=int, default=6)
+    ap.add_argument(
+        "--export",
+        default=None,
+        help="optional servable container artifact written AFTER the resumable "
+        "tile table commits: path ending .mbtiles / .pmtiles / .versatiles",
+    )
     ap.add_argument("--master", default=None, help="local[N] for testing; omit under spark-submit")
     args = ap.parse_args()
 
@@ -79,6 +85,14 @@ def main() -> int:
         summary["batches_total"] = lt.count()
     except Exception:
         pass
+    if args.export:
+        # final single-node assembly of a servable container (like the
+        # reference's writer stage) from the committed tile table
+        from versatiles_rs_spark.lineage import read_tiles
+        from versatiles_rs_spark.sources import write_container
+
+        committed = read_tiles(spark, args.output)
+        summary["export"] = {"path": args.export, **write_container(committed, args.export)}
     print(json.dumps(summary))
     spark.stop()
     return 0

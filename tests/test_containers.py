@@ -211,3 +211,29 @@ def test_from_container_dispatch(spark, pyramid, tmp_path):
         out = build_pipeline(spark, f'from_container filename="{path}" | filter level_max=3')
         assert 0 < out.count() < n
         assert out.filter("z > 3").count() == 0
+
+
+def test_write_container_normalizes_mixed_compression(spark, tmp_path):
+    """convert's 'optimize' mode yields per-tile codecs; container export
+    must normalize to one file-wide compression (gzip for mvt)."""
+    from versatiles_rs_spark.functions.compression import decompress
+    from versatiles_rs_spark.operators.convert import convert_pages_to_tiles
+    from versatiles_rs_spark.queries import _docs_geo
+    from versatiles_rs_spark.sources import write_container
+    from versatiles_rs_spark.sources.pmtiles import read_pmtiles
+
+    tiles = convert_pages_to_tiles(
+        _docs_geo(spark, "/root/testdata/sf0.001"), 0, 4, keep_ratio=1.0,
+        compression="optimize",
+    )
+    assert tiles.select("compression").distinct().count() > 1  # precondition
+    path = str(tmp_path / "norm.pmtiles")
+    write_container(tiles, path)
+    back = read_pmtiles(spark, path)
+    rows = back.collect()
+    assert all(r["compression"] == "gzip" for r in rows)
+    # payload survives: decompressed bytes equal the source's decompressed bytes
+    src = {(r["z"], r["x"], r["y"]): decompress(bytes(r["tile"]), r["compression"])
+           for r in tiles.collect()}
+    got = {(r["z"], r["x"], r["y"]): decompress(bytes(r["tile"]), "gzip") for r in rows}
+    assert got == src

@@ -29,10 +29,30 @@ def read_container(spark, path: str):
     return read_tile_table(spark, path)
 
 
+def normalize_tile_compression(tiles, codec: str):
+    """Recompress every tile to one transport codec — container formats
+    declare a single file-wide compression, but the convert pipeline's
+    ``optimize`` mode picks per-tile codecs."""
+    from pyspark.sql import functions as F
+
+    from versatiles_rs_spark.operators.raster_ops import raster_format
+
+    mixed = tiles.select("compression").distinct().count() > 1
+    if not mixed and tiles.filter(F.col("compression") != codec).limit(1).count() == 0:
+        return tiles
+    return raster_format(tiles, None, default=codec)
+
+
 def write_container(tiles, path: str, metadata: dict | None = None) -> dict:
     """Dispatch a container export by extension (mbtiles/pmtiles/versatiles);
-    any other path writes the parquet tile table."""
+    any other path writes the parquet tile table. Mixed per-tile compression
+    is normalized first (gzip for vector tiles, uncompressed otherwise)."""
     low = path.lower()
+    if low.endswith((".mbtiles", ".pmtiles", ".versatiles")):
+        first = tiles.select("format").first()
+        if first is not None:
+            codec = "gzip" if first["format"] == "mvt" else "none"
+            tiles = normalize_tile_compression(tiles, codec)
     if low.endswith(".mbtiles"):
         from versatiles_rs_spark.sources.mbtiles import write_mbtiles
 
