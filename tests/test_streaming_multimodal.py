@@ -107,3 +107,30 @@ def test_frame_sampling_offsets(spark):
     assert out["frame_idx"].tolist() == [0, 3, 6, 9]
     assert out["frame_offset_bytes"].tolist() == [0, 3072, 6144, 9216]
     assert (out["frame"] == "STUB_FRAME_NO_CODEC").all()
+
+
+def test_media_jpeg_real_decode_and_metadata(spark):
+    """JPEG blobs now decode for real (functions/jpeg.py): metadata carries
+    true dimensions from the SOF header and feature extraction sees the
+    actual pixels, not the deterministic fake."""
+    import numpy as np
+    import pandas as pd
+
+    from versatiles_rs_spark.functions.jpeg import jpeg_encode
+    from versatiles_rs_spark.multimodal.media import (
+        decode_image_stub,
+        extract_image_features,
+        with_media_metadata,
+    )
+
+    img = np.full((24, 40, 3), 128, np.uint8)
+    img[:, :20] = (255, 0, 0)
+    blob = jpeg_encode(img, 90)
+    assert np.abs(decode_image_stub(blob).astype(int) - img.astype(int)).mean() < 3.0
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "media": [blob]}))
+    meta = with_media_metadata(df).collect()[0]
+    assert meta["media_type"] == "image/jpeg"
+    assert meta["width"] == 40 and meta["height"] == 24 and meta["channels"] == 3
+    feats = extract_image_features(df).collect()[0]
+    # left half red, right half gray -> mean R > mean B
+    assert feats["mean_rgb"][0] > feats["mean_rgb"][2]

@@ -35,12 +35,18 @@ from versatiles_rs_spark.functions.raster import _PNG_SIG, png_decode
 
 
 def decode_image_stub(blob: bytes, size: int = 8) -> np.ndarray:
-    """Decode stub: PNG blobs decode for real; other formats produce a
-    deterministic fake (splitmix-seeded) so downstream feature extraction is
-    testable without codecs. A production build swaps this for Pillow/
-    torchvision — the UDF signature does not change."""
+    """Image decode: PNG and baseline JPEG decode for REAL (dependency-free
+    codecs in functions/raster.py and functions/jpeg.py); other formats
+    (webp/avif/video frames) produce a deterministic fake (splitmix-seeded)
+    so downstream feature extraction is testable without those codecs. A
+    production build swaps the fake for Pillow/torchvision — the UDF
+    signature does not change."""
     if blob[:8] == _PNG_SIG:
         return png_decode(blob)
+    if blob[:3] == b"\xff\xd8\xff":
+        from versatiles_rs_spark.functions.jpeg import jpeg_decode
+
+        return jpeg_decode(blob)
     # DETERMINISTIC FAKE (no image library in this container)
     seed = np.uint64(len(blob))
     for b in blob[:16]:
@@ -88,6 +94,23 @@ def with_media_metadata(df: DataFrame, blob_col: str = "media") -> DataFrame:
                 if mt == "image/png":
                     img = png_decode(b)
                     h, w, c = (int(v) for v in img.shape)
+                elif mt == "image/jpeg":
+                    # SOF0/SOF1 header scan — dimensions without full decode
+                    i = 2
+                    while i + 9 < len(b):
+                        if b[i] != 0xFF:
+                            i += 1
+                            continue
+                        marker = b[i + 1]
+                        if marker in (0xC0, 0xC1):
+                            h = int.from_bytes(b[i + 5 : i + 7], "big")
+                            w = int.from_bytes(b[i + 7 : i + 9], "big")
+                            c = b[i + 9]
+                            break
+                        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                            i += 2
+                            continue
+                        i += 2 + int.from_bytes(b[i + 2 : i + 4], "big")
                 metas.append((mt, len(b), w, h, c))
             meta = pd.DataFrame(
                 metas, columns=["media_type", "n_bytes", "width", "height", "channels"]

@@ -844,6 +844,71 @@ FROM documents
 """
 
 
+# BPE-ish tokenization: word runs OR single non-word-non-space chars —
+# ASCII classes spelled out so Spark's and DuckDB's regex engines agree.
+_BPE_RX = "[0-9A-Za-z_]+|[^0-9A-Za-z_ ]"
+
+
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex token counting (the BPE-ish path of the training-data brief) —
+    stays JVM-side via regexp_count; compare with the whitespace count."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        F.expr(f"regexp_count(text, '{_BPE_RX}')").cast("bigint").alias("n_bpe_tokens"),
+        F.expr(_TOKEN_COUNT_EXPR).cast("bigint").alias("n_ws_tokens"),
+    )
+
+
+O_TOKEN_COUNT_BPE = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_BPE_RX}')) AS BIGINT) AS n_bpe_tokens,
+       CAST({_TOKEN_COUNT_EXPR} AS BIGINT) AS n_ws_tokens
+FROM documents
+"""
+
+
+# Rabin-Karp polynomial rolling hash, base 131 mod 2^31-1: products stay
+# below 2^39, exact in BIGINT on both engines. Fingerprint = (full-text
+# hash, min 16-char-window hash) — the winnowing-style selection.
+_RK_P = 2147483647
+_RK_B = 131
+_RK_W = 16
+
+
+def q_doc_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    codes = "transform(split(text, ''), ch -> CAST(ascii(ch) AS BIGINT))"
+    roll = f"(acc, c) -> (acc * {_RK_B} + c) % {_RK_P}"
+    full = f"aggregate({codes}, 0L, {roll})"
+    win = (
+        f"array_min(transform(sequence(1, greatest(size({codes}) - {_RK_W - 1}, 1)), "
+        f"i -> aggregate(slice({codes}, i, {_RK_W}), 0L, {roll})))"
+    )
+    return docs.select(
+        "doc_id",
+        F.expr(full).alias("rk_full"),
+        F.expr(win).alias("rk_min_window"),
+    )
+
+
+O_DOC_FINGERPRINT_ROLLING = f"""
+WITH codes AS (
+  SELECT doc_id,
+         list_transform(range(1, length(text) + 1),
+                        i -> CAST(ord(substr(text, i, 1)) AS BIGINT)) AS cs
+  FROM documents
+)
+SELECT doc_id,
+       list_reduce(list_prepend(0::BIGINT, cs),
+                   (acc, c) -> (acc * {_RK_B} + c) % {_RK_P}) AS rk_full,
+       list_min(list_transform(range(1, greatest(len(cs) - {_RK_W - 1}, 1) + 1),
+                i -> list_reduce(list_prepend(0::BIGINT, cs[i:i+{_RK_W - 1}]),
+                                 (acc, c) -> (acc * {_RK_B} + c) % {_RK_P}))) AS rk_min_window
+FROM codes
+"""
+
+
 
 # ---------------------------------------------------------------------------
 # 16. event-time tumbling window aggregation (batch form of the streaming op)
@@ -1000,6 +1065,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "ngram_jaccard": q_ngram_jaccard,
     "doc_fingerprint": q_doc_fingerprint,
+    "token_count_bpe": q_token_count_bpe,
+    "doc_fingerprint_rolling": q_doc_fingerprint_rolling,
     "windowed_events": q_windowed_events,
     "coord_set_ops": q_coord_set_ops,
     "sort_index_key": q_sort_index_key,
@@ -1034,6 +1101,8 @@ ORACLES: dict[str, str] = {
     "ann_lsh_topk": O_ANN_LSH_TOPK,
     "ngram_jaccard": O_NGRAM_JACCARD,
     "doc_fingerprint": O_DOC_FINGERPRINT,
+    "token_count_bpe": O_TOKEN_COUNT_BPE,
+    "doc_fingerprint_rolling": O_DOC_FINGERPRINT_ROLLING,
     "windowed_events": O_WINDOWED_EVENTS,
     "coord_set_ops": O_COORD_SET_OPS,
     "sort_index_key": O_SORT_INDEX_KEY,
