@@ -87,11 +87,20 @@ def _quantize_grid(pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
     return gx, gy
 
 
+# gzip framing alone is 18 bytes + >=5 bytes of deflate block overhead;
+# measured on real single-point tiles (44-51 B raw) gzip NEVER wins below
+# this size, so 'optimize' skips the attempt entirely — it was ~20% of the
+# whole encode stage's CPU.
+_OPTIMIZE_SKIP_BELOW = 64
+
+
 def _finalize_blob(raw: bytes, compression: str) -> tuple[bytes, str]:
     """'optimize' = keep whichever of {raw, gzip} is smaller — the
     optimize_compression semantics (compression/functions.rs:54); tiny
     sparse tiles are SMALLER uncompressed (gzip header overhead)."""
     if compression == "optimize":
+        if len(raw) < _OPTIMIZE_SKIP_BELOW:
+            return raw, "none"
         gz = compress(raw, GZIP)
         return (gz, GZIP) if len(gz) < len(raw) else (raw, "none")
     return compress(raw, compression), compression
@@ -110,7 +119,6 @@ def _encode_single_point_tiles(
         _len_field,
         _varint,
         _varint_field,
-        zigzag,
     )
 
     head = _varint_field(15, 2) + _len_field(1, layer_name.encode("utf-8"))
@@ -131,20 +139,37 @@ def _encode_single_point_tiles(
     blobs: list[bytes] = []
     codecs: list[str] = []
     fid_l = fid.tolist()
-    gx_l = gx.tolist()
-    gy_l = gy.tolist()
+    # point coords are non-negative -> zigzag is just 2v (vectorized)
+    zzx_l = (np.asarray(gx) << 1).tolist()
+    zzy_l = (np.asarray(gy) << 1).tolist()
     prop_lists = [prop_vals[k].tolist() for k in sorted_props]
+    # inlined wire assembly (byte-identical to the generic path — guarded by
+    # test_fast_path_byte_identical): geom/feature lengths are provably < 128
+    # (1 cmd + two <=10-byte varints; fid varint + ~6 bytes framing), so
+    # their length prefixes are single bytes and _len_field calls collapse
+    # to constant tag bytes + one varint. ~2x fewer python calls per tile.
+    varint = _varint
+    tail = keys_section
+    optimize = compression == "optimize"
     for i in range(n):
         vals = tuple(pl[i] for pl in prop_lists)
         vb = val_cache.get(vals)
         if vb is None:
             vb = b"".join(_len_field(4, _encode_value(v)) for v in vals)
             val_cache[vals] = vb
-        geom = cmd + _varint(zigzag(gx_l[i])) + _varint(zigzag(gy_l[i]))
-        feat = _varint_field(1, fid_l[i]) + tags_section + type_geom_head + _len_field(4, geom)
-        layer = head + _len_field(2, feat) + keys_section + vb + extent_tail
-        raw = _len_field(3, layer)
-        blob, codec = _finalize_blob(raw, compression)
+        zx, zy = zzx_l[i], zzy_l[i]
+        vx = bytes((zx,)) if zx < 128 else varint(zx)
+        vy = bytes((zy,)) if zy < 128 else varint(zy)
+        geom = cmd + vx + vy
+        fid_b = varint(fid_l[i])
+        # feat = field1(fid) + tags + type + field4(geom); len(geom) < 128
+        feat = b"\x08" + fid_b + tags_section + type_geom_head + b"\x22" + bytes((len(geom),)) + geom
+        layer = head + b"\x12" + bytes((len(feat),)) + feat + tail + vb + extent_tail
+        raw = b"\x1a" + varint(len(layer)) + layer
+        if optimize and len(raw) < _OPTIMIZE_SKIP_BELOW:
+            blob, codec = raw, "none"
+        else:
+            blob, codec = _finalize_blob(raw, compression)
         blobs.append(blob)
         codecs.append(codec)
     # columnar construction: per-row python tuples into DataFrame() cost more
@@ -189,13 +214,19 @@ def _encode_tile_rows(
     for c in props_cols:
         has_null |= pd.isna(prop_arrays[c])
 
-    grp = body.groupby(["z", "x", "y"], sort=False).indices
-    singles: list[int] = []
+    # group boundaries on the sorted (z,x,y) arrays — pure numpy; pandas
+    # groupby().indices was ~13% of the whole encode stage
+    n = len(body)
+    new_grp = np.empty(n, dtype=bool)
+    new_grp[0] = True
+    new_grp[1:] = (zv[1:] != zv[:-1]) | (xv[1:] != xv[:-1]) | (yv[1:] != yv[:-1])
+    starts = np.flatnonzero(new_grp)
+    ends = np.append(starts[1:], n)
+    lens = ends - starts
+    single_mask = (lens == 1) & ~has_null[starts]
+    singles = starts[single_mask]
     rows: list[tuple] = []
-    for (z, x, y), idx in grp.items():
-        if len(idx) == 1 and not has_null[idx[0]]:
-            singles.append(idx[0])
-            continue
+    for s, e in zip(starts[~single_mask], ends[~single_mask]):
         feats = [
             MvtFeature(
                 geom_type=GEOM_POINT,
@@ -203,14 +234,14 @@ def _encode_tile_rows(
                 props={c: prop_arrays[c][i] for c in props_cols},
                 fid=int(ids[i]),
             )
-            for i in idx
+            for i in range(s, e)
         ]
         blob, codec = _finalize_blob(encode_tile({layer_name: feats}), compression)
-        rows.append((int(z), int(x), int(y), "mvt", codec, blob, len(feats)))
+        rows.append((int(zv[s]), int(xv[s]), int(yv[s]), "mvt", codec, blob, len(feats)))
     multi = pd.DataFrame(
         rows, columns=["z", "x", "y", "format", "compression", "tile", "n_features"]
     )
-    if not singles:
+    if not len(singles):
         return multi
     si = np.asarray(singles)
     single = _encode_single_point_tiles(
