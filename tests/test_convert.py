@@ -188,3 +188,34 @@ def test_optimize_compression_mode():
     from versatiles_rs_spark.functions.mvt import validate_tile
 
     assert all(validate_tile(bytes(b)) == [] for b in out["tile"])
+
+
+def test_multi_fast_path_byte_identical():
+    """The specialized multi-point encoder emits EXACTLY the bytes of the
+    generic MvtFeature/encode_tile path for null-free uniform-prop tiles."""
+    import numpy as np
+
+    from versatiles_rs_spark.functions.mvt import GEOM_POINT, MvtFeature, encode_tile
+    from versatiles_rs_spark.operators.convert import _encode_multi_point_tile
+
+    rng = np.random.default_rng(7)
+    n = 200
+    ids = np.sort(rng.choice(10_000, size=n, replace=False)).astype(np.int64)
+    gx = rng.integers(0, 4096, n)
+    gy = rng.integers(0, 4096, n)
+    langs = np.array([["en", "de", "fr"][i % 3] for i in range(n)], dtype=object)
+    scores = rng.integers(0, 50, n).astype(object)
+    props = {"lang": langs, "score": scores}
+    fast = _encode_multi_point_tile(ids, gx, gy, props, 0, n, "pages")
+    feats = [
+        MvtFeature(GEOM_POINT, [[(int(gx[i]), int(gy[i]))]],
+                   {"lang": langs[i], "score": scores[i]}, fid=int(ids[i]))
+        for i in range(n)
+    ]
+    generic = encode_tile({"pages": feats})
+    assert fast == generic
+    # degenerate: single prop, single feature
+    one = _encode_multi_point_tile(ids, gx, gy, {"lang": langs}, 3, 4, "pages")
+    g1 = encode_tile({"pages": [MvtFeature(GEOM_POINT, [[(int(gx[3]), int(gy[3]))]],
+                                           {"lang": langs[3]}, fid=int(ids[3]))]})
+    assert one == g1

@@ -168,3 +168,37 @@ def test_vpl_new_registry_ops_validate_at_build(spark):
         build_pipeline(spark, "from_debug | vector_update_properties id_field_tiles=\"x\"")
     with pytest.raises(VplError, match="missing required argument"):
         build_pipeline(spark, "from_mbtiles")
+
+
+def test_from_tilejson_local(spark, tmp_path):
+    """Local-filesystem from_tilejson: TileJSON 'tiles' template resolved
+    against the filesystem (the reference fetches the same template over
+    HTTP, from_tilejson.rs:31-38)."""
+    import json
+
+    from versatiles_rs_spark.operators.convert import convert_pages_to_tiles
+    from versatiles_rs_spark.plans.vpl import build_pipeline
+    from versatiles_rs_spark.queries import _docs_geo
+    from versatiles_rs_spark.sources.readers import write_directory
+
+    tiles = convert_pages_to_tiles(_docs_geo(spark, "/root/testdata/sf0.001"), 0, 3, keep_ratio=1.0)
+    root = tmp_path / "tiles"
+    write_directory(tiles, str(root))  # convert emits format="mvt" -> z/x/y.mvt files
+    tj = tmp_path / "source.json"
+    tj.write_text(json.dumps({
+        "tilejson": "3.0.0",
+        "tiles": [f"{root}/{{z}}/{{x}}/{{y}}.mvt"],
+        "minzoom": 0, "maxzoom": 3,
+    }))
+    out = build_pipeline(spark, f'from_tilejson url="{tj}" | filter level_max=2')
+    rows = out.collect()
+    want = tiles.filter("z <= 2").count()
+    assert len(rows) == want
+    assert all(r["format"] == "mvt" for r in rows)
+    # http templates fail with a clear message
+    tj2 = tmp_path / "http.json"
+    tj2.write_text(json.dumps({"tiles": ["https://x/{z}/{x}/{y}.png"]}))
+    import pytest
+
+    with pytest.raises(NotImplementedError, match="network"):
+        build_pipeline(spark, f'from_tilejson url="{tj2}"')

@@ -61,10 +61,13 @@ _CEL_REWRITES = [
 
 
 def cel_to_spark_expr(cel: str) -> str:
-    """Translate the CEL subset the reference documents (map access, ==, &&,
-    ||, !, matches, has) into a Spark SQL boolean expression string. Raises
-    at plan time if the result does not parse — mirroring the reference's
-    compile-at-build contract."""
+    """FAST-PATH translation of simple CEL (map access, ==, &&, ||, !,
+    matches, has) into a Spark SQL boolean string so the filter runs inside
+    Catalyst/codegen on exploded features. This is a syntactic subset — the
+    full-semantics CEL implementation (missing-key->null, heterogeneous
+    equality, error-to-false) lives in ``functions.cel.compile_cel`` and is
+    what the VPL ``vector_filter_features`` op uses. Raises at plan time if
+    the result does not parse — the compile-at-build contract."""
     out = cel
     for rx, rep in _CEL_REWRITES:
         out = rx.sub(rep, out)

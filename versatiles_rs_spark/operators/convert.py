@@ -187,6 +187,59 @@ def _encode_single_point_tiles(
     )
 
 
+def _encode_multi_point_tile(
+    ids, gxv, gyv, prop_arrays: dict[str, np.ndarray], s: int, e: int,
+    layer_name: str,
+) -> bytes:
+    """Specialized encoder for an n-feature point tile with uniform non-null
+    props — byte-identical to ``encode_tile`` (guarded by
+    test_multi_fast_path_byte_identical) but without per-feature MvtFeature/
+    dict construction. Rows [s:e) are already sorted by fid, matching the
+    generic path's (fid, type, rings) sort for unique fids."""
+    from versatiles_rs_spark.functions.mvt import (
+        _encode_value,
+        _len_field,
+        _varint,
+        _varint_field,
+    )
+
+    sorted_keys = sorted(prop_arrays)
+    val_idx: dict[bytes, int] = {}
+    values: list[bytes] = []
+    feat_parts: list[bytes] = []
+    varint = _varint
+    type_head = _varint_field(3, GEOM_POINT)
+    prop_cols = [prop_arrays[k] for k in sorted_keys]
+    for i in range(s, e):
+        tag_bytes = bytearray()
+        for ki, col in enumerate(prop_cols):
+            vb = _encode_value(col[i])
+            vi = val_idx.get(vb)
+            if vi is None:
+                vi = len(values)
+                val_idx[vb] = vi
+                values.append(vb)
+            tag_bytes += varint(ki) + varint(vi)
+        zx, zy = int(gxv[i]) << 1, int(gyv[i]) << 1
+        geom = b"\x09" + varint(zx) + varint(zy)  # MoveTo(1) cmd = 9
+        buf = b"\x08" + varint(int(ids[i]))
+        if tag_bytes:
+            buf += b"\x12" + varint(len(tag_bytes)) + bytes(tag_bytes)
+        buf += type_head + b"\x22" + bytes((len(geom),)) + geom
+        feat_parts.append(b"\x12" + varint(len(buf)) + buf)
+    layer = bytearray()
+    layer += _varint_field(15, 2)
+    layer += _len_field(1, layer_name.encode("utf-8"))
+    for fp in feat_parts:
+        layer += fp
+    for k in sorted_keys:
+        layer += _len_field(3, k.encode("utf-8"))
+    for vb in values:
+        layer += _len_field(4, vb)
+    layer += _varint_field(5, TILE_EXTENT)
+    return b"\x1a" + varint(len(layer)) + bytes(layer)
+
+
 def _encode_tile_rows(
     body: pd.DataFrame,
     layer_name: str,
@@ -223,21 +276,30 @@ def _encode_tile_rows(
     starts = np.flatnonzero(new_grp)
     ends = np.append(starts[1:], n)
     lens = ends - starts
-    single_mask = (lens == 1) & ~has_null[starts]
+    # any-null groups take the generic object path; null-free groups take
+    # the specialized encoders (key table shape is then uniform)
+    null_csum = np.concatenate(([0], np.cumsum(has_null)))
+    grp_has_null = (null_csum[ends] - null_csum[starts]) > 0
+    single_mask = (lens == 1) & ~grp_has_null
     singles = starts[single_mask]
     rows: list[tuple] = []
-    for s, e in zip(starts[~single_mask], ends[~single_mask]):
-        feats = [
-            MvtFeature(
-                geom_type=GEOM_POINT,
-                rings=[[(int(gxv[i]), int(gyv[i]))]],
-                props={c: prop_arrays[c][i] for c in props_cols},
-                fid=int(ids[i]),
-            )
-            for i in range(s, e)
-        ]
-        blob, codec = _finalize_blob(encode_tile({layer_name: feats}), compression)
-        rows.append((int(zv[s]), int(xv[s]), int(yv[s]), "mvt", codec, blob, len(feats)))
+    for gi in np.flatnonzero(~single_mask):
+        s, e = starts[gi], ends[gi]
+        if not grp_has_null[gi]:
+            raw = _encode_multi_point_tile(ids, gxv, gyv, prop_arrays, s, e, layer_name)
+        else:
+            feats = [
+                MvtFeature(
+                    geom_type=GEOM_POINT,
+                    rings=[[(int(gxv[i]), int(gyv[i]))]],
+                    props={c: prop_arrays[c][i] for c in props_cols},
+                    fid=int(ids[i]),
+                )
+                for i in range(s, e)
+            ]
+            raw = encode_tile({layer_name: feats})
+        blob, codec = _finalize_blob(raw, compression)
+        rows.append((int(zv[s]), int(xv[s]), int(yv[s]), "mvt", codec, blob, int(e - s)))
     multi = pd.DataFrame(
         rows, columns=["z", "x", "y", "format", "compression", "tile", "n_features"]
     )

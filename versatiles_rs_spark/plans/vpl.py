@@ -547,3 +547,15 @@ def build_pipeline(
     finally:
         _META_STACK.pop()
     return df
+
+
+@register_read("from_tilejson")
+def _op_from_tilejson(spark: SparkSession, node: VplNode) -> DataFrame:
+    from versatiles_rs_spark.sources.tilejson import from_tilejson
+
+    return from_tilejson(
+        spark,
+        str(_req(node, "url")),
+        min_zoom=node.props.get("level_min"),
+        max_zoom=node.props.get("level_max"),
+    )

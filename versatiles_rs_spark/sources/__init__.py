@@ -26,6 +26,10 @@ def read_container(spark, path: str):
         from versatiles_rs_spark.sources.versatiles_file import read_versatiles
 
         return read_versatiles(spark, path)
+    if low.endswith((".tar", ".tar.gz", ".tgz")):
+        from versatiles_rs_spark.sources.tar_reader import read_tar
+
+        return read_tar(spark, path)
     return read_tile_table(spark, path)
 
 
@@ -65,5 +69,9 @@ def write_container(tiles, path: str, metadata: dict | None = None) -> dict:
         from versatiles_rs_spark.sources.versatiles_file import write_versatiles
 
         return write_versatiles(tiles, path, tilejson=metadata)
+    if low.endswith(".tar"):
+        from versatiles_rs_spark.sources.tar_reader import write_tar
+
+        return write_tar(tiles, path)
     tiles.write.mode("overwrite").partitionBy("z").parquet(path)
     return {"tiles": -1, "format": "parquet"}

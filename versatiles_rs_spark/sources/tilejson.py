@@ -98,3 +98,61 @@ class TileJson:
             maxzoom=mz,
             vector_layers=vl,
         )
+
+
+def from_tilejson(spark, path: str, min_zoom: int | None = None, max_zoom: int | None = None):
+    """Local-filesystem analog of from_tilejson.rs: read a TileJSON document
+    from ``path``, resolve its ``tiles`` URL template ({z}/{x}/{y}) against
+    the local filesystem, and load every matching tile in parallel via the
+    binaryFile source. The reference fetches the same template over HTTP
+    (from_tilejson.rs:31-38); network IO is out of scope in this sandbox, so
+    only file:// / plain-path templates are supported — an http(s) template
+    raises with a clear message.
+    """
+    import json as _json
+    import os
+    import re
+
+    from pyspark.sql import functions as F
+
+    with open(path) as f:
+        tj = _json.loads(f.read())
+    tiles_tpl = (tj.get("tiles") or [None])[0]
+    if not tiles_tpl:
+        raise ValueError(f"TileJSON at {path} has no 'tiles' template")
+    if tiles_tpl.startswith(("http://", "https://")):
+        raise NotImplementedError(
+            "from_tilejson: http(s) tile templates need network access, "
+            "which this environment does not have; use a file path template"
+        )
+    tpl = tiles_tpl[len("file://"):] if tiles_tpl.startswith("file://") else tiles_tpl
+    if not os.path.isabs(tpl):
+        tpl = os.path.join(os.path.dirname(os.path.abspath(path)), tpl)
+    m = re.match(r"^(.*)\{z\}(.*)\{x\}(.*)\{y\}(\.\w+)$", tpl)
+    if m is None:
+        raise ValueError(f"unsupported tiles template {tiles_tpl!r} (need .../{{z}}/{{x}}/{{y}}.ext)")
+    ext = m.group(4).lstrip(".")
+    glob = f"{m.group(1)}*{m.group(2)}*{m.group(3)}*{m.group(4)}"
+    rx = (
+        re.escape(m.group(1)) + r"(\d+)" + re.escape(m.group(2)) + r"(\d+)"
+        + re.escape(m.group(3)) + r"(\d+)" + re.escape(m.group(4)) + "$"
+    )
+    fmt = {"pbf": "mvt"}.get(ext, ext)
+    codec = "gzip" if fmt == "mvt" else "none"
+    df = spark.read.format("binaryFile").load(glob)
+    out = df.select(
+        F.regexp_extract("path", rx, 1).cast("int").alias("z"),
+        F.regexp_extract("path", rx, 2).cast("bigint").alias("x"),
+        F.regexp_extract("path", rx, 3).cast("bigint").alias("y"),
+        F.lit(fmt).alias("format"),
+        F.lit(codec).alias("compression"),
+        F.col("content").alias("tile"),
+        F.lit(0).cast("bigint").alias("n_features"),
+    )
+    zmin = min_zoom if min_zoom is not None else tj.get("minzoom")
+    zmax = max_zoom if max_zoom is not None else tj.get("maxzoom")
+    if zmin is not None:
+        out = out.filter(F.col("z") >= int(zmin))
+    if zmax is not None:
+        out = out.filter(F.col("z") <= int(zmax))
+    return out
