@@ -559,3 +559,15 @@ def _op_from_tilejson(spark: SparkSession, node: VplNode) -> DataFrame:
         min_zoom=node.props.get("level_min"),
         max_zoom=node.props.get("level_max"),
     )
+
+
+@register_read("from_gdal_raster")
+def _op_from_gdal_raster(spark: SparkSession, node: VplNode) -> DataFrame:
+    from versatiles_rs_spark.sources.geotiff import from_gdal_raster
+
+    return from_gdal_raster(
+        spark,
+        str(_req(node, "filename")),
+        min_zoom=int(node.props.get("level_min", 0)),
+        max_zoom=int(node.props.get("level_max", 4)),
+    )
