@@ -50,3 +50,39 @@ def test_unsupported_tiff_rejected(tmp_path):
     p.write_bytes(b"II\x2b\x00" + b"\x00" * 16)  # BigTIFF magic 43
     with pytest.raises(ValueError):
         read_geotiff(str(p))
+
+
+def test_dem_geotiff_roundtrip_and_tiles(spark, tmp_path):
+    """int16 elevation GeoTIFF -> from_gdal_dem terrarium pyramid; decoded
+    DEM tile elevations match the source within terrarium quantization."""
+    import numpy as np
+
+    from versatiles_rs_spark.functions.raster import dem_decode, png_decode
+    from versatiles_rs_spark.sources.geotiff import (
+        from_gdal_dem,
+        read_geotiff,
+        write_geotiff_gray16,
+    )
+
+    yy, xx = np.mgrid[0:180, 0:360]
+    elev = (100 + 10 * np.sin(xx / 20.0) * 50 + yy).astype(np.int16)
+    path = str(tmp_path / "dem.tif")
+    write_geotiff_gray16(path, elev, west=-180.0, north=90.0, sx=1.0, sy=1.0)
+    img, geo = read_geotiff(path)
+    assert img.shape == (180, 360, 1) and img.dtype == np.int16
+    assert (img[:, :, 0] == elev).all()
+    assert geo["epsg"] == 4326 and geo["west"] == -180.0
+
+    tiles = from_gdal_dem(spark, path, 0, 1)
+    rows = {(r["z"], r["x"], r["y"]): bytes(r["tile"]) for r in tiles.collect()}
+    assert (0, 0, 0) in rows and len([k for k in rows if k[0] == 1]) == 4
+    dec = dem_decode(png_decode(rows[(0, 0, 0)]), "terrarium")
+    # compute the exact source pixel the renderer samples for a few tile
+    # pixels (mercator row spacing, nearest-neighbor)
+    for ti, tj in ((128, 128), (40, 200), (200, 17)):
+        lon = -180.0 + (tj + 0.5) / 256.0 * 360.0
+        lat = (np.arctan(np.exp(np.pi * (1 - 2 * (ti + 0.5) / 256.0))) / np.pi - 0.25) * 360.0
+        col = int(np.floor(lon - (-180.0)))
+        row = int(np.floor(90.0 - lat))
+        want = float(elev[row, col])
+        assert abs(float(dec[ti, tj]) - want) < 2.0, (ti, tj)

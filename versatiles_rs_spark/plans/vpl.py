@@ -571,3 +571,16 @@ def _op_from_gdal_raster(spark: SparkSession, node: VplNode) -> DataFrame:
         min_zoom=int(node.props.get("level_min", 0)),
         max_zoom=int(node.props.get("level_max", 4)),
     )
+
+
+@register_read("from_gdal_dem")
+def _op_from_gdal_dem(spark: SparkSession, node: VplNode) -> DataFrame:
+    from versatiles_rs_spark.sources.geotiff import from_gdal_dem
+
+    return from_gdal_dem(
+        spark,
+        str(_req(node, "filename")),
+        min_zoom=int(node.props.get("level_min", 0)),
+        max_zoom=int(node.props.get("level_max", 4)),
+        encoding=str(node.props.get("encoding", "terrarium")),
+    )

@@ -69,25 +69,36 @@ def read_geotiff(path: str) -> tuple[np.ndarray, dict]:
     width = tags[256][0]
     height = tags[257][0]
     spp = tags.get(277, (1,))[0]
-    bits = tags.get(258, (8,))
-    if any(v != 8 for v in bits[:spp]):
-        raise ValueError(f"only 8-bit samples supported, got {bits}")
+    bits = tags.get(258, (8,))[0]
+    sample_format = tags.get(339, (1,))[0]  # 1 uint, 2 int, 3 float
+    # supported sample layouts: 8-bit uint (imagery), 16-bit int and 32-bit
+    # float single band (elevation)
+    if (bits, sample_format) == (8, 1):
+        dtype = np.dtype(fmt + "u1") if fmt == ">" else np.uint8
+    elif (bits, sample_format) == (16, 2):
+        dtype = np.dtype(fmt + "i2")
+    elif (bits, sample_format) == (32, 3):
+        dtype = np.dtype(fmt + "f4")
+    else:
+        raise ValueError(f"unsupported sample layout bits={bits} format={sample_format}")
     compression = tags.get(259, (1,))[0]
     predictor = tags.get(317, (1,))[0]
     if compression not in (1, 8):
         raise ValueError(f"unsupported TIFF compression {compression} (have none/deflate)")
+    if predictor == 2 and bits != 8:
+        raise ValueError("horizontal predictor only supported for 8-bit samples")
     offsets = tags[273]
     byte_counts = tags[279]
     rows_per_strip = tags.get(278, (height,))[0]
 
-    img = np.empty((height, width, spp), dtype=np.uint8)
+    img = np.empty((height, width, spp), dtype=dtype)
     row0 = 0
     for off, cnt in zip(offsets, byte_counts):
         raw = b[off : off + cnt]
         if compression == 8:
             raw = zlib.decompress(raw)
         rows = min(rows_per_strip, height - row0)
-        arr = np.frombuffer(raw, np.uint8)[: rows * width * spp].reshape(rows, width, spp)
+        arr = np.frombuffer(raw, dtype)[: rows * width * spp].reshape(rows, width, spp)
         if predictor == 2:
             arr = np.cumsum(arr.astype(np.int64), axis=1).astype(np.uint8)
         img[row0 : row0 + rows] = arr
@@ -164,7 +175,10 @@ def from_gdal_raster(
                     a[0] for a in tile_geo_bbox_np(z, np.array([x]), np.array([y]))
                 )
                 lons = wb + (np.arange(tile_size) + 0.5) / tile_size * (eb - wb)
-                lats = nb - (np.arange(tile_size) + 0.5) / tile_size * (nb - sb)
+                # pixel rows are uniform in MERCATOR y, not degrees — the
+                # linear-in-degrees shortcut distorts low zooms badly
+                yy = (y + (np.arange(tile_size) + 0.5) / tile_size) / (1 << z)
+                lats = (np.arctan(np.exp(np.pi * (1.0 - 2.0 * yy))) / np.pi - 0.25) * 360.0
                 cols = np.floor((lons - wst) / psx).astype(np.int64)
                 rws = np.floor((nth - lats) / psy).astype(np.int64)
                 valid = (cols[None, :] >= 0) & (cols[None, :] < sw) & \
@@ -184,3 +198,129 @@ def from_gdal_raster(
                 )
 
     return cdf.mapInPandas(render, TILE_SCHEMA)
+
+
+def from_gdal_dem(
+    spark: SparkSession,
+    path: str,
+    min_zoom: int = 0,
+    max_zoom: int = 4,
+    tile_size: int = 256,
+    encoding: str = "terrarium",
+) -> DataFrame:
+    """Elevation raster (int16/float32 single band) -> terrarium/mapbox
+    DEM PNG pyramid (from_gdal/dem analog). Same broadcast + vectorized
+    sampling as from_gdal_raster; out-of-coverage pixels get elevation 0."""
+    from versatiles_rs_spark.functions.raster import dem_encode, png_encode
+    from versatiles_rs_spark.operators.convert import TILE_SCHEMA
+    from versatiles_rs_spark.tile_math.coords import tile_geo_bbox_np
+
+    img, geo = read_geotiff(path)
+    if img.shape[2] != 1:
+        raise ValueError("from_gdal_dem expects a single-band elevation raster")
+    elev = img[:, :, 0].astype(np.float64)
+    h, w = elev.shape
+    west, north, sx, sy = geo["west"], geo["north"], geo["sx"], geo["sy"]
+    east = west + w * sx
+    south = north - h * sy
+    bc = spark.sparkContext.broadcast((elev, west, north, sx, sy))
+
+    cands = []
+    for z in range(min_zoom, max_zoom + 1):
+        zn = 1 << z
+        fx = lambda lon: int(np.clip(np.floor((lon / 360.0 + 0.5) * zn), 0, zn - 1))
+        lat_clip = np.clip([south, north], -85.05112878, 85.05112878)
+        fy = lambda lat: int(np.clip(np.floor(
+            (0.5 - 0.5 * np.log(np.tan(lat * np.pi / 360.0 + np.pi / 4.0)) / np.pi) * zn
+        ), 0, zn - 1))
+        for ty in range(fy(lat_clip[1]), fy(lat_clip[0]) + 1):
+            for tx in range(fx(west), fx(min(east, 179.999999)) + 1):
+                cands.append((z, tx, ty))
+    cdf = spark.createDataFrame(pd.DataFrame(cands, columns=["z", "x", "y"])).repartition(
+        max(1, min(len(cands), spark.sparkContext.defaultParallelism * 2))
+    )
+
+    def render(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        src, wst, nth, psx, psy = bc.value
+        sh, sw = src.shape
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                z, x, y = int(r["z"]), int(r["x"]), int(r["y"])
+                wb, sb, eb, nb = (
+                    a[0] for a in tile_geo_bbox_np(z, np.array([x]), np.array([y]))
+                )
+                lons = wb + (np.arange(tile_size) + 0.5) / tile_size * (eb - wb)
+                # pixel rows are uniform in MERCATOR y, not degrees — the
+                # linear-in-degrees shortcut distorts low zooms badly
+                yy = (y + (np.arange(tile_size) + 0.5) / tile_size) / (1 << z)
+                lats = (np.arctan(np.exp(np.pi * (1.0 - 2.0 * yy))) / np.pi - 0.25) * 360.0
+                cols = np.floor((lons - wst) / psx).astype(np.int64)
+                rws = np.floor((nth - lats) / psy).astype(np.int64)
+                valid = (cols[None, :] >= 0) & (cols[None, :] < sw) & \
+                        (rws[:, None] >= 0) & (rws[:, None] < sh)
+                if not valid.any():
+                    continue
+                cc = np.clip(cols, 0, sw - 1)
+                rr = np.clip(rws, 0, sh - 1)
+                tile_elev = np.where(valid, src[rr[:, None], cc[None, :]], 0.0)
+                blob = png_encode(dem_encode(tile_elev, encoding))
+                rows.append((z, x, y, "png", "none", blob, 0))
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["z", "x", "y", "format", "compression", "tile", "n_features"]
+                )
+
+    return cdf.mapInPandas(render, TILE_SCHEMA)
+
+
+def write_geotiff_gray16(path: str, data: np.ndarray, west: float, north: float,
+                         sx: float, sy: float) -> None:
+    """Minimal int16 single-band GeoTIFF writer (deflate, one strip,
+    EPSG:4326) — for fixtures and tests; layout mirrors what read_geotiff
+    parses."""
+    import struct as _s
+
+    h, w = data.shape
+    payload = zlib.compress(data.astype("<i2").tobytes(), 9)
+
+    n_entries = 13
+    ifd_off = 8
+    ext_base = ifd_off + 2 + 12 * n_entries + 4
+    ext = bytearray()
+
+    def ext_put(fmt_str: str, *vals) -> int:
+        off = ext_base + len(ext)
+        ext.extend(_s.pack("<" + fmt_str, *vals))
+        return off
+
+    scale_off = ext_put("3d", sx, sy, 0.0)
+    tie_off = ext_put("6d", 0.0, 0.0, 0.0, west, north, 0.0)
+    geokey_off = ext_put("16H", 1, 1, 0, 3, 1024, 0, 1, 2, 1025, 0, 1, 1, 2048, 0, 1, 4326)
+    data_off = ext_base + len(ext)
+
+    entries = sorted([
+        (256, 3, 1, w),
+        (257, 3, 1, h),
+        (258, 3, 1, 16),
+        (259, 3, 1, 8),            # deflate
+        (262, 3, 1, 1),            # BlackIsZero
+        (273, 4, 1, data_off),     # strip offset
+        (277, 3, 1, 1),
+        (278, 3, 1, h),            # one strip
+        (279, 4, 1, len(payload)),
+        (339, 3, 1, 2),            # signed-int samples
+        (33550, 12, 3, scale_off),
+        (33922, 12, 6, tie_off),
+        (34735, 3, 16, geokey_off),
+    ])
+    assert len(entries) == n_entries
+    buf = bytearray(b"II*\x00" + _s.pack("<I", ifd_off))
+    buf += _s.pack("<H", n_entries)
+    for tag, typ, cnt, val in entries:
+        buf += _s.pack("<HHII", tag, typ, cnt, val)
+    buf += _s.pack("<I", 0)  # next IFD
+    buf += ext
+    buf += payload
+    with open(path, "wb") as f:
+        f.write(buf)
