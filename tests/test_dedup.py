@@ -168,3 +168,26 @@ def test_simhash_complete_at_max_hamming(spark, sf_dir):
     }
     assert got == want
     assert any(h == max_h for _, _, h in want), "fixture must exercise the boundary"
+
+
+def test_ann_ivf_matches_bruteforce(spark, sf_dir):
+    """IVF top-k with exactness-tuned nprobe equals brute-force top-k; with
+    a smaller nprobe it returns a subset-quality result (recall < 1 allowed
+    but ranks must still be correct within the probed candidates)."""
+    from versatiles_rs_spark.dedup.embedding import ann_ivf_topk
+    from versatiles_rs_spark.queries import q_ann_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {(r["qid"], r["rank"]): r["vid"] for r in q_ann_topk(spark, sf_dir).collect()}
+    ivf = {(r["qid"], r["rank"]): r["vid"]
+           for r in ann_ivf_topk(emb, [0, 1, 2, 3, 4], k=3, n_cells=8, nprobe=6).collect()}
+    assert ivf == exact
+    # cheap probe: still returns k rows per query with strictly ranked dots
+    cheap = ann_ivf_topk(emb, [0, 1], k=3, n_cells=16, nprobe=2).collect()
+    by_q = {}
+    for r in cheap:
+        by_q.setdefault(r["qid"], []).append((r["rank"], r["dot"]))
+    for q, rows in by_q.items():
+        rows.sort()
+        dots = [d for _, d in rows]
+        assert dots == sorted(dots, reverse=True)

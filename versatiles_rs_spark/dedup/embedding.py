@@ -146,3 +146,94 @@ def ann_lsh_topk(
     )
     w = Window.partitionBy("qid").orderBy(F.desc("dot"), F.asc("vid"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _kmeans_fit(sample: np.ndarray, k: int, iters: int = 10) -> np.ndarray:
+    """Deterministic k-means for the IVF coarse quantizer: init = first k
+    sample rows (sample order is deterministic), Lloyd iterations in numpy.
+    Runs on the driver over a bounded sample — the classic IVF train step."""
+    centroids = sample[:k].copy()
+    for _ in range(iters):
+        sims = sample @ centroids.T  # cosine on unit-norm inputs
+        assign = np.argmax(sims, axis=1)
+        for c in range(k):
+            m = assign == c
+            if m.any():
+                v = sample[m].mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    centroids[c] = v / n
+    return centroids
+
+
+def ann_ivf_topk(
+    vectors: DataFrame,
+    query_ids: list[int],
+    k: int = 3,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    train_sample: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the k-means-bucketed scale
+    path next to the sign-LSH one (ann_lsh_topk).
+
+    Train: deterministic k-means over a bounded driver-side sample.
+    Assign: one mapInPandas pass scores every vector against the broadcast
+    centroids (the inverted lists are just a cell_id column — at 100 TB this
+    is the partition/bucket key, and only nprobe/n_cells of the table is
+    scanned per query). Probe: each query's nprobe nearest cells are
+    exact-scored with the integer-quantized dot product.
+    Returns (qid, vid, dot, rank) like ann_lsh_topk/q_ann_topk.
+    """
+    spark = vectors.sparkSession
+    sample_rows = (
+        vectors.select(vec_col).limit(train_sample).toPandas()[vec_col].tolist()
+    )
+    sample = np.array(sample_rows, dtype=np.float64)
+    norms = np.linalg.norm(sample, axis=1, keepdims=True)
+    sample = sample / np.where(norms == 0, 1.0, norms)
+    centroids = _kmeans_fit(sample, min(n_cells, len(sample)))
+    bc = spark.sparkContext.broadcast(centroids)
+
+    cell_schema = StructType(
+        [StructField("vec_id", LongType()), StructField("cell", IntegerType())]
+    )
+
+    def assign(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cents = bc.value
+        for pdf in it:
+            m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            nm = np.linalg.norm(m, axis=1, keepdims=True)
+            m = m / np.where(nm == 0, 1.0, nm)
+            cell = np.argmax(m @ cents.T, axis=1).astype(np.int32)
+            yield pd.DataFrame({"vec_id": pdf[id_col].values, "cell": cell})
+
+    cells = vectors.select(id_col, vec_col).mapInPandas(assign, cell_schema)
+    qv = vectors.select(F.col(id_col).alias("vec_id"), _quantized(vec_col).alias("qv"))
+    member = cells.join(qv, "vec_id")
+
+    # per query: rank centroids, probe top nprobe cells
+    qrows = vectors.filter(F.col(id_col).isin(query_ids)).select(id_col, vec_col).collect()
+    probe_rows = []
+    for r in qrows:
+        v = np.asarray(r[vec_col], dtype=np.float64)
+        n = np.linalg.norm(v)
+        v = v / (n if n else 1.0)
+        order = np.argsort(-(centroids @ v))[:nprobe]
+        for c in order:
+            probe_rows.append((int(r[id_col]), int(c)))
+    probes = spark.createDataFrame(pd.DataFrame(probe_rows, columns=["qid", "cell"]))
+
+    cand = member.join(F.broadcast(probes), "cell").filter(
+        F.col("qid") != F.col("vec_id")
+    )
+    q_qv = qv.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("qid"), F.col("qv").alias("q_qv")
+    )
+    scored = cand.join(F.broadcast(q_qv), "qid").select(
+        "qid", F.col("vec_id").alias("vid"), _dot("q_qv", "qv").alias("dot")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("dot"), F.asc("vid"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

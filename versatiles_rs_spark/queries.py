@@ -783,6 +783,18 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(emb, [0, 1, 2, 3, 4], k=3, n_tables=8, probe_hamming=2)
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (k-means inverted-file) approximate top-k — the second ANN scale
+    path next to sign-LSH. The synthetic embeddings are near-uniform on the
+    sphere (no cluster structure), so exactness at oracle scale needs
+    nprobe/n_cells = 0.75; on real clustered embeddings the same code runs
+    with a much smaller scan fraction."""
+    from versatiles_rs_spark.dedup.embedding import ann_ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann_ivf_topk(emb, [0, 1, 2, 3, 4], k=3, n_cells=8, nprobe=6)
+
+
 O_ANN_LSH_TOPK = """
 WITH scored AS (
   SELECT a.vec_id AS qid, b.vec_id AS vid,
@@ -1063,6 +1075,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_neardup": q_simhash_neardup,
     "embedding_neardup": q_embedding_neardup,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "ngram_jaccard": q_ngram_jaccard,
     "doc_fingerprint": q_doc_fingerprint,
     "token_count_bpe": q_token_count_bpe,
@@ -1099,6 +1112,7 @@ ORACLES: dict[str, str] = {
     "simhash_neardup": O_SIMHASH_NEARDUP,
     "embedding_neardup": O_EMBEDDING_NEARDUP,
     "ann_lsh_topk": O_ANN_LSH_TOPK,
+    "ann_ivf_topk": O_ANN_LSH_TOPK,
     "ngram_jaccard": O_NGRAM_JACCARD,
     "doc_fingerprint": O_DOC_FINGERPRINT,
     "token_count_bpe": O_TOKEN_COUNT_BPE,
