@@ -47,3 +47,51 @@ def test_stateful_tile_stats_accumulates_across_batches(spark, tmp_path, sf_dir)
     w = want.set_index(["x", "y"])["n_events"].sort_index()
     pd.testing.assert_series_equal(g, w, check_names=False)
     assert (got["nu"] >= 1).all() and (got["nu"] <= 64).all()
+
+
+def test_streaming_convert_incremental(spark, tmp_path):
+    """Dirty-tile streaming convert: after streaming the same points in two
+    chunks, read_latest_tiles equals the batch render of all points —
+    including tiles whose content changed between micro-batches."""
+    import pandas as pd
+
+    from versatiles_rs_spark.operators.convert import render_point_tiles
+    from versatiles_rs_spark.queries import _docs_geo
+    from versatiles_rs_spark.streaming.tiling import (
+        read_latest_tiles,
+        streaming_convert,
+    )
+    from versatiles_rs_spark.tile_math.coords import lonlat_to_tile_cols
+    from pyspark.sql import functions as F
+
+    zoom = 4
+    docs = _docs_geo(spark, "/root/testdata/sf0.001").select("doc_id", "lon", "lat")
+    pdf = docs.toPandas().sort_values("doc_id")
+    src = tmp_path / "incoming"
+    src.mkdir()
+    # two chunks that overlap in tile space -> second batch must re-render
+    pdf.iloc[: len(pdf) // 2].to_json(src / "a.json", orient="records", lines=True)
+    pdf.iloc[len(pdf) // 2 :].to_json(src / "b.json", orient="records", lines=True)
+
+    stream = (
+        spark.readStream.schema("doc_id long, lon double, lat double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out = tmp_path / "out"
+    q = streaming_convert(
+        stream, str(out), zoom, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["z"], r["x"], r["y"]): bytes(r["tile"])
+        for r in read_latest_tiles(spark, str(out)).collect()
+    }
+    x, y = lonlat_to_tile_cols(F.col("lon"), F.col("lat"), zoom)
+    assigned = docs.withColumn("z", F.lit(zoom)).withColumn("x", x).withColumn("y", y)
+    want = {
+        (r["z"], r["x"], r["y"]): bytes(r["tile"])
+        for r in render_point_tiles(assigned, layer_name="pages", props_cols=[]).collect()
+    }
+    assert got == want
