@@ -123,3 +123,87 @@ def test_raster_mask_overlapping_polygons_or_semantics(spark):
     )
     # sanity: a tile far outside both polygons is dropped
     assert (7, 0) not in blob
+
+
+def test_dem_scale_down_rgb_round_half_up():
+    from versatiles_rs_spark.functions.raster import dem_scale_down
+
+    # 2x2 block with raw values summing to 4k+2 must round UP (reference
+    # (sum + 2) / 4 integer division, dem_overview.rs:53).
+    img = np.zeros((2, 2, 3), np.uint8)
+    # raws: 1, 1, 0, 0 -> sum 2 -> (2+2)//4 = 1
+    img[0, 0] = (0, 0, 1)
+    img[0, 1] = (0, 0, 1)
+    out = dem_scale_down(img)
+    assert out.shape == (1, 1, 3)
+    assert tuple(out[0, 0]) == (0, 0, 1)
+
+
+def test_dem_scale_down_rgba_skips_transparent():
+    from versatiles_rs_spark.functions.raster import dem_scale_down
+
+    img = np.zeros((2, 2, 4), np.uint8)
+    img[0, 0] = (0, 0, 100, 255)  # only visible pixel
+    img[0, 1] = (0, 0, 7, 0)      # transparent: excluded from raw average
+    out = dem_scale_down(img)
+    assert tuple(out[0, 0][:3]) == (0, 0, 100)
+    assert out[0, 0][3] == (255 + 2) // 4
+    # fully transparent block -> (0,0,0,0)
+    img2 = np.zeros((2, 2, 4), np.uint8)
+    img2[..., 2] = 9
+    assert tuple(dem_scale_down(img2)[0, 0]) == (0, 0, 0, 0)
+
+
+def test_dem_tile_resize_split_crops_and_level0(spark):
+    from versatiles_rs_spark.functions.raster import dem_scale_down
+    from versatiles_rs_spark.operators.raster_ops import dem_tile_resize
+
+    # 512px DEM tile with a distinct value per quadrant.
+    img = np.zeros((512, 512, 3), np.uint8)
+    for dy in (0, 1):
+        for dx in (0, 1):
+            img[dy * 256 : (dy + 1) * 256, dx * 256 : (dx + 1) * 256, 2] = 10 * (dy * 2 + dx + 1)
+    df = _tiles_df(spark, [(0, 0, 0, "png", "none", png_encode(img), 0)])
+    rows = {(r["z"], r["x"], r["y"]): r for r in dem_tile_resize(df, 256).collect()}
+    # 4 crops at z1 + scaled-down level 0
+    assert set(rows) == {(0, 0, 0), (1, 0, 0), (1, 1, 0), (1, 0, 1), (1, 1, 1)}
+    for (dz, dx, dy), want in [((1, 0, 0), 10), ((1, 1, 0), 20), ((1, 0, 1), 30), ((1, 1, 1), 40)]:
+        sub = png_decode(bytes(rows[(dz, dx, dy)]["tile"]))
+        assert sub.shape[:2] == (256, 256)
+        assert int(sub[0, 0, 2]) == want and int(sub[-1, -1, 2]) == want
+    lvl0 = png_decode(bytes(rows[(0, 0, 0)]["tile"]))
+    np.testing.assert_array_equal(lvl0, dem_scale_down(img))
+
+
+def test_dem_tile_resize_merge_pastes_and_transparent_gap(spark):
+    from versatiles_rs_spark.operators.raster_ops import dem_tile_resize
+
+    def tile(v):
+        im = np.zeros((256, 256, 3), np.uint8)
+        im[..., 2] = v
+        return png_encode(im)
+
+    # 3 of 4 children present; z=0 row must be ignored (no parent scheme).
+    df = _tiles_df(
+        spark,
+        [
+            (1, 0, 0, "png", "none", tile(10), 0),
+            (1, 1, 0, "png", "none", tile(20), 0),
+            (1, 1, 1, "png", "none", tile(40), 0),
+            (0, 0, 0, "png", "none", tile(99), 0),
+        ],
+    )
+    rows = dem_tile_resize(df, 512).collect()
+    assert [(r["z"], r["x"], r["y"]) for r in rows] == [(0, 0, 0)]
+    canvas = png_decode(bytes(rows[0]["tile"]))
+    assert canvas.shape == (512, 512, 4)
+    assert tuple(canvas[0, 0]) == (0, 0, 10, 255)
+    assert tuple(canvas[0, 511]) == (0, 0, 20, 255)
+    assert tuple(canvas[511, 511]) == (0, 0, 40, 255)
+    assert tuple(canvas[511, 0]) == (0, 0, 0, 0)  # missing child stays transparent
+
+
+def test_dem_tile_resize_vpl_registered(spark):
+    from versatiles_rs_spark.plans.vpl import TRANSFORM_OPS
+
+    assert "dem_tile_resize" in TRANSFORM_OPS

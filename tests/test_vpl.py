@@ -202,3 +202,20 @@ def test_from_tilejson_local(spark, tmp_path):
 
     with pytest.raises(NotImplementedError, match="network"):
         build_pipeline(spark, f'from_tilejson url="{tj2}"')
+
+
+def test_vpl_dem_tile_resize_pipeline(spark):
+    """Registry parity with operations/mod.rs:16: dem_tile_resize builds and
+    runs through VPL; tile_size is required at build time
+    (dem_tile_resize.rs:34)."""
+    with pytest.raises(VplError):
+        build_pipeline(spark, "from_color color=[1,2,3,255] level_max=2 | dem_tile_resize")
+    df = build_pipeline(
+        spark, "from_color color=[1,2,3,255] level_max=2 | dem_tile_resize tile_size=512"
+    )
+    rows = df.collect()
+    # from_color levels 1..2 merge to 512px parents at levels 0..1
+    assert {r["z"] for r in rows} == {0, 1}
+    from versatiles_rs_spark.functions.raster import png_decode
+
+    assert png_decode(bytes(rows[0]["tile"])).shape[:2] == (512, 512)

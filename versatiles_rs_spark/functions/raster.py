@@ -267,6 +267,37 @@ def dem_decode(rgb: np.ndarray, schema: str = "terrarium") -> np.ndarray:
     raise ValueError(schema)
 
 
+def dem_scale_down(img: np.ndarray) -> np.ndarray:
+    """Halve a DEM tile by averaging *raw* 24-bit values over 2x2 pixel
+    blocks (dem_overview.rs:35-93 dem_scale_down). RGB path: avg =
+    (sum + 2) / 4 (round-half-up integer division, exactly as the
+    reference). RGBA path: average raw over pixels with a > 0 only,
+    avg = (sum + count/2) / count, alpha averaged channel-wise; all-
+    transparent blocks become (0,0,0,0)."""
+    h, w, c = img.shape
+    raw = (
+        img[..., 0].astype(np.uint64) << 16
+    ) | (img[..., 1].astype(np.uint64) << 8) | img[..., 2].astype(np.uint64)
+    blocks = raw.reshape(h // 2, 2, w // 2, 2)
+    if c == 3:
+        avg = (blocks.sum(axis=(1, 3)) + 2) // 4
+        return np.stack(
+            [(avg >> 16) & 0xFF, (avg >> 8) & 0xFF, avg & 0xFF], axis=-1
+        ).astype(np.uint8)
+    a = img[..., 3].astype(np.uint64).reshape(h // 2, 2, w // 2, 2)
+    visible = a > 0
+    count = visible.sum(axis=(1, 3)).astype(np.uint64)
+    vsum = np.where(visible, blocks, 0).sum(axis=(1, 3))
+    safe = np.maximum(count, 1)
+    avg = (vsum + count // 2) // safe
+    avg = np.where(count > 0, avg, 0)
+    avg_alpha = np.minimum((a.sum(axis=(1, 3)) + 2) // 4, 255)
+    avg_alpha = np.where(count > 0, avg_alpha, 0)
+    return np.stack(
+        [(avg >> 16) & 0xFF, (avg >> 8) & 0xFF, avg & 0xFF, avg_alpha], axis=-1
+    ).astype(np.uint8)
+
+
 def dem_average_quad(quads: list[np.ndarray | None], size: int) -> np.ndarray:
     """dem_overview semantics: average *raw* 24-bit values of 2x2 children
     then downscale (dem_overview.rs)."""

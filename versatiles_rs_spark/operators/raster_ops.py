@@ -183,6 +183,98 @@ def raster_tile_split(tiles: DataFrame, size: int = 256) -> DataFrame:
     return tiles.mapInPandas(run, schema=TILE_SCHEMA)
 
 
+def dem_tile_resize(tiles: DataFrame, tile_size: int = 256) -> DataFrame:
+    """Convert DEM tile size between 256px and 512px
+    (operations/dem/dem_tile_resize.rs + helpers/tile_resize.rs).
+
+    tile_size=256 (split, source must be 512px): each source tile at
+    (z, x, y) is CROPPED into four 256px quadrants emitted at
+    (z+1, 2x+dx, 2y+dy) — no resampling (tile_resize.rs:141-158
+    process_split_tile). The source (0,0,0) additionally produces the
+    output level-0 tile via dem_scale_down (24-bit raw-value averaging,
+    not channel-wise — dem_tile_resize.rs:13-14).
+
+    tile_size=512 (merge, source must be 256px): the four children at
+    (z+1, 2x+dx, 2y+dy) are pasted onto a 512px RGBA canvas at
+    (256*dx, 256*dy); missing children stay transparent
+    (tile_resize.rs:160-192 process_merge_tile).
+
+    Spark shape: split is a shuffle-free flat-map (mapInPandas); merge is
+    one hash aggregation keyed on the parent coord (grouped_tile_map),
+    identical shape to raster_overview — both scale as a single pass.
+    """
+    from versatiles_rs_spark.functions.raster import dem_scale_down
+
+    if tile_size not in (256, 512):
+        raise ValueError("dem_tile_resize: tile_size must be 256 or 512")
+
+    if tile_size == 256:
+        def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                rows = []
+                for _, r in pdf.iterrows():
+                    img = png_decode(decompress(bytes(r["tile"]), r["compression"]))
+                    if img.shape[0] != 512 or img.shape[1] != 512:
+                        raise ValueError(
+                            "dem_tile_resize 256: source tiles must be 512px, "
+                            f"got {img.shape[1]}x{img.shape[0]}"
+                        )
+                    z, x, y = int(r["z"]), int(r["x"]), int(r["y"])
+                    if z == 0:
+                        blob = compress(png_encode(dem_scale_down(img)), r["compression"])
+                        rows.append((0, 0, 0, "png", r["compression"], blob, 0))
+                    for dy in (0, 1):
+                        for dx in (0, 1):
+                            sub = img[dy * 256 : (dy + 1) * 256, dx * 256 : (dx + 1) * 256]
+                            blob = compress(png_encode(sub), r["compression"])
+                            rows.append((z + 1, x * 2 + dx, y * 2 + dy,
+                                         "png", r["compression"], blob, 0))
+                if rows:
+                    yield pd.DataFrame(
+                        rows,
+                        columns=["z", "x", "y", "format", "compression", "tile", "n_features"],
+                    )
+
+        return tiles.mapInPandas(run, schema=TILE_SCHEMA)
+
+    def body(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for (pz, px, py), idx in pdf.groupby(["pz", "px", "py"], sort=False).indices.items():
+            sub = pdf.iloc[idx]
+            canvas = np.zeros((512, 512, 4), dtype=np.uint8)
+            compression = sub.iloc[0]["compression"]
+            for _, r in sub.iterrows():
+                img = png_decode(decompress(bytes(r["tile"]), r["compression"]))
+                if img.shape[0] != 256 or img.shape[1] != 256:
+                    raise ValueError(
+                        "dem_tile_resize 512: source tiles must be 256px, "
+                        f"got {img.shape[1]}x{img.shape[0]}"
+                    )
+                if img.shape[2] == 3:
+                    img = np.concatenate(
+                        [img, np.full((256, 256, 1), 255, np.uint8)], axis=2
+                    )
+                dx, dy = int(r["x"]) & 1, int(r["y"]) & 1
+                canvas[dy * 256 : (dy + 1) * 256, dx * 256 : (dx + 1) * 256] = img
+            blob = compress(png_encode(canvas), compression)
+            rows.append((int(pz), int(px), int(py), "png", compression, blob, 0))
+        return pd.DataFrame(
+            rows, columns=["z", "x", "y", "format", "compression", "tile", "n_features"]
+        )
+
+    # The reference validates source_max >= 1 against pyramid metadata at
+    # build time (tile_resize.rs:88-92); here z=0 source tiles simply have
+    # no parent in the 512px scheme and are filtered out declaratively —
+    # no extra validation job over the data.
+    keyed = (
+        tiles.where(F.col("z") >= 1)
+        .withColumn("pz", F.col("z") - 1)
+        .withColumn("px", F.shiftright("x", 1))
+        .withColumn("py", F.shiftright("y", 1))
+    )
+    return grouped_tile_map(keyed, body, TILE_SCHEMA, key_cols=("pz", "px", "py"))
+
+
 def parse_quality_schedule(spec: str) -> tuple[int, list[tuple[int, int]]]:
     """Parse the reference's zoom-dependent quality syntax
     (raster_format.rs:16-18): "70,14:50,15:20" -> default 70, then quality

@@ -484,6 +484,15 @@ def _op_raster_tile_resize(df: DataFrame, node: VplNode) -> DataFrame:
     return raster_tile_split(df, size=int(node.props.get("tile_size", 256)))
 
 
+@register_transform("dem_tile_resize")
+def _op_dem_tile_resize(df: DataFrame, node: VplNode) -> DataFrame:
+    """Registry parity with operations/mod.rs:16 (dem::dem_tile_resize).
+    tile_size is required by the reference (dem_tile_resize.rs:34)."""
+    from versatiles_rs_spark.operators.raster_ops import dem_tile_resize
+
+    return dem_tile_resize(df, tile_size=int(_req(node, "tile_size")))
+
+
 @register_transform("dem_overview")
 def _op_dem_overview(df: DataFrame, node: VplNode) -> DataFrame:
     from versatiles_rs_spark.operators.overview import build_overviews
