@@ -143,7 +143,7 @@ def knn_cell_ring(
     pts = pts.persist()
     try:
         remaining = {q[0]: q for q in queries}
-        results: list[DataFrame] = []
+        completed: list[tuple[int, int, float, int]] = []
         ring = 1
         while remaining and ring <= max_ring:
             cand_rows = []
@@ -177,21 +177,31 @@ def knn_cell_ring(
                 scored.withColumn("rank", F.row_number().over(w))
                 .filter(F.col("rank") <= k)
             )
-            got = topk.groupBy("qid").agg(
-                F.count("*").alias("n"), F.max("dist2").alias("worst")
-            ).collect()
-            done_ids = {
-                r["qid"]
-                for r in got
-                if r["n"] >= k and r["worst"] <= guarantees[r["qid"]] ** 2
-            }
-            if done_ids:
-                done_df = topk.filter(F.col("qid").isin(list(done_ids)))
-                results.append(
-                    done_df.select("qid", "pid", F.round("dist2", 9).alias("dist2"), "rank")
-                )
-                remaining = {qid: q for qid, q in remaining.items() if qid not in done_ids}
+            # ONE job per ring: the top-k rows themselves are tiny
+            # (<= len(remaining) * k), so collect them directly instead of a
+            # stats-only aggregate followed by a full recompute of the same
+            # topk lineage at the end of the loop (round-2 shape: 2 Spark
+            # jobs per ring; now 1).
+            by_q: dict[int, list] = {}
+            for r in topk.collect():
+                by_q.setdefault(r["qid"], []).append(r)
+            for qid, rows in by_q.items():
+                if len(rows) >= k and max(x["dist2"] for x in rows) <= guarantees[qid] ** 2:
+                    completed.extend(
+                        (qid, int(x["pid"]), float(x["dist2"]), int(x["rank"])) for x in rows
+                    )
+                    del remaining[qid]
             ring *= 2
+        results: list[DataFrame] = []
+        if completed:
+            done_df = spark.createDataFrame(
+                pd.DataFrame(completed, columns=["qid", "pid", "dist2", "rank"]),
+                schema="qid long, pid long, dist2 double, rank int",
+            )
+            # round Spark-side so the rounding rule matches knn_bruteforce
+            results.append(
+                done_df.select("qid", "pid", F.round("dist2", 9).alias("dist2"), "rank")
+            )
         if remaining:  # fall back to exact for stragglers (e.g. poles)
             results.append(
                 knn_bruteforce(points, list(remaining.values()), k, id_col, lon_col, lat_col)
