@@ -191,3 +191,36 @@ def test_ann_ivf_matches_bruteforce(spark, sf_dir):
         rows.sort()
         dots = [d for _, d in rows]
         assert dots == sorted(dots, reverse=True)
+
+
+def test_shingle_hash_vectorized_matches_horner_reference():
+    """The prefix-sum formulation in _shingle_hashes must equal the plain
+    per-gram Horner evaluation h = h*P + byte mod 2^64 (the definition the
+    DuckDB simhash oracle implements in SQL)."""
+    import random
+
+    from versatiles_rs_spark.dedup.minhash import _shingle_hashes, _splitmix64
+
+    def horner(text, n):
+        toks = text.split()
+        if not toks:
+            return np.zeros(1, dtype=np.uint64)
+        grams = (
+            [" ".join(toks)]
+            if len(toks) < n
+            else [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+        )
+        out = np.empty(len(grams), dtype=np.uint64)
+        for i, g in enumerate(grams):
+            h = 0
+            for b in g.encode("utf-8"):
+                h = (h * 0x100000001B3 + b) % (1 << 64)
+            out[i] = np.uint64(h)
+        return np.unique(_splitmix64(out))
+
+    rng = random.Random(7)
+    words = ["alpha", "beta", "gamma", "x", "naïve", "東京", "a" * 50]
+    for _ in range(60):
+        t = " ".join(rng.choice(words) for _ in range(rng.randint(0, 10)))
+        for n in (1, 3, 5):
+            assert np.array_equal(_shingle_hashes(t, n), horner(t, n))

@@ -35,24 +35,49 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
         return x ^ (x >> np.uint64(31))
 
 
+_POLY_P = np.uint64(0x100000001B3)  # FNV prime reused as the odd Horner multiplier
+_POLY_P_INV = np.uint64(pow(0x100000001B3, -1, 1 << 64))
+
+
 def _shingle_hashes(text: str, n: int) -> np.ndarray:
+    """All word-n-gram hashes of ``text`` in O(bytes) vectorized numpy ops.
+
+    Stable 64-bit content hash (python's hash() is salted): a polynomial
+    rolling hash H(s,e) = sum_{j=s}^{e-1} d[j] * P^(e-1-j) mod 2^64 over the
+    byte array of the space-normalized text — equal to Horner's
+    h = h*P + byte over the gram's bytes — then splitmix64 to spread
+    (reduce_points.rs:139 mixer, unchanged). Every gram hash is recovered
+    from one prefix-sum pass: pre[i] = sum_{j<i} d[j] * P^-j (P odd, hence
+    invertible mod 2^64), H(s,e) = (pre[e]-pre[s]) * P^(e-1). No per-gram
+    string construction, no per-byte Python loop."""
     toks = text.split()
     if not toks:
         return np.zeros(1, dtype=np.uint64)
-    if len(toks) < n:
-        grams = [" ".join(toks)]
-    else:
-        grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
-    # stable 64-bit content hash: python's hash() is salted, so use a simple
-    # FNV-1a over utf-8 bytes then splitmix to spread
-    out = np.empty(len(grams), dtype=np.uint64)
-    for i, g in enumerate(grams):
-        h = np.uint64(0xCBF29CE484222325)
-        with np.errstate(over="ignore"):
-            for b in g.encode("utf-8"):
-                h = (h ^ np.uint64(b)) * np.uint64(0x100000001B3)
-        out[i] = h
-    return np.unique(_splitmix64(out))
+    enc = [t.encode("utf-8") for t in toks]
+    data = np.frombuffer(b" ".join(enc), dtype=np.uint8).astype(np.uint64)
+    length = data.shape[0]
+    with np.errstate(over="ignore"):
+        pw = np.full(length, _POLY_P, dtype=np.uint64)
+        pw[0] = np.uint64(1)
+        powers = np.cumprod(pw)  # powers[i] = P^i mod 2^64
+        ipw = np.full(length, _POLY_P_INV, dtype=np.uint64)
+        ipw[0] = np.uint64(1)
+        inv_powers = np.cumprod(ipw)  # inv_powers[i] = P^-i mod 2^64
+        pre = np.zeros(length + 1, dtype=np.uint64)
+        pre[1:] = np.cumsum(data * inv_powers)
+        lens = np.array([len(b) for b in enc], dtype=np.int64)
+        starts = np.zeros(len(enc), dtype=np.int64)
+        if len(enc) > 1:
+            starts[1:] = np.cumsum(lens[:-1] + 1)
+        if len(toks) < n:
+            s = np.zeros(1, dtype=np.int64)
+            e = np.array([length], dtype=np.int64)
+        else:
+            m = len(toks) - n + 1
+            s = starts[:m]
+            e = starts[n - 1 :] + lens[n - 1 :]
+        h = (pre[e] - pre[s]) * powers[e - 1]
+    return np.unique(_splitmix64(h))
 
 
 def _signature(sh: np.ndarray, num_hashes: int, seeds: np.ndarray) -> np.ndarray:

@@ -6,7 +6,8 @@ Candidate generation uses the standard 4x16-bit block permutation trick:
 docs sharing any of the 4 blocks are candidates (guarantees recall for
 Hamming distance <= 3), then exact Hamming verification.
 
-Deterministic: the same FNV-1a + splitmix64 token hashing as minhash.py.
+Deterministic: the same polynomial-rolling-hash + splitmix64 token hashing
+as minhash.py (vectorized, no per-byte Python).
 Shuffle profile: one groupBy per block table (4 total), each map-side
 combinable.
 """

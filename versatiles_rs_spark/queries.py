@@ -667,8 +667,11 @@ FROM pairs WHERE j >= 0.5
 
 def _sql_simhash_sigs() -> str:
     """DuckDB CTE computing the EXACT 64-bit SimHash of dedup.simhash
-    (FNV-1a over utf-8 -> splitmix64 -> per-bit votes, 3-gram shingles)
-    with HUGEINT modular arithmetic — a true cross-engine signature oracle."""
+    (polynomial rolling hash h = h*P + byte mod 2^64, P = the FNV prime,
+    -> splitmix64 -> per-bit votes, 3-gram shingles) with HUGEINT modular
+    arithmetic — a true cross-engine signature oracle. The reduce below is
+    the Horner form of minhash._shingle_hashes' prefix-sum formulation;
+    both compute sum d[j] * P^(len-1-j) mod 2^64 per gram."""
     m64 = "18446744073709551616::HUGEINT"
 
     def mulmod(a: str, c: int) -> str:
@@ -689,12 +692,12 @@ def _sql_simhash_sigs() -> str:
     s = mulmod(xor64(s, shr(s, 30)), 0xBF58476D1CE4E5B9)
     s = mulmod(xor64(s, shr(s, 27)), 0x94D049BB133111EB)
     splitmix = xor64(s, shr(s, 31))
-    fnv = (
-        f"list_reduce(list_prepend({0xCBF29CE484222325}::HUGEINT, "
+    poly = (
+        "list_reduce(list_prepend(0::HUGEINT, "
         "list_transform(range(1, length(g) + 1), i -> ord(substr(g, i, 1))::HUGEINT)), "
-        f"(h, c) -> {mulmod(xor64('h', 'c'), 0x100000001B3)})"
+        f"(h, c) -> (({mulmod('h', 0x100000001B3)}) + c) % {m64})"
     )
-    gram_hash = splitmix.replace("(x)", f"({fnv})")
+    gram_hash = splitmix.replace("(x)", f"({poly})")
     return f"""
 hashes AS (
   SELECT doc_id,
