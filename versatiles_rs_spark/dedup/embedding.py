@@ -112,29 +112,77 @@ def ann_lsh_topk(
     1.0 — tune (n_planes, n_tables) for the recall/cost point.
     Returns (qid, vid, dot, rank).
     """
-    sample = vectors.select(vec_col).first()
-    dim = len(sample[0])
-    qv = vectors.select(F.col(id_col).alias("vec_id"), _quantized(vec_col).alias("qv"))
     spark = vectors.sparkSession
+    qv = vectors.select(F.col(id_col).alias("vec_id"), _quantized(vec_col).alias("qv"))
 
-    cand = None
-    for t in range(n_tables):
-        planes = _hyperplanes(dim, n_planes, seed=42 + 1000 * t)
-        buckets = _bucket_df(vectors, planes, id_col, vec_col)
-        qrows = buckets.filter(F.col("vec_id").isin(query_ids)).collect()
-        probe_rows = []
-        for r in qrows:
-            probes = {r["bucket"]}
+    # ONE bounded collect: the query vectors themselves (query_ids is a
+    # driver-side list). Round-2 shape ran n_tables separate bucket passes
+    # over the whole table plus n_tables driver collects; now all tables'
+    # hyperplanes are stacked into a single (T*P, dim) matrix so bucketing
+    # is one matmul in one mapInPandas pass, and query buckets are computed
+    # driver-side from the collected query vectors (the IVF path's shape).
+    qrows = vectors.filter(F.col(id_col).isin(query_ids)).select(id_col, vec_col).collect()
+    if not qrows:
+        raise ValueError("ann_lsh_topk: no query_ids present in vectors")
+    dim = len(qrows[0][vec_col])
+    stacked = np.vstack(
+        [_hyperplanes(dim, n_planes, seed=42 + 1000 * t) for t in range(n_tables)]
+    )
+
+    def codes_of(m: np.ndarray) -> np.ndarray:
+        """(N, dim) -> (N, n_tables) int32 bucket codes in one matmul."""
+        signs = (m @ stacked.T) > 0  # (N, T*P)
+        weights = 1 << np.arange(n_planes, dtype=np.int64)
+        return (
+            (signs.reshape(m.shape[0], n_tables, n_planes) * weights).sum(axis=2)
+        ).astype(np.int32)
+
+    qm = np.array([r[vec_col] for r in qrows], dtype=np.float64)
+    qcodes = codes_of(qm)
+    probe_rows = []
+    for qi, r in enumerate(qrows):
+        for t in range(n_tables):
+            probes = {int(qcodes[qi, t])}
             for _ in range(probe_hamming):  # expand to Hamming <= probe_hamming
                 probes |= {b ^ (1 << i) for b in probes for i in range(n_planes)}
-            for pb in probes:
-                probe_rows.append((r["vec_id"], pb))
-        probes_df = spark.createDataFrame(pd.DataFrame(probe_rows, columns=["qid", "bucket"]))
-        hits = buckets.join(F.broadcast(probes_df), "bucket").select(
-            "qid", F.col("vec_id").alias("vid")
-        )
-        cand = hits if cand is None else cand.unionByName(hits)
-    cand = cand.filter(F.col("qid") != F.col("vid")).distinct()
+            probe_rows.extend((int(r[id_col]), t, pb) for pb in probes)
+    probes_df = spark.createDataFrame(
+        pd.DataFrame(probe_rows, columns=["qid", "table", "bucket"])
+    )
+
+    bc = spark.sparkContext.broadcast(stacked)
+    multi_schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("table", IntegerType()),
+            StructField("bucket", IntegerType()),
+        ]
+    )
+
+    def assign(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pl = bc.value
+        w = 1 << np.arange(n_planes, dtype=np.int64)
+        for pdf in it:
+            if pdf.empty:
+                continue
+            m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            signs = (m @ pl.T) > 0
+            codes = (signs.reshape(len(pdf), n_tables, n_planes) * w).sum(axis=2)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf[id_col].values, n_tables),
+                    "table": np.tile(np.arange(n_tables, dtype=np.int32), len(pdf)),
+                    "bucket": codes.astype(np.int32).ravel(),
+                }
+            )
+
+    buckets = vectors.select(id_col, vec_col).mapInPandas(assign, multi_schema)
+    cand = (
+        buckets.join(F.broadcast(probes_df), ["table", "bucket"])
+        .select("qid", F.col("vec_id").alias("vid"))
+        .filter(F.col("qid") != F.col("vid"))
+        .distinct()
+    )
 
     q_qv = qv.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("qid"), F.col("qv").alias("q_qv")
