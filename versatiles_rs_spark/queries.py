@@ -1049,6 +1049,95 @@ FROM pts CROSS JOIN zs GROUP BY 1, 2, 3
 
 
 # ---------------------------------------------------------------------------
+# 16. shortbread fixture decode (external MVT wire-format validation)
+# ---------------------------------------------------------------------------
+
+# The reference's only real-world vector tile — produced by external
+# shortbread tooling, decoded by versatiles_geometry/src/vector_tile/
+# tile.rs:41 from_blob in the reference's own tests. Decoding it here
+# validates the MVT reader against a third-party encoder, not just our own
+# encode/decode symmetry.
+SHORTBREAD_PBF = "/root/reference/testdata/shortbread-tile.pbf"
+
+_SHORTBREAD_STAT_COLS = [
+    "layer", "extent", "n_features", "n_rings", "n_vertices",
+    "n_props", "n_points", "n_lines", "n_polys",
+]
+
+
+def q_shortbread_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-layer stats of the shortbread fixture, decoded through the
+    engine's Arrow-batched MVT path (one mapInPandas over binaryFile rows —
+    the same shape used to ingest third-party MVT tilesets at scale). The
+    oracle is a literal expectation table; tests/test_reference_fixtures.py
+    re-derives the same counts with an independent generic protobuf TLV
+    walker, so the constants are not self-referential."""
+    from versatiles_rs_spark.functions.mvt import decode_tile
+
+    df = spark.read.format("binaryFile").load(SHORTBREAD_PBF).select("content")
+
+    def stats(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for blob in pdf["content"]:
+                for name, layer in decode_tile(bytes(blob)).items():
+                    fs = layer["features"]
+                    rows.append(
+                        (
+                            name,
+                            int(layer["extent"]),
+                            len(fs),
+                            sum(len(f.rings) for f in fs),
+                            sum(len(r) for f in fs for r in f.rings),
+                            sum(len(f.props) for f in fs),
+                            sum(1 for f in fs if f.geom_type == 1),
+                            sum(1 for f in fs if f.geom_type == 2),
+                            sum(1 for f in fs if f.geom_type == 3),
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=_SHORTBREAD_STAT_COLS)
+
+    schema = (
+        "layer string, extent int, n_features bigint, n_rings bigint, "
+        "n_vertices bigint, n_props bigint, n_points bigint, n_lines bigint, "
+        "n_polys bigint"
+    )
+    return df.mapInPandas(stats, schema)
+
+
+_SHORTBREAD_EXPECTED = [
+    ("addresses", 4096, 2609, 2609, 2609, 2614, 2609, 0, 0),
+    ("buildings", 4096, 2328, 2356, 32250, 2328, 0, 0, 2328),
+    ("land", 4096, 871, 886, 17503, 871, 0, 0, 871),
+    ("place_labels", 4096, 6, 6, 6, 30, 6, 0, 0),
+    ("public_transport", 4096, 4, 4, 4, 16, 4, 0, 0),
+    ("sites", 4096, 333, 334, 3098, 333, 0, 0, 333),
+    ("street_labels", 4096, 608, 608, 2867, 4256, 0, 608, 0),
+    ("street_polygons", 4096, 11, 18, 367, 54, 0, 0, 11),
+    ("streets", 4096, 4224, 4225, 17013, 25296, 0, 4224, 0),
+    ("streets_polygons_labels", 4096, 11, 11, 11, 17, 11, 0, 0),
+    ("water_lines", 4096, 1, 1, 5, 1, 0, 1, 0),
+    ("water_polygons", 4096, 7, 7, 136, 7, 0, 0, 7),
+    ("water_polygons_labels", 4096, 2, 2, 2, 8, 2, 0, 0),
+]
+
+O_SHORTBREAD_LAYERS = (
+    "SELECT layer, CAST(extent AS INTEGER) AS extent, "
+    + ", ".join(
+        f"CAST({c} AS BIGINT) AS {c}" for c in _SHORTBREAD_STAT_COLS[2:]
+    )
+    + " FROM (VALUES "
+    + ", ".join(
+        "(" + ", ".join(repr(v) if isinstance(v, str) else str(v) for v in row) + ")"
+        for row in _SHORTBREAD_EXPECTED
+    )
+    + f") AS t({', '.join(_SHORTBREAD_STAT_COLS)})"
+)
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1087,6 +1176,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "coord_set_ops": q_coord_set_ops,
     "sort_index_key": q_sort_index_key,
     "salted_tile_stats": q_salted_tile_stats,
+    "shortbread_layers": q_shortbread_layers,
 }
 
 ORACLES: dict[str, str] = {
@@ -1124,4 +1214,5 @@ ORACLES: dict[str, str] = {
     "coord_set_ops": O_COORD_SET_OPS,
     "sort_index_key": O_SORT_INDEX_KEY,
     "salted_tile_stats": O_SALTED_TILE_STATS,
+    "shortbread_layers": O_SHORTBREAD_LAYERS,
 }
