@@ -126,3 +126,116 @@ def test_ternary():
 def test_malformed_fails_at_compile(bad):
     with pytest.raises(CelParseError):
         compile_cel(bad)
+
+
+# ---------------------------------------------------------------------------
+# Catalyst translation (cel_to_column): exact equivalence with compile_cel
+# on the stringified-props surface, and codegen placement of the filter.
+# ---------------------------------------------------------------------------
+
+_PUSHDOWN_CORPUS = [
+    # (expr, expected translatable?)
+    ("kind == 'ferry'", True),
+    ("name == null || name == 'Berlin'", True),
+    ("props['addr:street'] == 'Hauptstr.'", True),
+    ("props['addr:street'] != 'Hauptstr.'", True),  # error (missing key) -> drop
+    ("name != 'Berlin'", True),  # null != 'x' -> keep
+    ("'addr:street' in props", True),
+    ("has(props.name)", True),
+    ("has(props['addr:street'])", True),
+    ("highway in ['primary', 'secondary']", True),
+    ("name.startsWith('Ber')", True),
+    ("name.endsWith('lin')", True),
+    ("name.contains('erl')", True),
+    ("name.matches('^Ber.*')", True),
+    ("!(kind == 'ferry')", True),
+    ("kind == 'ferry' && name == 'X'", True),
+    ("kind == 'ferry' || name == 'Berlin'", True),
+    ("name < 'M'", True),
+    ("name >= 'B' && name <= 'C'", True),
+    ("population >= 1000", True),  # always-error on stringified props
+    ("kind == 'a' || population >= 1000", True),  # error absorption
+    ("kind == true", True),  # cross-type: constant false
+    ("name.size() > 2", False),  # size() not translated
+    ("population + 1 == 2", False),  # arithmetic not translated
+]
+
+_PROP_DICTS = [
+    {},
+    {"kind": "ferry"},
+    {"kind": "road", "name": "Berlin"},
+    {"name": "Bern"},
+    {"name": "Ber"},
+    {"name": "Munich", "highway": "primary"},
+    {"highway": "secondary"},
+    {"highway": "tertiary"},
+    {"addr:street": "Hauptstr."},
+    {"addr:street": "Nebenstr.", "name": "Celle"},
+    {"population": "1234", "kind": "a"},
+    {"population": "999"},
+    {"kind": "true"},
+    {"name": "A", "kind": "ferry"},
+    {"name": "X", "kind": "ferry"},
+]
+
+
+def test_cel_to_column_equivalence_corpus(spark):
+    import pandas as pd
+
+    from versatiles_rs_spark.functions.cel import cel_to_column
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"i": range(len(_PROP_DICTS)), "props": _PROP_DICTS}),
+        schema="i int, props map<string,string>",
+    )
+    for expr, translatable in _PUSHDOWN_CORPUS:
+        col = cel_to_column(expr)
+        assert (col is not None) == translatable, expr
+        if col is None:
+            continue
+        got = sorted(r["i"] for r in df.filter(col).collect())
+        pred = compile_cel(expr)
+        want = sorted(i for i, p in enumerate(_PROP_DICTS) if pred(p))
+        assert got == want, f"{expr}: spark={got} python={want}"
+
+
+def test_cel_to_column_runs_in_codegen(spark):
+    """The translated predicate must appear inside the scan/filter stage
+    with NO Python evaluation node in the plan."""
+    import pandas as pd
+
+    from versatiles_rs_spark.functions.cel import cel_to_column
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(3).select(
+        F.col("id").alias("i"),
+        F.create_map(F.lit("kind"), F.concat(F.lit("k"), F.col("id"))).alias("props"),
+    )
+    plan = (
+        df.filter(cel_to_column("kind == 'k1' && name != 'X'"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "EvalPython" not in plan  # no BatchEvalPython / ArrowEvalPython
+    # "*(n)" prefixes mark WholeStageCodegen stages in executedPlan output
+    assert "Filter" in plan and ("WholeStageCodegen" in plan or "*(" in plan)
+
+
+def test_filter_features_cel_fallback_full_semantics(spark):
+    """Outside the translatable subset, filter_features_cel must ship the
+    REAL evaluator (not the old regex rewriter): size() works, errors
+    absorb to false."""
+    import pandas as pd
+
+    from versatiles_rs_spark.functions.heuristics import filter_features_cel
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"i": [0, 1, 2], "props": [{"name": "Berlin"}, {"name": "Io"}, {}]}
+        ),
+        schema="i int, props map<string,string>",
+    )
+    got = sorted(r["i"] for r in filter_features_cel(df, "name.size() > 2").collect())
+    assert got == [0]

@@ -465,6 +465,206 @@ def _logic(lnode, rnode, props: dict, want: bool) -> bool:
     return bool(lv) if want else (bool(lv and rv))
 
 
+# ---------------------------------------------------------------------------
+# Catalyst translation (pushdown into WholeStageCodegen)
+# ---------------------------------------------------------------------------
+
+class _Untranslatable(Exception):
+    """AST node outside the Catalyst-expressible subset; caller falls back
+    to the Python evaluator."""
+
+
+# regex characters on which Python re and Java regex agree for rlike
+_SAFE_REGEX_RX = re.compile(r"^[A-Za-z0-9_ \t:,/'\^\$\.\*\+\?\(\)\[\]\|\\\-]*$")
+
+
+def _typeclass(node) -> str:
+    """'str' | 'bool' | 'null' | 'other' — static class of a node's value on
+    the stringified-props surface, used to refuse Spark implicit casts that
+    would diverge from CEL's heterogeneous (cross-type-unequal) equality."""
+    kind = node[0]
+    if kind == "lit":
+        v = node[1]
+        if v is None:
+            return "null"
+        if isinstance(v, bool):
+            return "bool"
+        if isinstance(v, str):
+            return "str"
+        return "other"
+    if kind in ("var", "member", "index"):
+        return "str"  # props values are stringified on this surface
+    if kind == "has":
+        return "bool"
+    if kind == "unary":
+        return "bool" if node[1] == "!" else "other"
+    if kind == "call":
+        return "bool" if node[2] in ("matches", "contains", "startsWith", "endsWith") else "other"
+    if kind == "bin":
+        return "bool" if node[1] in ("==", "!=", "<", "<=", ">", ">=", "in", "&&", "||") else "other"
+    return "other"
+
+
+def _tr(node, props_col):
+    """Translate an AST node to (value_col, err_col) against a
+    map<string,string> props column.
+
+    The pair mirrors the evaluator exactly: ``err_col`` true means the node
+    would raise _CelEvalError (absorbed per CEL's commutative logic);
+    ``value_col`` is only meaningful where ``err_col`` is false. The
+    translation is EXACT for string-valued props (the explode_features
+    surface stringifies every property) — verified against compile_cel by
+    the conformance corpus in tests/test_cel.py.
+    """
+    from pyspark.sql import functions as F
+
+    false = F.lit(False)
+    kind = node[0]
+    if kind == "lit":
+        v = node[1]
+        if v is None or isinstance(v, (str, bool)):
+            return F.lit(v), false
+        raise _Untranslatable(f"literal {v!r}")  # numeric lits: see 'bin' below
+    if kind == "var":
+        name = node[1]
+        if name == "props":
+            raise _Untranslatable("bare props map")
+        return props_col[name], false  # missing -> NULL == CEL null
+    if kind in ("member", "index"):
+        # props.k / props['k']: missing key is an ERROR (not null) in CEL
+        if node[1] != ("var", "props"):
+            raise _Untranslatable("selection on non-props object")
+        key = node[2] if kind == "member" else (
+            node[2][1] if node[2][0] == "lit" and isinstance(node[2][1], str) else None
+        )
+        if not isinstance(key, str):
+            raise _Untranslatable("non-literal props key")
+        col = props_col[key]
+        return col, col.isNull()
+    if kind == "has":
+        sel = node[1]
+        if sel[1] != ("var", "props"):
+            raise _Untranslatable("has() on non-props object")
+        key = sel[2] if sel[0] == "member" else (
+            sel[2][1] if sel[2][0] == "lit" and isinstance(sel[2][1], str) else None
+        )
+        if not isinstance(key, str):
+            raise _Untranslatable("non-literal has() key")
+        return props_col[key].isNotNull(), false
+    if kind == "unary" and node[1] == "!":
+        if _typeclass(node[2]) != "bool":
+            raise _Untranslatable("! on non-bool")
+        v, err = _tr(node[2], props_col)
+        return ~v, err
+    if kind == "call":
+        recv, name, args = node[1], node[2], node[3]
+        if _typeclass(recv) != "str":
+            raise _Untranslatable("string call on non-string receiver")
+        rv, rerr = _tr(recv, props_col)
+        if name in ("contains", "startsWith", "endsWith", "matches") and len(args) == 1:
+            if _typeclass(args[0]) != "str":
+                raise _Untranslatable("string call argument must be a string")
+            av, aerr = _tr(args[0], props_col)
+            err = rerr | aerr | rv.isNull() | av.isNull()
+            if name == "matches":
+                if args[0][0] != "lit" or not isinstance(args[0][1], str) or not _SAFE_REGEX_RX.match(args[0][1]):
+                    raise _Untranslatable("matches() needs a dialect-safe literal regex")
+                return rv.rlike(args[0][1]), err
+            fn = {"contains": F.contains, "startsWith": F.startswith, "endsWith": F.endswith}[name]
+            return fn(rv, av), err
+        raise _Untranslatable(f"call {name}")
+    if kind == "bin":
+        op = node[1]
+        if op in ("&&", "||"):
+            if _typeclass(node[2]) != "bool" or _typeclass(node[3]) != "bool":
+                raise _Untranslatable("logic on non-bool operand")
+            lv, lerr = _tr(node[2], props_col)
+            rv, rerr = _tr(node[3], props_col)
+            want = F.lit(op == "||")
+            l_decides = (~lerr) & lv.eqNullSafe(want)
+            r_decides = (~rerr) & rv.eqNullSafe(want)
+            decided = l_decides | r_decides
+            err = (~decided) & (lerr | rerr)
+            other = lv & rv if op == "&&" else lv | rv
+            value = F.when(decided, want).otherwise(other)
+            return value, err
+        if op in ("==", "!="):
+            tl, tr_ = _typeclass(node[2]), _typeclass(node[3])
+            if "other" in (tl, tr_):
+                raise _Untranslatable("equality operand type")
+            lv, lerr = _tr(node[2], props_col)
+            rv, rerr = _tr(node[3], props_col)
+            if tl != tr_ and "null" not in (tl, tr_):
+                # cross-type (e.g. string prop vs bool literal): CEL says
+                # unequal, never an implicit cast
+                eq = F.lit(False)
+            else:
+                eq = lv.eqNullSafe(rv)  # CEL: null == null true, null == 'a' false
+            return (eq if op == "==" else ~eq), lerr | rerr
+        if op in ("<", "<=", ">", ">="):
+            l, r = node[2], node[3]
+
+            def _is_num_lit(nd):
+                return nd[0] == "lit" and _is_num(nd[1]) and not isinstance(nd[1], bool)
+
+            if (_is_num_lit(r) and _typeclass(l) == "str") or (
+                _is_num_lit(l) and _typeclass(r) == "str"
+            ):
+                # numeric literal vs string-valued prop: CEL orders only
+                # number/number or string/string, so this ALWAYS errors on
+                # the stringified-props surface (matching compile_cel).
+                return F.lit(None).cast("boolean"), F.lit(True)
+            if _typeclass(l) != "str" or _typeclass(r) != "str":
+                raise _Untranslatable("ordering operand type")
+            lv, lerr = _tr(l, props_col)
+            rv, rerr = _tr(r, props_col)
+            err = lerr | rerr | lv.isNull() | rv.isNull()
+            cmp = {"<": lv < rv, "<=": lv <= rv, ">": lv > rv, ">=": lv >= rv}[op]
+            return cmp, err  # Spark UTF8_BINARY order == Python code points
+        if op == "in":
+            if _typeclass(node[2]) != "str":
+                raise _Untranslatable("'in' lhs must be string-valued")
+            lv, lerr = _tr(node[2], props_col)
+            r = node[3]
+            if r == ("var", "props"):
+                if node[2][0] == "lit" and isinstance(node[2][1], str):
+                    return props_col[node[2][1]].isNotNull(), lerr
+                return F.map_contains_key(props_col, lv), lerr
+            if r[0] == "list":
+                items = []
+                for it in r[1]:
+                    if it[0] != "lit" or not isinstance(it[1], (str, bool)) or isinstance(it[1], bool):
+                        raise _Untranslatable("in-list supports string literals")
+                    items.append(it[1])
+                return F.coalesce(lv.isin(items), F.lit(False)), lerr
+            raise _Untranslatable("'in' rhs")
+    raise _Untranslatable(f"node {kind}")
+
+
+def cel_to_column(expr: str, props_col="props"):
+    """CEL string -> Spark boolean Column over a map<string,string> props
+    column, or None when the expression falls outside the translatable
+    subset (caller then ships compile_cel's closure instead).
+
+    The returned predicate runs entirely inside Catalyst/WholeStageCodegen
+    — no Python in the filter path — and is exactly equivalent to
+    ``compile_cel(expr)`` applied to the same stringified props dict,
+    including missing-key-vs-error asymmetry (``x != 'a'`` keeps missing
+    rows, ``props['x'] != 'a'`` drops them) and commutative error
+    absorption (``true || <error>``). Parse failures still raise
+    CelParseError at plan-build time."""
+    from pyspark.sql import functions as F
+
+    ast = _Parser(_tokenize(expr), expr).parse()
+    if isinstance(props_col, str):
+        props_col = F.col(props_col)
+    try:
+        value, err = _tr(ast, props_col)
+    except _Untranslatable:
+        return None
+    return F.when(err, F.lit(False)).otherwise(F.coalesce(value, F.lit(False)))
+
+
 def compile_cel(expr: str):
     """CEL string -> predicate(props: dict) -> bool.
 

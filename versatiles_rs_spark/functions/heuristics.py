@@ -16,6 +16,7 @@ from __future__ import annotations
 import math
 import re
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -77,6 +78,25 @@ def cel_to_spark_expr(cel: str) -> str:
 def filter_features_cel(exploded: DataFrame, cel: str) -> DataFrame:
     """Apply a CEL predicate to an explode_features DataFrame. The
     expression is analyzed here (plan build); bad CEL fails before any job
-    runs — vector_filter_features.rs:68-81 behavior."""
-    expr = cel_to_spark_expr(cel)
-    return exploded.filter(F.expr(expr))
+    runs — vector_filter_features.rs:68-81 behavior.
+
+    Fast path: the full AST translates to a Catalyst Column
+    (functions.cel.cel_to_column) so the predicate runs inside
+    WholeStageCodegen with zero Python in the filter. Outside the
+    translatable subset, the real CEL evaluator (compile_cel — missing-key
+    -> null, heterogeneous equality, error absorption) runs as an
+    Arrow-batched pandas UDF over the props map; both paths parse at build
+    time and share identical semantics on stringified props."""
+    from versatiles_rs_spark.functions.cel import cel_to_column, compile_cel
+
+    col = cel_to_column(cel, props_col="props")
+    if col is not None:
+        return exploded.filter(col)
+
+    pred = compile_cel(cel)  # parse now: malformed CEL fails at build
+
+    @F.pandas_udf("boolean")
+    def cel_udf(props: pd.Series) -> pd.Series:
+        return props.map(lambda p: pred(dict(p) if p is not None else {}))
+
+    return exploded.filter(cel_udf(F.col("props")))
