@@ -86,3 +86,88 @@ def test_dem_geotiff_roundtrip_and_tiles(spark, tmp_path):
         row = int(np.floor(90.0 - lat))
         want = float(elev[row, col])
         assert abs(float(dec[ti, tj]) - want) < 2.0, (ti, tj)
+
+
+# ---------------------------------------------------------------------------
+# round-3 coverage: tiled layout + LZW (the two most common wild encodings)
+# ---------------------------------------------------------------------------
+
+def _rng_img(h=37, w=53):
+    rng = np.random.default_rng(11)
+    return rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+
+
+def test_lzw_decoder_against_hand_packed_vector():
+    """Decode a bitstream packed BY HAND (independent of the library's
+    encoder): Clear(256), 'a'(97), 'b'(98), EOI(257), 9-bit MSB-first."""
+    from versatiles_rs_spark.sources.geotiff import _tiff_lzw_decode
+
+    bits = ""
+    for code in (256, 97, 98, 257):
+        bits += format(code, "09b")
+    bits += "0" * ((8 - len(bits) % 8) % 8)
+    data = bytes(int(bits[i : i + 8], 2) for i in range(0, len(bits), 8))
+    assert _tiff_lzw_decode(data) == b"ab"
+
+
+def test_lzw_roundtrip_with_early_change_boundary():
+    """A stream long enough to push the table past 511/1023 entries
+    exercises both early-change width bumps."""
+    from versatiles_rs_spark.sources.geotiff import _tiff_lzw_decode, _tiff_lzw_encode
+
+    rng = np.random.default_rng(3)
+    payloads = [
+        b"ababababab" * 50,
+        bytes(rng.integers(0, 256, size=5000, dtype=np.uint8).tolist()),
+        bytes(rng.integers(0, 4, size=30000, dtype=np.uint8).tolist()),  # forces table reset
+        b"",
+        b"\x00",
+    ]
+    for p in payloads:
+        assert _tiff_lzw_decode(_tiff_lzw_encode(p)) == p
+
+
+def test_lzw_first_code_after_clear_midstream():
+    """Clear mid-stream resets the width to 9 and clears prev (the KwKwK
+    state machine must not chain across a Clear)."""
+    from versatiles_rs_spark.sources.geotiff import _tiff_lzw_decode, _tiff_lzw_encode
+
+    # the encoder emits a Clear at table code 4094; craft data to cross it
+    data = bytes(range(256)) * 20
+    assert _tiff_lzw_decode(_tiff_lzw_encode(data)) == data
+
+
+@pytest.mark.parametrize("compression", ["none", "deflate", "lzw"])
+@pytest.mark.parametrize("tiled", [False, True])
+@pytest.mark.parametrize("predictor", [1, 2])
+def test_layout_codec_matrix_pixel_parity(tmp_path, compression, tiled, predictor):
+    """Every layout/codec combination must read back pixel-identical to the
+    source array (edge tiles are cropped, predictor rows reconstructed)."""
+    from versatiles_rs_spark.sources.geotiff import read_geotiff, write_geotiff_gray8
+
+    img = _rng_img()
+    p = str(tmp_path / f"t_{compression}_{tiled}_{predictor}.tif")
+    write_geotiff_gray8(
+        p, img, west=8.0, north=50.0, sx=0.01, sy=0.01,
+        compression=compression, tiled=tiled, tile_size=16, predictor=predictor,
+    )
+    got, geo = read_geotiff(p)
+    np.testing.assert_array_equal(got[:, :, 0], img)
+    assert geo["epsg"] == 4326
+    assert (geo["west"], geo["north"]) == (8.0, 50.0)
+
+
+def test_tiled_lzw_matches_stripped_deflate_reader_output(tmp_path):
+    """VERDICT r2 #8 done-criterion: a tiled/LZW fixture reads
+    pixel-for-pixel identical to the stripped-deflate reader's output."""
+    from versatiles_rs_spark.sources.geotiff import read_geotiff, write_geotiff_gray8
+
+    img = _rng_img(64, 48)
+    a = str(tmp_path / "strip_deflate.tif")
+    b = str(tmp_path / "tiled_lzw.tif")
+    write_geotiff_gray8(a, img, 8.0, 50.0, 0.01, 0.01, compression="deflate", tiled=False)
+    write_geotiff_gray8(b, img, 8.0, 50.0, 0.01, 0.01, compression="lzw", tiled=True, tile_size=16)
+    ia, ga = read_geotiff(a)
+    ib, gb = read_geotiff(b)
+    np.testing.assert_array_equal(ia, ib)
+    assert ga == gb

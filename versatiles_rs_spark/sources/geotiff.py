@@ -4,8 +4,10 @@ The reference reads rasters through GDAL (read/from_gdal); GDAL is not in
 this container, so the subset needed for georeferenced 8-bit rasters is
 implemented from the public TIFF 6.0 + GeoTIFF specs with stdlib zlib:
 
-- little/big endian classic TIFF, stripped layout,
-- compression 1 (none) and 8 (zlib/deflate), predictor 1/2 (horizontal
+- little/big endian classic TIFF, stripped AND tiled layouts (tags
+  322/323/324/325),
+- compression 1 (none), 5 (LZW with the TIFF early-change variant,
+  TIFF 6.0 §13) and 8 (zlib/deflate), predictor 1/2 (horizontal
   differencing),
 - GeoTIFF ModelPixelScale + ModelTiepoint for the geotransform and
   GeographicTypeGeoKey (EPSG:4326 supported — the reference fixture's CRS).
@@ -28,6 +30,105 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 12: 8}
+
+_LZW_CLEAR, _LZW_EOI = 256, 257
+
+
+def _tiff_lzw_decode(data: bytes) -> bytes:
+    """TIFF-variant LZW (TIFF 6.0 §13): MSB-first bit packing, 9-bit start,
+    Clear=256 / EOI=257, and the "early change" — the code width bumps when
+    the NEXT table entry would be 2^width - 1 (one code earlier than plain
+    LZW). Pure python; runs once per strip/tile on the driver for small,
+    broadcastable rasters."""
+    base = [bytes([i]) for i in range(256)] + [b"", b""]
+    table = list(base)
+    width = 9
+    prev: bytes | None = None
+    out = bytearray()
+    bitbuf = 0
+    nbits = 0
+    i = 0
+    n = len(data)
+    while True:
+        while nbits < width:
+            if i >= n:
+                return bytes(out)
+            bitbuf = (bitbuf << 8) | data[i]
+            i += 1
+            nbits += 8
+        code = (bitbuf >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if code == _LZW_CLEAR:
+            table = list(base)
+            width = 9
+            prev = None
+            continue
+        if code == _LZW_EOI:
+            return bytes(out)
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # KwKwK
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"corrupt LZW stream: code {code} > table {len(table)}")
+        out += entry
+        prev = entry
+        # early change: the decoder's table lags the encoder's NextCode by
+        # one, so it must widen one entry earlier (at 510/1022/2046) than
+        # the encoder's 511/1023/2047 (TIFF 6.0 §13 + the de-facto
+        # "earlychange" behavior of every mainstream reader)
+        if len(table) == (1 << width) - 2 and width < 12:
+            width += 1
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """TIFF-variant LZW encoder (fixture writer / sink side), symmetric
+    with _tiff_lzw_decode including the early change."""
+    out = bytearray()
+    bitbuf = 0
+    nbits = 0
+    width = 9
+
+    def put(code: int) -> None:
+        nonlocal bitbuf, nbits
+        bitbuf = (bitbuf << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((bitbuf >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    put(_LZW_CLEAR)
+    w = b""
+    for byte in data:
+        c = bytes([byte])
+        if w + c in table:
+            w += c
+            continue
+        put(table[w])
+        table[w + c] = next_code
+        next_code += 1
+        # encoder bumps width one entry EARLIER than generic LZW, mirroring
+        # the decoder's early change
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        if next_code == 4094:  # table nearly full: emit Clear, restart
+            put(_LZW_CLEAR)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        w = c
+    if w:
+        put(table[w])
+    put(_LZW_EOI)
+    if nbits:
+        out.append((bitbuf << (8 - nbits)) & 0xFF)
+    return bytes(out)
 
 
 def read_geotiff(path: str) -> tuple[np.ndarray, dict]:
@@ -83,26 +184,45 @@ def read_geotiff(path: str) -> tuple[np.ndarray, dict]:
         raise ValueError(f"unsupported sample layout bits={bits} format={sample_format}")
     compression = tags.get(259, (1,))[0]
     predictor = tags.get(317, (1,))[0]
-    if compression not in (1, 8):
-        raise ValueError(f"unsupported TIFF compression {compression} (have none/deflate)")
+    if compression not in (1, 5, 8):
+        raise ValueError(f"unsupported TIFF compression {compression} (have none/lzw/deflate)")
     if predictor == 2 and bits != 8:
         raise ValueError("horizontal predictor only supported for 8-bit samples")
-    offsets = tags[273]
-    byte_counts = tags[279]
-    rows_per_strip = tags.get(278, (height,))[0]
+
+    def _decompress(raw: bytes) -> bytes:
+        if compression == 8:
+            return zlib.decompress(raw)
+        if compression == 5:
+            return _tiff_lzw_decode(raw)
+        return raw
 
     img = np.empty((height, width, spp), dtype=dtype)
-    row0 = 0
-    for off, cnt in zip(offsets, byte_counts):
-        raw = b[off : off + cnt]
-        if compression == 8:
-            raw = zlib.decompress(raw)
-        rows = min(rows_per_strip, height - row0)
-        arr = np.frombuffer(raw, dtype)[: rows * width * spp].reshape(rows, width, spp)
-        if predictor == 2:
-            arr = np.cumsum(arr.astype(np.int64), axis=1).astype(np.uint8)
-        img[row0 : row0 + rows] = arr
-        row0 += rows
+    if 322 in tags:  # tiled layout (TIFF 6.0 §15): tiles across, then down
+        tw, th = tags[322][0], tags[323][0]
+        offsets, byte_counts = tags[324], tags[325]
+        tiles_across = (width + tw - 1) // tw
+        for idx, (off, cnt) in enumerate(zip(offsets, byte_counts)):
+            raw = _decompress(b[off : off + cnt])
+            arr = np.frombuffer(raw, dtype)[: th * tw * spp].reshape(th, tw, spp)
+            if predictor == 2:
+                arr = np.cumsum(arr.astype(np.int64), axis=1).astype(np.uint8)
+            ty, tx = divmod(idx, tiles_across)
+            r0, c0 = ty * th, tx * tw
+            rr, cc = min(th, height - r0), min(tw, width - c0)
+            img[r0 : r0 + rr, c0 : c0 + cc] = arr[:rr, :cc]
+    else:
+        offsets = tags[273]
+        byte_counts = tags[279]
+        rows_per_strip = tags.get(278, (height,))[0]
+        row0 = 0
+        for off, cnt in zip(offsets, byte_counts):
+            raw = _decompress(b[off : off + cnt])
+            rows = min(rows_per_strip, height - row0)
+            arr = np.frombuffer(raw, dtype)[: rows * width * spp].reshape(rows, width, spp)
+            if predictor == 2:
+                arr = np.cumsum(arr.astype(np.int64), axis=1).astype(np.uint8)
+            img[row0 : row0 + rows] = arr
+            row0 += rows
 
     geo = {}
     if 33550 in tags and 33922 in tags:
@@ -272,6 +392,121 @@ def from_gdal_dem(
                 )
 
     return cdf.mapInPandas(render, TILE_SCHEMA)
+
+
+def write_geotiff_gray8(
+    path: str,
+    data: np.ndarray,
+    west: float,
+    north: float,
+    sx: float,
+    sy: float,
+    compression: str = "none",
+    tiled: bool = False,
+    tile_size: int = 16,
+    predictor: int = 1,
+) -> None:
+    """8-bit single-band GeoTIFF writer covering every layout/codec the
+    reader supports (strips or tiles x none/deflate/lzw x predictor 1/2) —
+    exercises read_geotiff's full matrix in tests and doubles as a sink."""
+    import struct as _s
+
+    comp_tag = {"none": 1, "lzw": 5, "deflate": 8}[compression]
+    h, w = data.shape
+    data = data.astype(np.uint8)
+
+    def pack(block: np.ndarray) -> bytes:
+        if predictor == 2:
+            block = np.concatenate(
+                [block[:, :1], np.diff(block.astype(np.int16), axis=1)], axis=1
+            ).astype(np.uint8)
+        raw = block.tobytes()
+        if comp_tag == 8:
+            return zlib.compress(raw, 9)
+        if comp_tag == 5:
+            return _tiff_lzw_encode(raw)
+        return raw
+
+    blocks: list[bytes] = []
+    if tiled:
+        ts = tile_size
+        for ty in range((h + ts - 1) // ts):
+            for tx in range((w + ts - 1) // ts):
+                block = np.zeros((ts, ts), np.uint8)
+                sub = data[ty * ts : (ty + 1) * ts, tx * ts : (tx + 1) * ts]
+                block[: sub.shape[0], : sub.shape[1]] = sub
+                blocks.append(pack(block))
+    else:
+        blocks.append(pack(data))
+
+    n_entries = 15 if tiled else 14
+    ifd_off = 8
+    ext_base = ifd_off + 2 + 12 * n_entries + 4
+    ext = bytearray()
+
+    def ext_put(fmt_str: str, *vals) -> int:
+        off = ext_base + len(ext)
+        ext.extend(_s.pack("<" + fmt_str, *vals))
+        return off
+
+    scale_off = ext_put("3d", sx, sy, 0.0)
+    tie_off = ext_put("6d", 0.0, 0.0, 0.0, west, north, 0.0)
+    geokey_off = ext_put("16H", 1, 1, 0, 3, 1024, 0, 1, 2, 1025, 0, 1, 1, 2048, 0, 1, 4326)
+
+    nb = len(blocks)
+    if nb > 1:
+        offsets_off = ext_base + len(ext)
+        ext.extend(b"\x00" * 4 * nb)  # patched below
+        counts_off = ext_put(f"{nb}I", *[len(x) for x in blocks])
+    data_off = ext_base + len(ext)
+    offs = []
+    pos = data_off
+    for x in blocks:
+        offs.append(pos)
+        pos += len(x)
+    if nb > 1:
+        ext[offsets_off - ext_base : offsets_off - ext_base + 4 * nb] = _s.pack(
+            f"<{nb}I", *offs
+        )
+
+    entries = [
+        (256, 3, 1, w),
+        (257, 3, 1, h),
+        (258, 3, 1, 8),
+        (259, 3, 1, comp_tag),
+        (262, 3, 1, 1),
+        (277, 3, 1, 1),
+        (317, 3, 1, predictor),
+        (339, 3, 1, 1),
+        (33550, 12, 3, scale_off),
+        (33922, 12, 6, tie_off),
+        (34735, 3, 16, geokey_off),
+    ]
+    if tiled:
+        entries += [
+            (322, 3, 1, tile_size),
+            (323, 3, 1, tile_size),
+            (324, 4, nb, offs[0] if nb == 1 else offsets_off),
+            (325, 4, nb, len(blocks[0]) if nb == 1 else counts_off),
+        ]
+    else:
+        entries += [
+            (273, 4, 1, offs[0]),
+            (278, 3, 1, h),
+            (279, 4, 1, len(blocks[0])),
+        ]
+    entries.sort()
+    assert len(entries) == n_entries, "IFD size mismatch with ext_base layout"
+    buf = bytearray(b"II*\x00" + _s.pack("<I", ifd_off))
+    buf += _s.pack("<H", len(entries))
+    for tag, typ, cnt, val in entries:
+        buf += _s.pack("<HHII", tag, typ, cnt, val)
+    buf += _s.pack("<I", 0)
+    buf += ext
+    for x in blocks:
+        buf += x
+    with open(path, "wb") as f:
+        f.write(buf)
 
 
 def write_geotiff_gray16(path: str, data: np.ndarray, west: float, north: float,
