@@ -3,8 +3,11 @@
 API mirrors versatiles_core/src/compression/functions.rs:54-230
 (``compress`` / ``decompress`` / ``recompress`` / ``optimize_compression``).
 Gzip uses fixed level 9 + mtime 0 so output bytes are deterministic
-(required for golden byte-equality tests). Brotli/zstd are gated behind
-import-try — absent in this container, the API degrades to gzip.
+(required for golden byte-equality tests). Brotli/zstd resolve in order:
+system shared library via ctypes (brotli_native.py — full-speed interop
+with reference-produced containers), then the pure-python RFC 7932
+decoder (brotli_dec.py, read side), then spec-valid stored-mode streams
+(stored_codecs.py, write side).
 """
 
 from __future__ import annotations
@@ -12,14 +15,7 @@ from __future__ import annotations
 import gzip as _gzip
 import zlib
 
-try:  # pragma: no cover - not installed in this container
-    import brotli as _brotli
-except ImportError:
-    _brotli = None
-try:  # pragma: no cover
-    import zstandard as _zstd
-except ImportError:
-    _zstd = None
+from versatiles_rs_spark.functions import brotli_native as _native
 
 UNCOMPRESSED = "none"
 GZIP = "gzip"
@@ -42,14 +38,14 @@ def compress(data: bytes, codec: str) -> bytes:
         # mtime=0 => deterministic bytes across runs
         return _gzip.compress(data, compresslevel=9, mtime=0)
     if codec == BROTLI:
-        if _brotli is not None:
-            return _brotli.compress(data)
+        if _native.HAS_BROTLI_ENC:
+            return _native.brotli_compress_native(data)
         from versatiles_rs_spark.functions.stored_codecs import brotli_compress_stored
 
         return brotli_compress_stored(data)
     if codec == ZSTD:
-        if _zstd is not None:
-            return _zstd.ZstdCompressor().compress(data)
+        if _native.HAS_ZSTD:
+            return _native.zstd_compress_native(data)
         from versatiles_rs_spark.functions.stored_codecs import zstd_compress_stored
 
         return zstd_compress_stored(data)
@@ -62,14 +58,14 @@ def decompress(data: bytes, codec: str) -> bytes:
     if codec == GZIP:
         return _gzip.decompress(data)
     if codec == BROTLI:
-        if _brotli is not None:
-            return _brotli.decompress(data)
-        from versatiles_rs_spark.functions.stored_codecs import brotli_decompress_stored
+        if _native.HAS_BROTLI_DEC:
+            return _native.brotli_decompress_native(data)
+        from versatiles_rs_spark.functions.brotli_dec import brotli_decompress as _pp
 
-        return brotli_decompress_stored(data)
+        return _pp(data)  # pure-python full RFC 7932 decode
     if codec == ZSTD:
-        if _zstd is not None:
-            return _zstd.ZstdDecompressor().decompress(data)
+        if _native.HAS_ZSTD:
+            return _native.zstd_decompress_native(data)
         from versatiles_rs_spark.functions.stored_codecs import zstd_decompress_stored
 
         return zstd_decompress_stored(data)
@@ -87,9 +83,9 @@ def _real_codecs() -> list[str]:
     """Codecs that actually shrink data (stored-mode fallbacks excluded —
     they are format-valid but inflate, so never PREFER them)."""
     out = [UNCOMPRESSED, GZIP]
-    if _brotli is not None:
+    if _native.HAS_BROTLI_ENC:
         out.append(BROTLI)
-    if _zstd is not None:
+    if _native.HAS_ZSTD:
         out.append(ZSTD)
     return out
 

@@ -19,11 +19,12 @@ Byte-level parity with versatiles_container/src/container/versatiles:
 - metadata = TileJSON compressed with the file's TILE compression
   (writer.rs:168-177); indexes are always brotli.
 
-Sandbox note: no brotli library exists here, so indexes are written in
-brotli STORED mode (functions/stored_codecs.py) — spec-valid streams any
-real decoder (incl. the reference engine) reads. Reading a container whose
-indexes were entropy-coded by the reference raises
-``UnsupportedCompressedStream`` with a clear message.
+Codec note (round 3): indexes are real brotli both ways. Writes use the
+system libbrotli when present (q10/lgwin19, the reference's settings)
+with spec-valid stored-mode as fallback; reads accept ANY brotli stream —
+entropy-coded reference-produced indexes decode through the system lib or
+the pure-python RFC 7932 decoder (functions/brotli_dec.py). The round-2
+``UnsupportedCompressedStream`` on reference-produced containers is gone.
 
 Scale design: INGEST distributes by block — the driver reads only the 66-
 byte header and the (small) block index; each executor task opens the file,
