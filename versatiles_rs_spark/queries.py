@@ -1049,6 +1049,73 @@ FROM pts CROSS JOIN zs GROUP BY 1, 2, 3
 
 
 # ---------------------------------------------------------------------------
+# 15b. training-data hygiene: benchmark decontamination + quality-weighted
+#      sampling (first-class LLM-pipeline ops)
+# ---------------------------------------------------------------------------
+
+_DECONTAM_N = 4
+_DECONTAM_MOD = 97  # docs with doc_id % 97 == 0 form the "benchmark" set
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark n-gram decontamination (GPT-3-style hygiene): flag every
+    corpus document sharing a verbatim word 4-gram with the benchmark
+    subset. Pure Column n-gram explode + broadcast hash join — zero
+    Python, zero corpus shuffle (dedup/decontam.py)."""
+    from versatiles_rs_spark.dedup.decontam import decontaminate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % _DECONTAM_MOD == 0)
+    rest = docs.filter(F.col("doc_id") % _DECONTAM_MOD != 0)
+    out = decontaminate(rest, bench, n=_DECONTAM_N)
+    return out.select("doc_id", F.col("n_hits").cast("bigint").alias("n_hits"))
+
+
+O_DECONTAMINATE = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS tk FROM documents
+), grams AS (
+  SELECT doc_id, list_distinct(
+    CASE WHEN len(tk) = 0 THEN []
+         WHEN len(tk) < {_DECONTAM_N} THEN [array_to_string(tk, ' ')]
+         ELSE list_transform(range(1, len(tk) - {_DECONTAM_N - 2}),
+                             i -> array_to_string(tk[i:i+{_DECONTAM_N - 1}], ' '))
+    END) AS gs
+  FROM toks
+), bench AS (
+  SELECT DISTINCT unnest(gs) AS gram FROM grams WHERE doc_id % {_DECONTAM_MOD} = 0
+)
+SELECT g.doc_id, CAST(count(DISTINCT u.gram) AS BIGINT) AS n_hits
+FROM grams g, unnest(g.gs) AS u(gram)
+WHERE u.gram IN (SELECT gram FROM bench) AND g.doc_id % {_DECONTAM_MOD} != 0
+GROUP BY g.doc_id
+"""
+
+
+def q_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic quality-weighted sampling (training-mix shaping): keep
+    probability grows with document length, decided by the same portable
+    integer hash as drop_rate thinning — reproducible across engines and
+    runs, embarrassingly parallel (pure Column math in codegen)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = F.least(F.lit(1.0), F.col("n_chars") / F.lit(400.0))
+    u = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    kept = docs.filter((u / F.lit(4294967296.0)) < p)
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("kept"), F.sum("doc_id").alias("id_sum")
+    )
+
+
+O_QUALITY_SAMPLE = """
+SELECT lang, count(*) AS kept, CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM documents
+WHERE ((doc_id * 2654435761) % 4294967296) / 4294967296.0
+      < least(1.0, n_chars / 400.0)
+GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
 # 16. shortbread fixture decode (external MVT wire-format validation)
 # ---------------------------------------------------------------------------
 
@@ -1177,6 +1244,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sort_index_key": q_sort_index_key,
     "salted_tile_stats": q_salted_tile_stats,
     "shortbread_layers": q_shortbread_layers,
+    "decontaminate": q_decontaminate,
+    "quality_sample": q_quality_sample,
 }
 
 ORACLES: dict[str, str] = {
@@ -1215,4 +1284,6 @@ ORACLES: dict[str, str] = {
     "sort_index_key": O_SORT_INDEX_KEY,
     "salted_tile_stats": O_SALTED_TILE_STATS,
     "shortbread_layers": O_SHORTBREAD_LAYERS,
+    "decontaminate": O_DECONTAMINATE,
+    "quality_sample": O_QUALITY_SAMPLE,
 }
