@@ -230,6 +230,16 @@ def pip_join(
     # onto one task. Spread (on the already-projected slim columns) to at
     # least the cluster's parallelism. On a many-partition production table
     # this guard never fires and the plan stays exchange-free.
+    #
+    # Why an exchange and not spark.sql.files.maxPartitionBytes on the read
+    # (the obvious alternative): parquet scan splits only parallelize down
+    # to ROW-GROUP granularity — the test tables are single-row-group files
+    # (events sf0.1 = 1 row group / 100k rows, measured), so byte-range
+    # splits below that produce empty partitions, not parallelism. A
+    # RoundRobin exchange of the bbox-surviving slim rows is the only lever
+    # for such inputs, and it is bounded by the post-prefilter volume. At
+    # production scale (many files x many row groups) the condition is
+    # false and no exchange exists.
     target = spark.sparkContext.defaultParallelism
     if points.rdd.getNumPartitions() < target:
         points = points.repartition(target)
