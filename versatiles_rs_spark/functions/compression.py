@@ -5,9 +5,9 @@ API mirrors versatiles_core/src/compression/functions.rs:54-230
 Gzip uses fixed level 9 + mtime 0 so output bytes are deterministic
 (required for golden byte-equality tests). Brotli/zstd resolve in order:
 system shared library via ctypes (brotli_native.py — full-speed interop
-with reference-produced containers), then the pure-python RFC 7932
-decoder (brotli_dec.py, read side), then spec-valid stored-mode streams
-(stored_codecs.py, write side).
+with reference-produced containers), then the pure-python decoders
+(brotli_dec.py RFC 7932 / zstd_dec.py RFC 8878, read side), then
+spec-valid stored-mode streams (stored_codecs.py, write side).
 """
 
 from __future__ import annotations
@@ -66,9 +66,9 @@ def decompress(data: bytes, codec: str) -> bytes:
     if codec == ZSTD:
         if _native.HAS_ZSTD:
             return _native.zstd_decompress_native(data)
-        from versatiles_rs_spark.functions.stored_codecs import zstd_decompress_stored
+        from versatiles_rs_spark.functions.zstd_dec import zstd_decompress as _zpp
 
-        return zstd_decompress_stored(data)
+        return _zpp(data)  # pure-python full RFC 8878 decode
     raise ValueError(f"codec {codec!r} unavailable")
 
 
