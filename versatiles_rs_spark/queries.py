@@ -1116,6 +1116,81 @@ GROUP BY lang
 
 
 # ---------------------------------------------------------------------------
+# 15c. S2 cell encoding (north rule: "encoded into H3/S2 cells and XYZ tile
+#      coordinates via batched pandas/Arrow UDFs")
+# ---------------------------------------------------------------------------
+
+_S2_LEVEL = 10
+
+
+def q_s2_face_ij(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 face/i/j encoding of the documents table through the REAL numpy
+    implementation (tile_math/s2.py, one Arrow-batched pass); the oracle
+    reimplements the cube-face + quadratic-ST math in pure SQL, so parity
+    attests the projection end to end. (The per-face Hilbert position is
+    not SQL-expressible; it is property-tested in tests/test_s2.py and its
+    ids feed the same cell-cover joins as the quadkey cells.)"""
+    from versatiles_rs_spark.tile_math.s2 import lonlat_to_face_uv, st_to_ij, uv_to_st
+
+    docs = _docs_geo(spark, sf_dir).select("doc_id", "lon", "lat")
+
+    def enc(it):
+        import pandas as pd
+
+        for pdf in it:
+            face, u, v = lonlat_to_face_uv(pdf["lon"].values, pdf["lat"].values)
+            i10 = st_to_ij(uv_to_st(u)) >> (2 * (30 - _S2_LEVEL) // 2)
+            j10 = st_to_ij(uv_to_st(v)) >> (2 * (30 - _S2_LEVEL) // 2)
+            yield pd.DataFrame({"face": face, "i10": i10, "j10": j10})
+
+    cells = docs.mapInPandas(enc, "face long, i10 long, j10 long")
+    return cells.groupBy("face").agg(
+        F.count("*").alias("n"),
+        F.sum("i10").alias("i_sum"),
+        F.sum("j10").alias("j_sum"),
+    )
+
+
+O_S2_FACE_IJ = f"""
+WITH pts AS (
+  SELECT doc_id, {LON_SQL.format(id="doc_id")} AS lon, {LAT_SQL.format(id="doc_id")} AS lat
+  FROM documents
+), xyz AS (
+  SELECT doc_id,
+         cos(radians(lat)) * cos(radians(lon)) AS x,
+         cos(radians(lat)) * sin(radians(lon)) AS y,
+         sin(radians(lat)) AS z
+  FROM pts
+), fuv AS (
+  SELECT doc_id,
+    CASE WHEN abs(x) >= abs(y) AND abs(x) >= abs(z) THEN CASE WHEN x < 0 THEN 3 ELSE 0 END
+         WHEN abs(y) >= abs(z) THEN CASE WHEN y < 0 THEN 4 ELSE 1 END
+         ELSE CASE WHEN z < 0 THEN 5 ELSE 2 END END AS face,
+    CASE WHEN abs(x) >= abs(y) AND abs(x) >= abs(z) THEN
+           CASE WHEN x < 0 THEN z / x ELSE y / x END
+         WHEN abs(y) >= abs(z) THEN
+           CASE WHEN y < 0 THEN z / y ELSE -x / y END
+         ELSE CASE WHEN z < 0 THEN -y / z ELSE -x / z END END AS u,
+    CASE WHEN abs(x) >= abs(y) AND abs(x) >= abs(z) THEN
+           CASE WHEN x < 0 THEN y / x ELSE z / x END
+         WHEN abs(y) >= abs(z) THEN
+           CASE WHEN y < 0 THEN -x / y ELSE z / y END
+         ELSE CASE WHEN z < 0 THEN -x / z ELSE -y / z END END AS v
+  FROM xyz
+), st AS (
+  SELECT face,
+    CASE WHEN u >= 0 THEN 0.5 * sqrt(1 + 3 * u) ELSE 1 - 0.5 * sqrt(1 - 3 * u) END AS s,
+    CASE WHEN v >= 0 THEN 0.5 * sqrt(1 + 3 * v) ELSE 1 - 0.5 * sqrt(1 - 3 * v) END AS t
+  FROM fuv
+)
+SELECT CAST(face AS BIGINT) AS face, count(*) AS n,
+  CAST(sum(CAST(least(greatest(floor(s * 1073741824), 0), 1073741823) AS BIGINT) // {1 << 20}) AS BIGINT) AS i_sum,
+  CAST(sum(CAST(least(greatest(floor(t * 1073741824), 0), 1073741823) AS BIGINT) // {1 << 20}) AS BIGINT) AS j_sum
+FROM st GROUP BY face
+"""
+
+
+# ---------------------------------------------------------------------------
 # 16. shortbread fixture decode (external MVT wire-format validation)
 # ---------------------------------------------------------------------------
 
@@ -1246,6 +1321,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shortbread_layers": q_shortbread_layers,
     "decontaminate": q_decontaminate,
     "quality_sample": q_quality_sample,
+    "s2_face_ij": q_s2_face_ij,
 }
 
 ORACLES: dict[str, str] = {
@@ -1286,4 +1362,5 @@ ORACLES: dict[str, str] = {
     "shortbread_layers": O_SHORTBREAD_LAYERS,
     "decontaminate": O_DECONTAMINATE,
     "quality_sample": O_QUALITY_SAMPLE,
+    "s2_face_ij": O_S2_FACE_IJ,
 }

@@ -13,9 +13,14 @@ mirroring the reference's coarse-to-fine classification
 3. points hitting FULLY_INSIDE cells are accepted immediately; points in
    PARTIAL cells run the exact ray-cast test only for that polygon.
 
-h3-py is absent in this container; the XYZ tile id at a fixed zoom *is* an
-S2-style quadtree cell (SURVEY.md §7 Phase 1), with ``cell_id = sort_index``
-(tile_coord.rs:235) as the 64-bit key.
+Two cell key families are available:
+- XYZ tile id at a fixed zoom with ``cell_id = sort_index``
+  (tile_coord.rs:235) as the 64-bit key — used throughout this module;
+- REAL S2 cell ids (tile_math/s2.py, round 3): cube face + quadratic ST
+  projection + per-face Hilbert curve in the standard 64-bit layout,
+  usable as a drop-in bucket/partition key wherever cell_id is
+  (`s2_cell_id_col(lon, lat, level)`); oracle-checked via the
+  `s2_face_ij` driver query and property-tested in tests/test_s2.py.
 """
 
 from __future__ import annotations
