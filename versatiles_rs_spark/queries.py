@@ -1190,6 +1190,50 @@ FROM st GROUP BY face
 """
 
 
+_HEX_RADIUS_M = 150_000.0
+
+
+def q_hex_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3-style hexagonal binning (spatial/hexcells.py): axial hex cells on
+    the Mercator plane via cube rounding — pure Column math, zero UDF, the
+    third cell-key family next to quadkey and S2."""
+    from versatiles_rs_spark.spatial.hexcells import hex_cell_stats
+
+    return hex_cell_stats(_docs_geo(spark, sf_dir), _HEX_RADIUS_M)
+
+
+O_HEX_CELL_STATS = f"""
+WITH pts AS (
+  SELECT doc_id, {LON_SQL.format(id="doc_id")} AS lon, {LAT_SQL.format(id="doc_id")} AS lat
+  FROM documents
+), merc AS (
+  SELECT doc_id, radians(lon) * 6378137.0 AS mx,
+         ln(tan(radians(lat)/2 + pi()/4)) * 6378137.0 AS my
+  FROM pts
+), ax AS (
+  SELECT doc_id,
+         (2.0/3.0 * mx) / {_HEX_RADIUS_M} AS q,
+         (-1.0/3.0 * mx + sqrt(3.0)/3.0 * my) / {_HEX_RADIUS_M} AS r
+  FROM merc
+), rounded AS (
+  SELECT doc_id, q AS x, (-q - r) AS y, r AS z,
+         floor(q + 0.5) AS rx, floor((-q - r) + 0.5) AS ry, floor(r + 0.5) AS rz
+  FROM ax
+), fixed AS (
+  SELECT doc_id,
+    CASE WHEN abs(rx - x) > abs(ry - y) AND abs(rx - x) > abs(rz - z)
+         THEN -ry - rz ELSE rx END AS hq,
+    CASE WHEN abs(rx - x) > abs(ry - y) AND abs(rx - x) > abs(rz - z) THEN rz
+         WHEN abs(ry - y) > abs(rz - z) THEN rz
+         ELSE -rx - ry END AS hr
+  FROM rounded
+)
+SELECT CAST(hq AS BIGINT) AS hq, CAST(hr AS BIGINT) AS hr,
+       count(*) AS n, min(doc_id) AS min_id
+FROM fixed GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # 16. shortbread fixture decode (external MVT wire-format validation)
 # ---------------------------------------------------------------------------
@@ -1322,6 +1366,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate": q_decontaminate,
     "quality_sample": q_quality_sample,
     "s2_face_ij": q_s2_face_ij,
+    "hex_cell_stats": q_hex_cell_stats,
 }
 
 ORACLES: dict[str, str] = {
@@ -1363,4 +1408,5 @@ ORACLES: dict[str, str] = {
     "decontaminate": O_DECONTAMINATE,
     "quality_sample": O_QUALITY_SAMPLE,
     "s2_face_ij": O_S2_FACE_IJ,
+    "hex_cell_stats": O_HEX_CELL_STATS,
 }
