@@ -336,27 +336,50 @@ FROM documents GROUP BY 1
 # ---------------------------------------------------------------------------
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-k, shaped for 10^12 rows: the BOUNDED
+    query set is collected and broadcast (round-2 shape broadcast the whole
+    CORPUS and nested-loop-joined it — backwards at scale); the corpus
+    streams through ONE mapInPandas computing all query dots per Arrow
+    batch as a single int64 matmul, emitting only each batch's local top-k;
+    the global window top-k then ranks candidate rows only. Integer
+    micro-quantization (half-away-from-zero, matching SQL round) keeps the
+    dot products exact and order-independent across engines."""
+    import numpy as np
     from pyspark.sql import Window
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    # integer micro-quantized embeddings -> exact, order-independent dot product
-    qi = emb.filter("vec_id < 5").select(
-        F.col("vec_id").alias("qid"),
-        F.transform("embedding", lambda v: F.round(v * 1e6).cast("bigint")).alias("qe"),
+    qrows = emb.filter("vec_id < 5").select("vec_id", "embedding").collect()
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    qraw = np.array([r["embedding"] for r in qrows], dtype=np.float64) * 1e6
+    qm = (np.sign(qraw) * np.floor(np.abs(qraw) + 0.5)).astype(np.int64)
+    bc = spark.sparkContext.broadcast((qids, qm))
+
+    def score(it):
+        import pandas as pd
+
+        bqids, bqm = bc.value
+        for pdf in it:
+            if pdf.empty:
+                continue
+            raw = np.array(pdf["embedding"].tolist(), dtype=np.float64) * 1e6
+            vm = (np.sign(raw) * np.floor(np.abs(raw) + 0.5)).astype(np.int64)
+            vids = pdf["vec_id"].values
+            dots = bqm @ vm.T  # (n_queries, batch) exact int64
+            parts = []
+            for t, qid in enumerate(bqids):
+                mask = vids != qid
+                d, vv = dots[t][mask], vids[mask]
+                k = min(3, len(vv))
+                order = np.lexsort((vv, -d))[:k]  # (dot desc, vid asc)
+                parts.append(pd.DataFrame({"qid": qid, "vid": vv[order], "dot": d[order]}))
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
+
+    local = emb.select("vec_id", "embedding").mapInPandas(
+        score, "qid long, vid long, dot long"
     )
-    ci = emb.select(
-        F.col("vec_id").alias("vid"),
-        F.transform("embedding", lambda v: F.round(v * 1e6).cast("bigint")).alias("ce"),
-    )
-    pairs = qi.join(F.broadcast(ci), F.col("qid") != F.col("vid"))
-    dot = F.aggregate(
-        F.zip_with("qe", "ce", lambda a, b: a * b),
-        F.lit(0).cast("bigint"),
-        lambda acc, v: acc + v,
-    ).alias("dot")
-    scored = pairs.select("qid", "vid", dot)
     w = Window.partitionBy("qid").orderBy(F.desc("dot"), F.asc("vid"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter("rank <= 3")
+    return local.withColumn("rank", F.row_number().over(w)).filter("rank <= 3")
 
 
 O_ANN_TOPK = """
