@@ -281,3 +281,27 @@ def test_versatiles_roundtrip_with_entropy_coded_indexes(spark, tmp_path):
     got = {(r["z"], r["x"], r["y"]): bytes(r["tile"]) for r in back.collect()}
     want = {(z, x, y): t for z, x, y, _f, _c, t, _n in rows}
     assert got == want
+
+
+def test_fuzz_garbage_fails_cleanly():
+    """Random bytes must raise a controlled error quickly — never hang or
+    produce unbounded output."""
+    import random
+
+    rng = random.Random(0)
+    for trial in range(200):
+        blob = bytes(rng.randrange(256) for _ in range(rng.randrange(1, 200)))
+        try:
+            out = brotli_decompress(blob)
+            assert len(out) < (1 << 26)  # decoded "successfully": bounded
+        except Exception:
+            pass  # ValueError / UnsupportedCompressedStream etc. all fine
+
+
+def test_truncated_real_stream_fails_cleanly():
+    blob = open(STATIC_BR, "rb").read()
+    for cut in (1, 10, 100, 300, len(blob) - 1):
+        try:
+            brotli_decompress(blob[:cut])
+        except Exception:
+            pass

@@ -101,3 +101,27 @@ def test_dictionary_frames_rejected():
     frame = struct.pack("<I", 0xFD2FB528) + bytes([0x21, 0x07, 0x00])
     with pytest.raises(ValueError, match="dictionary"):
         zstd_decompress(frame)
+
+
+def test_fuzz_garbage_fails_cleanly():
+    import random
+
+    rng = random.Random(0)
+    magic = struct.pack("<I", 0xFD2FB528)
+    for trial in range(200):
+        blob = magic + bytes(rng.randrange(256) for _ in range(rng.randrange(1, 200)))
+        try:
+            out = zstd_decompress(blob)
+            assert len(out) < (1 << 26)
+        except Exception:
+            pass
+
+
+@needs_lib
+def test_truncated_real_stream_fails_cleanly():
+    comp = lib_compress(b"the quick brown fox " * 500, 19)
+    for cut in (5, 15, len(comp) // 2, len(comp) - 1):
+        try:
+            zstd_decompress(comp[:cut])
+        except Exception:
+            pass
