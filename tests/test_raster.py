@@ -129,3 +129,28 @@ def test_additional_pixel_ops():
     lut = np.arange(256)[::-1]
     inv = map_color_values(np.full((1, 1, 1), 0, np.uint8), lut)
     assert inv[0, 0, 0] == 255
+
+
+def test_webp_roundtrip_and_registry():
+    """WebP via the system libwebp (functions/webp_native.py): lossless
+    roundtrip is pixel-exact; lossy decodes to the right shape; the image
+    registry dispatches 'webp' (closing the reference registry's
+    png/jpg/webp row — AVIF stays documented-absent)."""
+    import pytest as _pytest
+
+    from versatiles_rs_spark.functions.webp_native import HAS_WEBP
+    if not HAS_WEBP:
+        _pytest.skip("libwebp not present")
+    from versatiles_rs_spark.functions.raster import image_decode, image_encode
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (32, 24, 4), dtype=np.uint8)
+    img[:, :, 3] = 255  # simple lossless API is exact only for opaque RGB
+    lossless = image_encode(img, "webp", quality=100)
+    assert lossless[:4] == b"RIFF" and lossless[8:12] == b"WEBP"
+    back = image_decode(lossless, "webp")
+    np.testing.assert_array_equal(back, img)
+
+    lossy = image_encode(img[:, :, :3], "webp", quality=80)
+    out = image_decode(lossy, "webp")
+    assert out.shape == (32, 24, 4)

@@ -219,12 +219,18 @@ def jpeg_encode(img: np.ndarray, quality: int = 85, subsampling: str = "444") ->
 
 
 def image_decode(blob: bytes, fmt: str) -> np.ndarray:
-    """Format-dispatched decode (versatiles_image format registry analog)."""
+    """Format-dispatched decode (versatiles_image format registry analog).
+    png/jpg are pure-python; webp binds the system libwebp (round 3,
+    functions/webp_native.py) and raises cleanly where absent."""
     if fmt == "png":
         return png_decode(blob)
     if fmt in ("jpg", "jpeg"):
         return jpeg_decode(blob)
-    raise NotImplementedError(f"image format {fmt!r} not available (have png/jpg)")
+    if fmt == "webp":
+        from versatiles_rs_spark.functions.webp_native import webp_decode
+
+        return webp_decode(blob)
+    raise NotImplementedError(f"image format {fmt!r} not available (have png/jpg/webp)")
 
 
 def image_encode(img: np.ndarray, fmt: str, quality: int = 85) -> bytes:
@@ -232,7 +238,13 @@ def image_encode(img: np.ndarray, fmt: str, quality: int = 85) -> bytes:
         return png_encode(img)
     if fmt in ("jpg", "jpeg"):
         return jpeg_encode(img, quality=quality)
-    raise NotImplementedError(f"image format {fmt!r} not available (have png/jpg)")
+    if fmt == "webp":
+        from versatiles_rs_spark.functions.webp_native import webp_encode
+
+        # lossless below the reference's lossy threshold semantics: the
+        # registry treats quality >= 100 as lossless
+        return webp_encode(img, quality=None if quality >= 100 else quality)
+    raise NotImplementedError(f"image format {fmt!r} not available (have png/jpg/webp)")
 
 
 # ---------------------------------------------------------------------------
