@@ -237,3 +237,39 @@ def test_write_container_normalizes_mixed_compression(spark, tmp_path):
            for r in tiles.collect()}
     got = {(r["z"], r["x"], r["y"]): decompress(bytes(r["tile"]), "gzip") for r in rows}
     assert got == src
+
+
+def test_versatiles_point_lookup_serve_path(spark, tmp_path):
+    """lookup_tile: O(1) header -> block index -> tile index -> byte-range
+    seek, equal to the scan path for every present coord, None for absent,
+    and Accept-Encoding recompression via optimize_compression."""
+    import gzip as _gz
+
+    import pandas as pd
+
+    from versatiles_rs_spark.sources.versatiles_file import (
+        lookup_tile,
+        read_versatiles,
+        write_versatiles,
+    )
+
+    rows = [
+        (3, x, y, "mvt", "gzip", _gz.compress(bytes([x * 9 + y]) * 30, mtime=0), 1)
+        for x in range(3)
+        for y in range(2)
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["z", "x", "y", "format", "compression", "tile", "n_features"])
+    )
+    path = str(tmp_path / "serve.versatiles")
+    write_versatiles(df, path)
+
+    scanned = {(r["z"], r["x"], r["y"]): bytes(r["tile"]) for r in read_versatiles(spark, path).collect()}
+    for (z, x, y), want in scanned.items():
+        got = lookup_tile(path, z, x, y)
+        assert got is not None and got[0] == want and got[1] == "gzip"
+    assert lookup_tile(path, 3, 200, 200) is None
+    assert lookup_tile(path, 9, 0, 0) is None
+    # Accept-Encoding: client accepts only identity -> decompressed payload
+    blob, codec = lookup_tile(path, 3, 1, 1, accepted=["none"])
+    assert codec == "none" and blob == _gz.decompress(scanned[(3, 1, 1)])

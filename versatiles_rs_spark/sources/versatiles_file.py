@@ -185,6 +185,50 @@ def read_versatiles(spark: SparkSession, path: str) -> DataFrame:
     return bdf.mapInPandas(scan, TILE_SCHEMA)
 
 
+def lookup_tile(path: str, z: int, x: int, y: int,
+                accepted: list[str] | None = None) -> tuple[bytes, str] | None:
+    """The `versatiles serve` point-lookup path (SURVEY §3.3): header ->
+    block index -> the ONE covering block's tile index -> the ONE tile's
+    byte range. Three bounded reads + two seeks, independent of container
+    size — O(1) like the reference's serve handler, never a scan.
+
+    Returns (tile_bytes, compression) or None for an absent tile. When
+    ``accepted`` (Accept-Encoding analog) is given, the blob is
+    recompressed to the best accepted codec via optimize_compression
+    (compression/functions.rs:54 semantics)."""
+    from versatiles_rs_spark.functions.compression import optimize_compression
+
+    head = read_versatiles_header(path)
+    boff, blen = head["blocks_range"]
+    if blen == 0:
+        return None
+    with open(path, "rb") as f:
+        f.seek(boff)
+        blocks = _parse_block_index(decompress(f.read(blen), BROTLI))
+        bx, by = x >> 8, y >> 8
+        blk = next(
+            (b for b in blocks if b.level == z and b.bx == bx and b.by == by), None
+        )
+        if blk is None:
+            return None
+        lx, ly = x & 255, y & 255
+        if not (blk.x_min <= lx <= blk.x_max and blk.y_min <= ly <= blk.y_max):
+            return None
+        width = blk.x_max - blk.x_min + 1
+        k = (ly - blk.y_min) * width + (lx - blk.x_min)
+        f.seek(blk.index_offset)
+        idx = decompress(f.read(blk.index_length), BROTLI)
+        off, ln = struct.unpack(">QI", idx[12 * k : 12 * k + 12])
+        if ln == 0:
+            return None
+        f.seek(blk.tiles_offset + off)
+        blob = f.read(ln)
+    comp = head["compression"]
+    if accepted is not None:
+        blob, comp = optimize_compression(blob, comp, accepted)
+    return blob, comp
+
+
 def write_versatiles(tiles: DataFrame, path: str, tilejson: dict | None = None) -> dict:
     """Tile table -> .versatiles container. Returns {"tiles": n, "blocks": m}.
 
