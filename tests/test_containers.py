@@ -273,3 +273,40 @@ def test_versatiles_point_lookup_serve_path(spark, tmp_path):
     # Accept-Encoding: client accepts only identity -> decompressed payload
     blob, codec = lookup_tile(path, 3, 1, 1, accepted=["none"])
     assert codec == "none" and blob == _gz.decompress(scanned[(3, 1, 1)])
+
+
+def test_pmtiles_point_lookup_serve_path(spark, tmp_path):
+    """PMTiles lookup_tile: root-directory binary search (+ leaf hop) per
+    coordinate, equal to the scan path, None for absent tiles."""
+    import gzip as _gz
+
+    import pandas as pd
+
+    from versatiles_rs_spark.sources.pmtiles import (
+        lookup_tile,
+        read_pmtiles,
+        write_pmtiles,
+    )
+
+    rows = [
+        (2, x, y, "mvt", "gzip", _gz.compress(bytes([x * 5 + y + 1]) * 25, mtime=0), 1)
+        for x in range(4)
+        for y in range(4)
+        if (x + y) % 3 != 0  # leave holes so absent coords exist in-range
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["z", "x", "y", "format", "compression", "tile", "n_features"])
+    )
+    path = str(tmp_path / "serve.pmtiles")
+    write_pmtiles(df, path)
+
+    scanned = {(r["z"], r["x"], r["y"]): bytes(r["tile"]) for r in read_pmtiles(spark, path).collect()}
+    assert len(scanned) == len(rows)
+    for (z, x, y), want in scanned.items():
+        got = lookup_tile(path, z, x, y)
+        assert got is not None and got[0] == want, (z, x, y)
+    for x in range(4):
+        for y in range(4):
+            if (x + y) % 3 == 0:
+                assert lookup_tile(path, 2, x, y) is None, (x, y)
+    assert lookup_tile(path, 7, 1, 1) is None

@@ -208,6 +208,50 @@ def read_pmtiles(spark: SparkSession, path: str) -> DataFrame:
     return edf.mapInPandas(scan, TILE_SCHEMA)
 
 
+def lookup_tile(path: str, z: int, x: int, y: int,
+                accepted: list[str] | None = None) -> tuple[bytes, str] | None:
+    """PMTiles point lookup — the reference's serve/read path
+    (reader.rs:74-105): binary-search the root directory by tile_id,
+    follow at most one leaf pointer, read one byte range. O(log n_entries)
+    with three bounded reads; never scans the container."""
+    import bisect
+
+    from versatiles_rs_spark.functions.compression import optimize_compression
+    from versatiles_rs_spark.tile_math.hilbert import hilbert_index_np
+
+    head = read_pmtiles_header(path)
+    ic = head["internal_compression"]
+    tid = int(hilbert_index_np(z, np.array([x]), np.array([y]))[0])
+
+    def find(entries, target):
+        keys = [e[0] for e in entries]
+        i = bisect.bisect_right(keys, target) - 1
+        return entries[i] if i >= 0 else None
+
+    with open(path, "rb") as f:
+        f.seek(head["root"][0])
+        root = _parse_dir(_internal_decompress(f.read(head["root"][1]), ic))
+        hit = find(root, tid)
+        if hit is None:
+            return None
+        e_tid, off, ln, rl = hit
+        if rl == 0:  # leaf directory pointer
+            f.seek(head["leaves"][0] + off)
+            leaf = _parse_dir(_internal_decompress(f.read(ln), ic))
+            hit = find(leaf, tid)
+            if hit is None:
+                return None
+            e_tid, off, ln, rl = hit
+        if not (e_tid <= tid < e_tid + max(rl, 1)):
+            return None
+        f.seek(head["data"][0] + off)
+        blob = f.read(ln)
+    comp = head["tile_compression"]
+    if accepted is not None:
+        blob, comp = optimize_compression(blob, comp, accepted)
+    return blob, comp
+
+
 def write_pmtiles(tiles: DataFrame, path: str, metadata: dict | None = None) -> dict:
     """Tile table -> .pmtiles (clustered, Hilbert-ordered, gzip internals).
 
