@@ -310,3 +310,27 @@ def test_pmtiles_point_lookup_serve_path(spark, tmp_path):
             if (x + y) % 3 == 0:
                 assert lookup_tile(path, 2, x, y) is None, (x, y)
     assert lookup_tile(path, 7, 1, 1) is None
+
+
+def test_lookup_dispatch_all_three_containers(spark, tmp_path):
+    import gzip as _gz
+
+    import pandas as pd
+
+    from versatiles_rs_spark.sources import lookup_tile, write_container
+
+    rows = [
+        (1, x, y, "mvt", "gzip", _gz.compress(bytes([x * 2 + y + 1]) * 20, mtime=0), 1)
+        for x in range(2) for y in range(2)
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["z", "x", "y", "format", "compression", "tile", "n_features"])
+    )
+    want = {(z, x, y): t for z, x, y, _f, _c, t, _n in rows}
+    for ext in ("mbtiles", "pmtiles", "versatiles"):
+        path = str(tmp_path / f"d.{ext}")
+        write_container(df, path)
+        for (z, x, y), blob in want.items():
+            got = lookup_tile(path, z, x, y)
+            assert got is not None and got[0] == blob, (ext, z, x, y)
+        assert lookup_tile(path, 1, 3, 3) is None  # out-of-grid -> absent

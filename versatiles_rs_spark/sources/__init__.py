@@ -75,3 +75,21 @@ def write_container(tiles, path: str, metadata: dict | None = None) -> dict:
         return write_tar(tiles, path)
     tiles.write.mode("overwrite").partitionBy("z").parquet(path)
     return {"tiles": -1, "format": "parquet"}
+
+
+def lookup_tile(path: str, z: int, x: int, y: int,
+                accepted: list[str] | None = None):
+    """Container-dispatched point lookup — the `versatiles serve` tile
+    handler analog: O(1)/O(log n) index seeks, never a scan, no Spark
+    session needed. Returns (tile_bytes, compression) or None; ``accepted``
+    applies optimize_compression (Accept-Encoding semantics)."""
+    low = path.lower()
+    if low.endswith(".mbtiles"):
+        from versatiles_rs_spark.sources.mbtiles import lookup_tile as lk
+    elif low.endswith(".pmtiles"):
+        from versatiles_rs_spark.sources.pmtiles import lookup_tile as lk
+    elif low.endswith(".versatiles"):
+        from versatiles_rs_spark.sources.versatiles_file import lookup_tile as lk
+    else:
+        raise ValueError(f"point lookup needs a binary container, got {path!r}")
+    return lk(path, z, x, y, accepted=accepted)

@@ -127,6 +127,28 @@ def read_mbtiles(spark: SparkSession, path: str, slices_per_core: int = 4) -> Da
     return ranges.mapInPandas(scan, TILE_SCHEMA)
 
 
+def lookup_tile(path: str, z: int, x: int, y: int,
+                accepted: list[str] | None = None) -> tuple[bytes, str] | None:
+    """MBTiles point lookup (serve path): one indexed SQLite SELECT with
+    the XYZ->TMS flip — O(log n) via the tiles table index, no scan."""
+    from versatiles_rs_spark.functions.compression import optimize_compression
+
+    meta = read_mbtiles_metadata(path)
+    _fmt, comp = _FORMAT_IN[meta["format"]]
+    tms_y = (1 << z) - 1 - y
+    with sqlite3.connect(f"file:{os.path.abspath(path)}?mode=ro", uri=True) as conn:
+        row = conn.execute(
+            "SELECT tile_data FROM tiles WHERE zoom_level=? AND tile_column=? AND tile_row=?",
+            (z, x, tms_y),
+        ).fetchone()
+    if row is None:
+        return None
+    blob = bytes(row[0])
+    if accepted is not None:
+        blob, comp = optimize_compression(blob, comp, accepted)
+    return blob, comp
+
+
 def write_mbtiles(
     tiles: DataFrame,
     path: str,

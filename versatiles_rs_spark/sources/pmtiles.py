@@ -219,6 +219,8 @@ def lookup_tile(path: str, z: int, x: int, y: int,
     from versatiles_rs_spark.functions.compression import optimize_compression
     from versatiles_rs_spark.tile_math.hilbert import hilbert_index_np
 
+    if not (0 <= x < (1 << z) and 0 <= y < (1 << z)):
+        return None
     head = read_pmtiles_header(path)
     ic = head["internal_compression"]
     tid = int(hilbert_index_np(z, np.array([x]), np.array([y]))[0])
