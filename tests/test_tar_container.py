@@ -64,3 +64,24 @@ def test_reference_static_tar_skips_non_tiles(spark):
 
     out = read_container(spark, "/root/reference/testdata/static.tar.gz")
     assert out.count() == 0
+
+
+def test_tar_br_roundtrip_and_reference_fixture(spark, tmp_path):
+    """.tar.br archives are readable since round 3 (full RFC 7932 decoder):
+    a brotli-compressed tile tar round-trips equal to the plain tar, and
+    the reference's static.tar.br parses (no tiles inside, like its gzip
+    twin — but the decode path must not error)."""
+    from versatiles_rs_spark.functions.compression import compress
+    from versatiles_rs_spark.operators.convert import convert_pages_to_tiles
+    from versatiles_rs_spark.queries import _docs_geo
+    from versatiles_rs_spark.sources import read_container, write_container
+
+    tiles = convert_pages_to_tiles(_docs_geo(spark, "/root/testdata/sf0.001"), 0, 3, keep_ratio=1.0)
+    plain = str(tmp_path / "t.tar")
+    write_container(tiles, plain)
+    brpath = str(tmp_path / "t.tar.br")
+    with open(plain, "rb") as f:
+        open(brpath, "wb").write(compress(f.read(), "brotli"))
+    assert read_container(spark, brpath).count() == tiles.count()
+
+    assert read_container(spark, "/root/reference/testdata/static.tar.br").count() == 0

@@ -26,7 +26,7 @@ def read_container(spark, path: str):
         from versatiles_rs_spark.sources.versatiles_file import read_versatiles
 
         return read_versatiles(spark, path)
-    if low.endswith((".tar", ".tar.gz", ".tgz")):
+    if low.endswith((".tar", ".tar.gz", ".tgz", ".tar.br")):
         from versatiles_rs_spark.sources.tar_reader import read_tar
 
         return read_tar(spark, path)

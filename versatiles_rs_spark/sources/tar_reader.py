@@ -71,6 +71,16 @@ def read_tar(spark: SparkSession, path: str, scratch_dir: str | None = None) -> 
         )
         with os.fdopen(fd, "wb") as out, gzip.open(path, "rb") as src:
             shutil.copyfileobj(src, out)
+    elif path.endswith(".tar.br"):
+        # brotli-compressed archives (the reference ships static.tar.br):
+        # decodable since round 3 via the full RFC 7932 reader
+        from versatiles_rs_spark.functions.compression import decompress
+
+        fd, plain = tempfile.mkstemp(
+            suffix=".tar", dir=scratch_dir or tempfile.gettempdir()
+        )
+        with open(path, "rb") as src, os.fdopen(fd, "wb") as out:
+            out.write(decompress(src.read(), "brotli"))
 
     index = []
     with tarfile.open(plain, "r:") as tf:
