@@ -154,3 +154,24 @@ def test_webp_roundtrip_and_registry():
     lossy = image_encode(img[:, :, :3], "webp", quality=80)
     out = image_decode(lossy, "webp")
     assert out.shape == (32, 24, 4)
+
+
+def test_avif_roundtrip_and_registry():
+    """AVIF via the system libheif (AV1): decode(encode(x)) has the right
+    shape and is visually close (AV1 is lossy); registry dispatches it."""
+    import pytest as _pytest
+
+    from versatiles_rs_spark.functions.avif_native import HAS_AVIF
+    if not HAS_AVIF:
+        _pytest.skip("libheif AV1 not present")
+    from versatiles_rs_spark.functions.raster import image_decode, image_encode
+
+    # smooth gradient (lossy codecs track it closely)
+    yy, xx = np.mgrid[0:32, 0:24]
+    img = np.stack([xx * 10 % 256, yy * 7 % 256, (xx + yy) * 5 % 256], axis=2).astype(np.uint8)
+    blob = image_encode(img, "avif", quality=90)
+    assert blob[4:12] == b"ftypavif"
+    out = image_decode(blob, "avif")
+    assert out.shape == (32, 24, 4)
+    diff = np.abs(out[:, :, :3].astype(int) - img.astype(int)).mean()
+    assert diff < 12.0, diff

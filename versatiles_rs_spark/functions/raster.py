@@ -5,9 +5,12 @@ RGBA8 (traits/info.rs:21-24), ``from_blob``/``to_blob`` (traits/convert.rs),
 pixel ops ``scaled_down``/``overlay``/``levels``/``flatten``
 (traits/operation.rs:29-94). Pillow is absent in this container, so PNG
 encode/decode is implemented directly (zlib + filter-type-0 scanlines) —
-deterministic bytes (fixed zlib level) for golden tests. JPEG/WebP/AVIF are
-capability-stubbed (decode raises NotImplementedError) — the Spark-side
-plumbing (binary columns, batch shapes) is identical for all codecs.
+deterministic bytes (fixed zlib level) for golden tests — and baseline
+JPEG lives in functions/jpeg.py (pure python, ITU T.81). WebP and AVIF
+bind the system libwebp / libheif via ctypes (webp_native.py /
+avif_native.py, round 3) and degrade to a clean NotImplementedError on
+hosts without the libraries. The full reference registry
+(png/jpg/webp/avif, image_format.rs) now dispatches.
 """
 
 from __future__ import annotations
@@ -230,7 +233,11 @@ def image_decode(blob: bytes, fmt: str) -> np.ndarray:
         from versatiles_rs_spark.functions.webp_native import webp_decode
 
         return webp_decode(blob)
-    raise NotImplementedError(f"image format {fmt!r} not available (have png/jpg/webp)")
+    if fmt == "avif":
+        from versatiles_rs_spark.functions.avif_native import avif_decode
+
+        return avif_decode(blob)
+    raise NotImplementedError(f"image format {fmt!r} not available (have png/jpg/webp/avif)")
 
 
 def image_encode(img: np.ndarray, fmt: str, quality: int = 85) -> bytes:
@@ -244,7 +251,11 @@ def image_encode(img: np.ndarray, fmt: str, quality: int = 85) -> bytes:
         # lossless below the reference's lossy threshold semantics: the
         # registry treats quality >= 100 as lossless
         return webp_encode(img, quality=None if quality >= 100 else quality)
-    raise NotImplementedError(f"image format {fmt!r} not available (have png/jpg/webp)")
+    if fmt == "avif":
+        from versatiles_rs_spark.functions.avif_native import avif_encode
+
+        return avif_encode(img, quality=quality)
+    raise NotImplementedError(f"image format {fmt!r} not available (have png/jpg/webp/avif)")
 
 
 # ---------------------------------------------------------------------------

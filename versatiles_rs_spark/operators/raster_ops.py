@@ -319,7 +319,7 @@ def raster_image_format(
         is_opaque,
     )
 
-    if fmt not in ("png", "jpg", "webp"):
+    if fmt not in ("png", "jpg", "webp", "avif"):
         raise ValueError(f"raster_image_format: unsupported format {fmt!r}")
     q_def, q_sched = parse_quality_schedule(str(quality))
     if quality_translucent is not None:
