@@ -167,3 +167,23 @@ def test_wav_decode_and_audio_features(spark):
     # 440 Hz sine crosses zero ~880 times/sec -> zcr ~ 880/8000
     assert abs(good["zero_crossing_rate"] - 880 / 8000) < 0.01
     assert rows[2]["sample_rate"] is None  # non-WAV -> nulls, not a crash
+
+
+def test_multimodal_real_webp_avif_decode():
+    """Round 3: webp/avif blobs in the multimodal path decode for REAL
+    through the system-library bindings (no more deterministic fake for
+    these formats when the libs are present)."""
+    import pytest as _pytest
+
+    from versatiles_rs_spark.functions.avif_native import HAS_AVIF, avif_encode
+    from versatiles_rs_spark.functions.webp_native import HAS_WEBP, webp_encode
+    from versatiles_rs_spark.multimodal.media import decode_image_stub
+
+    if not (HAS_WEBP and HAS_AVIF):
+        _pytest.skip("system image codecs absent")
+    img = np.zeros((16, 16, 3), np.uint8)
+    img[:, :, 0] = 200
+    w = decode_image_stub(webp_encode(img, quality=None))
+    assert w.shape[:2] == (16, 16) and abs(int(w[0, 0, 0]) - 200) < 2
+    a = decode_image_stub(avif_encode(img, quality=90))
+    assert a.shape[:2] == (16, 16) and abs(int(a[0, 0, 0]) - 200) < 12

@@ -36,18 +36,29 @@ from versatiles_rs_spark.functions.raster import _PNG_SIG, png_decode
 
 def decode_image_stub(blob: bytes, size: int = 8) -> np.ndarray:
     """Image decode: PNG and baseline JPEG decode for REAL (dependency-free
-    codecs in functions/raster.py and functions/jpeg.py); other formats
-    (webp/avif/video frames) produce a deterministic fake (splitmix-seeded)
-    so downstream feature extraction is testable without those codecs. A
-    production build swaps the fake for Pillow/torchvision — the UDF
-    signature does not change."""
+    codecs in functions/raster.py and functions/jpeg.py), and — round 3 —
+    so do WebP and AVIF via the system libwebp/libheif bindings when those
+    libraries are present. Remaining formats (video frames) produce a
+    deterministic fake (splitmix-seeded) so downstream feature extraction
+    is testable without those codecs; a production build swaps the fake —
+    the UDF signature does not change."""
     if blob[:8] == _PNG_SIG:
         return png_decode(blob)
     if blob[:3] == b"\xff\xd8\xff":
         from versatiles_rs_spark.functions.jpeg import jpeg_decode
 
         return jpeg_decode(blob)
-    # DETERMINISTIC FAKE (no image library in this container)
+    if blob[:4] == b"RIFF" and blob[8:12] == b"WEBP":
+        from versatiles_rs_spark.functions.webp_native import HAS_WEBP, webp_decode
+
+        if HAS_WEBP:
+            return webp_decode(blob)
+    if blob[4:12] in (b"ftypavif", b"ftypheic", b"ftypmif1"):
+        from versatiles_rs_spark.functions.avif_native import HAS_AVIF, avif_decode
+
+        if HAS_AVIF:
+            return avif_decode(blob)
+    # DETERMINISTIC FAKE (no codec for this format in this container)
     seed = np.uint64(len(blob))
     for b in blob[:16]:
         with np.errstate(over="ignore"):
