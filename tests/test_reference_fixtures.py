@@ -267,3 +267,44 @@ def test_shortbread_layers_query_matches_oracle(spark):
     assert got.columns.tolist() == want.columns.tolist()
     for c in got.columns:
         assert got[c].astype(str).tolist() == want[c].astype(str).tolist(), c
+
+
+def test_shortbread_through_vector_transforms(spark, shortbread_blob):
+    """Transforms over REAL third-party MVT data: explode the shortbread
+    tile, filter to two layers, reassemble — the output must decode, stay
+    validator-clean, and carry exactly the expected feature counts."""
+    import pandas as pd
+
+    from versatiles_rs_spark.functions.mvt import validate_tile
+    from versatiles_rs_spark.operators.vector_transforms import (
+        explode_features,
+        reassemble_tiles,
+        vector_filter_layers,
+    )
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [(14, 8800, 5370, "mvt", "none", shortbread_blob, 0)],
+            columns=["z", "x", "y", "format", "compression", "tile", "n_features"],
+        )
+    )
+    kept = vector_filter_layers(df, ["streets", "buildings"], invert=True)  # keep-only
+    out = kept.collect()
+    assert len(out) == 1
+    blob = bytes(out[0]["tile"])
+    from versatiles_rs_spark.functions.compression import decompress
+
+    raw = decompress(blob, out[0]["compression"])
+    assert validate_tile(raw) == []
+    tile = decode_tile(raw)
+    assert set(tile) == {"streets", "buildings"}
+    assert len(tile["streets"]["features"]) == 4224
+    assert len(tile["buildings"]["features"]) == 2328
+
+    # explode -> reassemble keeps per-layer feature counts on real data
+    feats = explode_features(df)
+    counts = {r["layer"]: r["n"] for r in feats.groupBy("layer").count().withColumnRenamed("count", "n").collect()}
+    assert counts["addresses"] == 2609 and counts["land"] == 871
+    back = reassemble_tiles(feats, compression="none").collect()
+    assert len(back) == 1
+    assert validate_tile(bytes(back[0]["tile"])) == []

@@ -85,3 +85,19 @@ def test_tar_br_roundtrip_and_reference_fixture(spark, tmp_path):
     assert read_container(spark, brpath).count() == tiles.count()
 
     assert read_container(spark, "/root/reference/testdata/static.tar.br").count() == 0
+
+
+def test_tar_compressed_write_roundtrip(spark, tmp_path):
+    """write_container to .tar.gz and .tar.br round-trips through
+    read_container (outer codec applied after the deterministic tar)."""
+    from versatiles_rs_spark.operators.convert import convert_pages_to_tiles
+    from versatiles_rs_spark.queries import _docs_geo
+    from versatiles_rs_spark.sources import read_container, write_container
+
+    tiles = convert_pages_to_tiles(_docs_geo(spark, "/root/testdata/sf0.001"), 0, 2, keep_ratio=1.0)
+    n = tiles.count()
+    for ext in ("tar.gz", "tar.br"):
+        p = str(tmp_path / f"w.{ext}")
+        out = write_container(tiles, p)
+        assert out["tiles"] == n
+        assert read_container(spark, p).count() == n

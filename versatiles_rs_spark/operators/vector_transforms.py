@@ -266,8 +266,11 @@ def reassemble_tiles(features: DataFrame, compression: str = "gzip") -> DataFram
             layers: dict[str, list[MvtFeature]] = {}
             for _, r in sub.iterrows():
                 rings = [[(int(p[0]), int(p[1])) for p in ring] for ring in r["rings"]]
+                # feature ids are OPTIONAL in MVT (the shortbread fixture's
+                # address features carry none) — preserve absence
+                fid = None if pd.isna(r["fid"]) else int(r["fid"])
                 layers.setdefault(r["layer"], []).append(
-                    MvtFeature(int(r["geom_type"]), rings, dict(r["props"]), int(r["fid"]))
+                    MvtFeature(int(r["geom_type"]), rings, dict(r["props"]), fid)
                 )
             blob = compress(encode_tile(layers), compression)
             n = int(len(sub))

@@ -69,7 +69,7 @@ def write_container(tiles, path: str, metadata: dict | None = None) -> dict:
         from versatiles_rs_spark.sources.versatiles_file import write_versatiles
 
         return write_versatiles(tiles, path, tilejson=metadata)
-    if low.endswith(".tar"):
+    if low.endswith((".tar", ".tar.gz", ".tgz", ".tar.br")):
         from versatiles_rs_spark.sources.tar_reader import write_tar
 
         return write_tar(tiles, path)

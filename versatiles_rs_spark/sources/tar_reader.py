@@ -116,7 +116,18 @@ def read_tar(spark: SparkSession, path: str, scratch_dir: str | None = None) -> 
 def write_tar(tiles: DataFrame, path: str) -> dict:
     """Tile table -> tar of z/x/y.<ext> entries (container/tar/sink.rs).
     MVT tiles get the conventional .pbf name; gzip transport keeps a .gz
-    suffix so the reader round-trips the codec."""
+    suffix so the reader round-trips the codec. A .tar.gz/.tgz/.tar.br
+    path compresses the archive (gzip mtime 0 / real brotli) after the
+    deterministic plain write."""
+    outer = None
+    final_path = path
+    if path.endswith((".tar.gz", ".tgz")):
+        outer = "gzip"
+    elif path.endswith(".tar.br"):
+        outer = "brotli"
+    if outer:
+        fd, path = tempfile.mkstemp(suffix=".tar")
+        os.close(fd)
     fmt_ext = {"mvt": "pbf"}
     n = 0
     with tarfile.open(path, "w") as tf:
@@ -133,4 +144,12 @@ def write_tar(tiles: DataFrame, path: str) -> dict:
 
             tf.addfile(info, io.BytesIO(blob))
             n += 1
+    if outer:
+        from versatiles_rs_spark.functions.compression import compress
+
+        with open(path, "rb") as f:
+            raw = f.read()
+        os.unlink(path)
+        with open(final_path, "wb") as f:
+            f.write(compress(raw, outer))
     return {"tiles": n}
