@@ -1347,6 +1347,68 @@ O_SHORTBREAD_LAYERS = (
 
 
 # ---------------------------------------------------------------------------
+# 17. generic HTML -> text extraction (webtext payload; pure codegen)
+# ---------------------------------------------------------------------------
+
+# Deterministic "wild" page template: comment, script, style, entities —
+# everything a real extractor must strip. Built identically in Spark and
+# DuckDB from the documents table; single quotes avoided so the SQL literal
+# needs no escaping.
+_RICH_HTML_PARTS = [
+    '<!DOCTYPE html><html><head><!-- crawl &amp; extract --><style type="text/css">body { color: #000; }</style>'
+    '<script src="t.js">var x = 1; if (x) { track("pv"); }</script></head><body><h1>Doc ',
+    "</h1><p>",
+    '</p><div class="footer">lang &lt;',
+    "&gt; &amp; source ",
+    "</div></body></html>",
+]
+
+
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic HTML->text extraction (pages/html_text.py): strip comments /
+    script / style / tags, decode entities, collapse whitespace — the whole
+    chain is regexp_replace Columns inside whole-stage codegen (zero
+    Python), and the oracle runs the IDENTICAL rule list via
+    html_to_text_sql, so the rules are cross-engine-verified, not
+    self-checked."""
+    from versatiles_rs_spark.pages.html_text import html_to_text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = _RICH_HTML_PARTS
+    html = F.concat(
+        F.lit(p[0]), F.col("doc_id").cast("string"),
+        F.lit(p[1]), F.col("text"),
+        F.lit(p[2]), F.col("lang"),
+        F.lit(p[3]), F.col("source"),
+        F.lit(p[4]),
+    )
+    txt = html_to_text(html)
+    return docs.select(
+        "doc_id",
+        txt.alias("txt"),
+        F.length(txt).cast("bigint").alias("n_chars_out"),
+    )
+
+
+def _o_html_extract() -> str:
+    from versatiles_rs_spark.pages.html_text import html_to_text_sql
+
+    p = _RICH_HTML_PARTS
+    html = (
+        f"'{p[0]}' || CAST(doc_id AS VARCHAR) || '{p[1]}' || text || "
+        f"'{p[2]}' || lang || '{p[3]}' || source || '{p[4]}'"
+    )
+    txt = html_to_text_sql(html)
+    return (
+        f"SELECT doc_id, {txt} AS txt, CAST(length({txt}) AS BIGINT) AS n_chars_out "
+        "FROM documents"
+    )
+
+
+O_HTML_EXTRACT = _o_html_extract()
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1390,6 +1452,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_sample": q_quality_sample,
     "s2_face_ij": q_s2_face_ij,
     "hex_cell_stats": q_hex_cell_stats,
+    "html_extract": q_html_extract,
 }
 
 ORACLES: dict[str, str] = {
@@ -1432,4 +1495,5 @@ ORACLES: dict[str, str] = {
     "quality_sample": O_QUALITY_SAMPLE,
     "s2_face_ij": O_S2_FACE_IJ,
     "hex_cell_stats": O_HEX_CELL_STATS,
+    "html_extract": O_HTML_EXTRACT,
 }
