@@ -3,21 +3,33 @@ contract (BASELINE.json: "per-partition lineage + row-count/byte metrics
 committed ... per tile-batch snapshot; killed job resumes from last
 committed snapshot").
 
-Iceberg's catalog is not available in this container, so the same protocol
-is implemented over plain parquet with an atomically-committed manifest:
+Iceberg's catalog is not available in this container, so the same table
+format *shape* is implemented over plain parquet — snapshot log, manifest
+of data files with per-file statistics, atomic commit pointer:
 
-    <table>/data/batch=<batch_id>/...parquet      tile rows of one batch
-    <table>/_lineage/batch=<batch_id>.json        per-partition metrics
-    <table>/_manifest.json                        list of committed batches
-                                                  (written via tmp+rename)
+    <table>/data/batch=<batch_id>/*.parquet   tile rows of one batch
+    <table>/_lineage/batch=<batch_id>.json    per-batch + per-FILE metrics
+    <table>/_snapshots/v<N>.json              snapshot N: parent pointer,
+                                              operation summary, data-file
+                                              manifest (path, rows, bytes,
+                                              z/x/y bounds per file)
+    <table>/_manifest.json                    commit pointer: committed
+                                              batches + current snapshot id
+                                              (written via tmp+rename)
 
-A batch = one work partition of the tile pyramid (z, x_block, y_block
-ranges — FIXTURES.md §7 schema). ``resume_plan`` diffs desired batches
-against the manifest so a restarted driver re-runs only missing batches;
-``read_tiles`` reads exactly the committed set. On a real deployment each
-batch write + lineage append is one Iceberg transaction; this module keeps
-that commit protocol (data first, manifest last, rename-atomic) without the
-catalog.
+The protocol mirrors Iceberg's commit semantics: data files first, then
+the immutable snapshot file, then the single atomic pointer swap — a
+writer killed at any step leaves the table readable at its previous
+snapshot, and orphaned data/snapshot files are invisible. Each batch
+commit = one snapshot, so ``read_tiles(..., as_of=N)`` time-travels to any
+earlier state, and ``plan_files`` prunes data files from manifest-recorded
+z/x/y bounds WITHOUT opening them (Iceberg-style metadata pruning — at
+100 TB the driver plans from kilobytes of manifests, never from the data).
+
+Batch stats ride on ``DataFrame.observe``: the counters are collected by
+the SAME Spark job that writes the files (no read-back aggregation job),
+and per-file stats come from the parquet footers (pyarrow metadata, no
+row reads).
 """
 
 from __future__ import annotations
@@ -27,7 +39,7 @@ import os
 import time
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -64,9 +76,11 @@ def _manifest_path(table: str) -> str:
 def read_manifest(table: str) -> dict:
     p = _manifest_path(table)
     if not os.path.exists(p):
-        return {"batches": {}}
+        return {"batches": {}, "current_snapshot": 0}
     with open(p) as f:
-        return json.load(f)
+        m = json.load(f)
+    m.setdefault("current_snapshot", len(m["batches"]))
+    return m
 
 
 def _commit_manifest(table: str, manifest: dict) -> None:
@@ -82,35 +96,77 @@ def resume_plan(table: str, batches: list[TileBatch]) -> list[TileBatch]:
     return [b for b in batches if b.batch_id not in done]
 
 
-def write_batch(table: str, batch: TileBatch, tiles: DataFrame) -> dict:
-    """Write one batch's tiles + lineage, then commit it to the manifest.
+def _file_stats(data_dir: str) -> list[dict]:
+    """Per-data-file statistics straight from the parquet footers: row
+    count, on-disk size, and z/x/y min/max — the manifest entries pruning
+    plans from. No row is read."""
+    import pyarrow.parquet as pq
 
-    The tiles DataFrame is filtered to the batch's coordinate block here, so
-    callers can pass the whole-pyramid plan and rely on partition pruning.
+    out = []
+    for name in sorted(os.listdir(data_dir)):
+        if not name.endswith(".parquet"):
+            continue
+        path = os.path.join(data_dir, name)
+        md = pq.ParquetFile(path).metadata
+        bounds: dict[str, list] = {}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                cname = col.path_in_schema
+                if cname in ("z", "x", "y") and col.statistics is not None:
+                    lo, hi = col.statistics.min, col.statistics.max
+                    if cname in bounds:
+                        bounds[cname] = [min(bounds[cname][0], lo), max(bounds[cname][1], hi)]
+                    else:
+                        bounds[cname] = [lo, hi]
+        out.append(
+            {
+                "path": path,
+                "rows": md.num_rows,
+                "file_bytes": os.path.getsize(path),
+                **{f"{c}_min": bounds[c][0] for c in bounds},
+                **{f"{c}_max": bounds[c][1] for c in bounds},
+            }
+        )
+    return out
+
+
+def _read_snapshot(table: str, sid: int) -> dict:
+    with open(os.path.join(table, "_snapshots", f"v{sid}.json")) as f:
+        return json.load(f)
+
+
+def write_batch(table: str, batch: TileBatch, tiles: DataFrame) -> dict:
+    """Write one batch's tiles, then commit data files + lineage + a new
+    snapshot, then swap the manifest pointer (in that order — a kill at
+    any point leaves the previous snapshot intact).
+
+    The tiles DataFrame is filtered to the batch's coordinate block here,
+    so callers can pass the whole-pyramid plan and rely on partition
+    pruning. Batch metrics are observed DURING the write job (no read-back
+    aggregation); per-file metrics come from the parquet footers.
     Returns the lineage record."""
     shift = batch.block_bits
+    obs = Observation()
     part = tiles.filter(
         (F.col("z") == batch.z)
         & (F.shiftright("x", shift) == batch.x_block)
         & (F.shiftright("y", shift) == batch.y_block)
+    ).observe(
+        obs,
+        F.count(F.lit(1)).alias("row_count"),
+        F.coalesce(F.sum(F.length("tile")), F.lit(0)).alias("bytes"),
+        F.min("x").alias("x_min"),
+        F.max("x").alias("x_max"),
+        F.min("y").alias("y_min"),
+        F.max("y").alias("y_max"),
     )
     data_dir = os.path.join(table, "data", f"batch={batch.batch_id}")
     part.write.mode("overwrite").parquet(data_dir)
+    stats = obs.get
 
-    spark = tiles.sparkSession
-    stats = (
-        spark.read.parquet(data_dir)
-        .agg(
-            F.count("*").alias("row_count"),
-            F.coalesce(F.sum(F.length("tile")), F.lit(0)).alias("bytes"),
-            F.min("x").alias("x_min"),
-            F.max("x").alias("x_max"),
-            F.min("y").alias("y_min"),
-            F.max("y").alias("y_max"),
-        )
-        .collect()[0]
-        .asDict()
-    )
+    files = _file_stats(data_dir)
     lineage = {
         "batch_id": batch.batch_id,
         "z": batch.z,
@@ -118,17 +174,42 @@ def write_batch(table: str, batch: TileBatch, tiles: DataFrame) -> dict:
         "y_block": batch.y_block,
         **{k: (int(v) if v is not None else None) for k, v in stats.items()},
         "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "n_files": len(files),
+        "files": files,
     }
     os.makedirs(os.path.join(table, "_lineage"), exist_ok=True)
     with open(os.path.join(table, "_lineage", f"batch={batch.batch_id}.json"), "w") as f:
         json.dump(lineage, f, indent=1, sort_keys=True)
 
     manifest = read_manifest(table)
+    parent = manifest["current_snapshot"]
+    sid = parent + 1
+    snapshot = {
+        "snapshot_id": sid,
+        "parent_id": parent if parent > 0 else None,
+        "operation": "append",
+        "batch_id": batch.batch_id,
+        "committed_at": lineage["committed_at"],
+        "summary": {
+            "added_rows": lineage["row_count"],
+            "added_tile_bytes": lineage["bytes"],
+            "added_files": len(files),
+        },
+        "files": files,
+    }
+    os.makedirs(os.path.join(table, "_snapshots"), exist_ok=True)
+    snap_tmp = os.path.join(table, "_snapshots", f"v{sid}.json.tmp")
+    with open(snap_tmp, "w") as f:
+        json.dump(snapshot, f, indent=1, sort_keys=True)
+    os.replace(snap_tmp, os.path.join(table, "_snapshots", f"v{sid}.json"))
+
     manifest["batches"][batch.batch_id] = {
         "row_count": lineage["row_count"],
         "bytes": lineage["bytes"],
         "committed_at": lineage["committed_at"],
+        "snapshot_id": sid,
     }
+    manifest["current_snapshot"] = sid
     _commit_manifest(table, manifest)
     return lineage
 
@@ -147,18 +228,77 @@ def convert_resumable(
     return [write_batch(table, b, tiles) for b in todo]
 
 
-def read_tiles(spark: SparkSession, table: str) -> DataFrame:
-    """Read exactly the committed batches (uncommitted data dirs from a
-    crashed writer are invisible)."""
-    manifest = read_manifest(table)
-    dirs = [
-        os.path.join(table, "data", f"batch={bid}")
-        for bid, meta in manifest["batches"].items()
-        if meta["row_count"] > 0
-    ]
-    if not dirs:
-        raise ValueError(f"no committed batches in {table}")
-    return spark.read.parquet(*dirs)
+def plan_files(
+    table: str,
+    as_of: int | None = None,
+    z: tuple[int, int] | None = None,
+    x: tuple[int, int] | None = None,
+    y: tuple[int, int] | None = None,
+) -> list[dict]:
+    """Data files of snapshot ``as_of`` (default: current), pruned by the
+    manifest-recorded per-file z/x/y bounds. Metadata-only: the plan is
+    built from kilobytes of JSON, no parquet footer or row is touched."""
+    current = read_manifest(table)["current_snapshot"]
+    sid = current if as_of is None else as_of
+    if sid > current:
+        raise ValueError(f"snapshot {sid} does not exist (current is {current})")
+    files: list[dict] = []
+    for s in range(1, sid + 1):
+        files.extend(_read_snapshot(table, s)["files"])
+
+    def keep(f: dict) -> bool:
+        for name, rng in (("z", z), ("x", x), ("y", y)):
+            if rng is None:
+                continue
+            lo, hi = f.get(f"{name}_min"), f.get(f"{name}_max")
+            if lo is None or hi < rng[0] or lo > rng[1]:
+                return False
+        return True
+
+    return [f for f in files if f["rows"] > 0 and keep(f)]
+
+
+def read_tiles(
+    spark: SparkSession,
+    table: str,
+    as_of: int | None = None,
+    z: tuple[int, int] | None = None,
+    x: tuple[int, int] | None = None,
+    y: tuple[int, int] | None = None,
+) -> DataFrame:
+    """Read exactly the committed files (uncommitted data from a crashed
+    writer is invisible). ``as_of`` time-travels to an earlier snapshot;
+    z/x/y ranges prune files from manifest stats before Spark opens any."""
+    files = plan_files(table, as_of=as_of, z=z, x=x, y=y)
+    if not files:
+        raise ValueError(f"no committed data in {table} for the requested slice")
+    return spark.read.parquet(*[f["path"] for f in files])
+
+
+def snapshots_table(spark: SparkSession, table: str) -> DataFrame:
+    """Snapshot history (id, parent, operation, summary) as a DataFrame —
+    the Iceberg ``.snapshots`` metadata-table analog."""
+    current = read_manifest(table)["current_snapshot"]
+    rows = []
+    for s in range(1, current + 1):
+        snap = _read_snapshot(table, s)
+        rows.append(
+            (
+                snap["snapshot_id"],
+                snap["parent_id"],
+                snap["operation"],
+                snap["batch_id"],
+                snap["committed_at"],
+                snap["summary"]["added_rows"],
+                snap["summary"]["added_tile_bytes"],
+                snap["summary"]["added_files"],
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "snapshot_id long, parent_id long, operation string, batch_id string, "
+        "committed_at string, added_rows long, added_tile_bytes long, added_files long",
+    )
 
 
 def lineage_table(spark: SparkSession, table: str) -> DataFrame:
