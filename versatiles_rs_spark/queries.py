@@ -1409,6 +1409,73 @@ O_HTML_EXTRACT = _o_html_extract()
 
 
 # ---------------------------------------------------------------------------
+# 18. URL canonicalization + host keys (crawl dedup prerequisite)
+# ---------------------------------------------------------------------------
+
+# Deterministic "messy crawl" URL: case noise, default ports, userinfo,
+# doubled slashes, unsorted query params, fragments — varied by doc_id so
+# every branch of the canonicalizer is exercised.
+_MESSY_URL_SPARK = None  # built in the query from the same parts as the SQL
+
+_MESSY_PARTS = {
+    "scheme": ("http", "HTTPS", "https", "HTTP"),  # doc_id % 4
+    "port": ("", ":80", ":443", ":8080"),  # doc_id % 4 (paired with scheme)
+}
+
+
+def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (pages/urls.py): scheme/host lowercase, default
+    port + userinfo + fragment stripped, doubled slashes collapsed, query
+    params sorted — all codegen Columns; the oracle applies the IDENTICAL
+    rule chain via canonical_url_sql. Grouped by reversed-host key so the
+    hash compares canonical urls, host keys, and group sizes at once."""
+    from versatiles_rs_spark.pages.urls import canonical_url, host_key
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    m4 = F.col("doc_id") % 4
+    scheme = F.element_at(F.array(*[F.lit(s) for s in _MESSY_PARTS["scheme"]]), (m4 + 1).cast("int"))
+    port = F.element_at(F.array(*[F.lit(p) for p in _MESSY_PARTS["port"]]), (m4 + 1).cast("int"))
+    user = F.when(F.col("doc_id") % 5 == 0, F.lit("bot:pw@")).otherwise(F.lit(""))
+    messy = F.concat(
+        scheme, F.lit("://"), user,
+        F.lit("WWW."), F.upper(F.col("source")), F.lit(".Example.COM"), port,
+        F.lit("//docs//"), (F.col("doc_id") % 7).cast("string"), F.lit("/page"),
+        F.lit("?z="), (F.col("doc_id") % 3).cast("string"), F.lit("&a=1"),
+        F.lit("#sec"), (F.col("doc_id") % 2).cast("string"),
+    )
+    canon = canonical_url(messy)
+    return (
+        docs.select(canon.alias("curl"), host_key(canon).alias("hkey"))
+        .groupBy("curl", "hkey")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _o_url_canonical() -> str:
+    from versatiles_rs_spark.pages.urls import canonical_url_sql, host_key_sql
+
+    schemes = ", ".join(f"'{s}'" for s in _MESSY_PARTS["scheme"])
+    ports = ", ".join(f"'{p}'" for p in _MESSY_PARTS["port"])
+    messy = (
+        f"list_extract([{schemes}], CAST(doc_id % 4 + 1 AS INT)) || '://' || "
+        "(CASE WHEN doc_id % 5 = 0 THEN 'bot:pw@' ELSE '' END) || "
+        "'WWW.' || upper(source) || '.Example.COM' || "
+        f"list_extract([{ports}], CAST(doc_id % 4 + 1 AS INT)) || "
+        "'//docs//' || CAST(doc_id % 7 AS VARCHAR) || '/page' || "
+        "'?z=' || CAST(doc_id % 3 AS VARCHAR) || '&a=1' || "
+        "'#sec' || CAST(doc_id % 2 AS VARCHAR)"
+    )
+    canon = canonical_url_sql(messy)
+    return (
+        f"SELECT {canon} AS curl, {host_key_sql(canon)} AS hkey, count(*) AS n "
+        "FROM documents GROUP BY 1, 2"
+    )
+
+
+O_URL_CANONICAL = _o_url_canonical()
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1453,6 +1520,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s2_face_ij": q_s2_face_ij,
     "hex_cell_stats": q_hex_cell_stats,
     "html_extract": q_html_extract,
+    "url_canonical": q_url_canonical,
 }
 
 ORACLES: dict[str, str] = {
@@ -1496,4 +1564,5 @@ ORACLES: dict[str, str] = {
     "s2_face_ij": O_S2_FACE_IJ,
     "hex_cell_stats": O_HEX_CELL_STATS,
     "html_extract": O_HTML_EXTRACT,
+    "url_canonical": O_URL_CANONICAL,
 }
