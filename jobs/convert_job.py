@@ -24,7 +24,12 @@ import sys
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--input", required=True, help="pages parquet (url, warc_ts, html, text, lang) OR documents parquet")
+    ap.add_argument(
+        "--input",
+        required=True,
+        help="pages parquet (url, warc_ts, html, text, lang), documents "
+        "parquet, or a directory/glob of .warc/.warc.gz archives",
+    )
     ap.add_argument("--output", required=True, help="tile table root")
     ap.add_argument("--min-zoom", type=int, default=0)
     ap.add_argument("--max-zoom", type=int, default=14)
@@ -47,15 +52,34 @@ def main() -> int:
     from versatiles_rs_spark.session import get_spark
 
     spark = get_spark(app_name="versatiles-convert", master=args.master)
-    src = spark.read.parquet(args.input)
+    import glob
+    import os
+
+    is_warc = ".warc" in os.path.basename(args.input) or (
+        os.path.isdir(args.input) and bool(glob.glob(os.path.join(args.input, "*.warc*")))
+    )
+    if is_warc:
+        # raw Common-Crawl archives: one task per .warc.gz, straight into
+        # the same pages path (url, warc_ts, html)
+        from versatiles_rs_spark.sources.warc import read_warc
+
+        src = read_warc(spark, args.input)
+    else:
+        src = spark.read.parquet(args.input)
     cols = {f.name for f in src.schema.fields}
     if {"url", "html"} <= cols:
+        from pyspark.sql import functions as F
+
         pages_geo = with_extracted_text(src)
         if "doc_id" not in cols:
-            from pyspark.sql import functions as F
+            pages_geo = pages_geo.withColumn("doc_id", F.xxhash64("url"))
+        if "lang" not in cols:
+            # raw WARC archives carry no lang column: run the marker-token
+            # heuristic over the extracted text (pure CASE expr, codegen)
+            from versatiles_rs_spark.queries import _LANG_PRED_EXPR
 
             pages_geo = pages_geo.withColumn(
-                "doc_id", F.xxhash64("url")
+                "lang", F.expr(_LANG_PRED_EXPR.replace("text", "extracted_text"))
             )
     else:  # documents-shaped input: synthesize deterministic geo
         from pyspark.sql import functions as F
