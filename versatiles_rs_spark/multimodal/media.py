@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     DoubleType,
     IntegerType,
     LongType,
@@ -97,12 +98,33 @@ def with_media_metadata(df: DataFrame, blob_col: str = "media") -> DataFrame:
             for blob in pdf[blob_col]:
                 b = bytes(blob)
                 mt = "application/octet-stream"
-                for magic, t in _MAGIC.items():
-                    if b.startswith(magic):
-                        mt = t
-                        break
+                if b[4:8] == b"ftyp":
+                    # ISO BMFF: brand distinguishes AVIF/HEIC stills from video
+                    mt = (
+                        "image/avif"
+                        if b[8:12] in (b"avif", b"heic", b"mif1")
+                        else "video/mp4"
+                    )
+                else:
+                    for magic, t in _MAGIC.items():
+                        if b.startswith(magic):
+                            mt = t
+                            break
                 w = h = c = None
-                if mt == "image/png":
+                if mt == "video/mp4":
+                    # real ISO BMFF parse: dimensions from the video tkhd
+                    from versatiles_rs_spark.multimodal.mp4 import parse_mp4
+
+                    try:
+                        meta = parse_mp4(b)
+                        vid = next(
+                            (t for t in meta["tracks"] if t["handler"] == "vide"), None
+                        )
+                        if vid:
+                            w, h = vid["width"], vid["height"]
+                    except ValueError:
+                        pass
+                elif mt == "image/png":
                     img = png_decode(b)
                     h, w, c = (int(v) for v in img.shape)
                 elif mt == "image/jpeg":
@@ -170,7 +192,9 @@ _FRAME_SCHEMA = StructType(
         StructField("doc_id", LongType()),
         StructField("frame_idx", IntegerType()),
         StructField("frame_offset_bytes", LongType()),
+        StructField("frame_n_bytes", LongType()),
         StructField("frame", StringType()),
+        StructField("frame_payload", BinaryType()),
     ]
 )
 
@@ -178,20 +202,44 @@ _FRAME_SCHEMA = StructType(
 def frame_sample_video(
     df: DataFrame, every_n: int = 10, id_col: str = "doc_id", blob_col: str = "media"
 ) -> DataFrame:
-    """Frame-sampling plumbing: emits one row per sampled frame with the
-    byte offset a real demuxer would seek to. The frame payload is a STUB
-    (no video codec in this container) — marked explicitly."""
+    """Frame sampling: for MP4 blobs the demux is REAL — the ISO BMFF
+    sample tables (multimodal/mp4.py) resolve each sampled frame's exact
+    byte range and the codec bitstream payload is extracted from mdat
+    (frame tag ``BITSTREAM_<fourcc>``); only the pixel DECODE of that
+    payload is stubbed (no video codec in this container). Non-MP4 blobs
+    keep the labeled ``STUB_FRAME_NO_CODEC`` plumbing row."""
+    from versatiles_rs_spark.multimodal.mp4 import parse_mp4, sample_byte_ranges
 
     def sample(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for did, blob in zip(pdf[id_col], pdf[blob_col]):
-                n = len(bytes(blob))
+                b = bytes(blob)
+                try:
+                    meta = parse_mp4(b)
+                    video = next(
+                        t for t in meta["tracks"] if t["handler"] == "vide"
+                    )
+                    ranges = sample_byte_ranges(video)
+                    tag = f"BITSTREAM_{video['codec']}"
+                    for i in range(0, len(ranges), every_n):
+                        off, size = ranges[i]
+                        rows.append((int(did), i, off, size, tag, b[off : off + size]))
+                    continue
+                except (ValueError, StopIteration):
+                    pass
+                n = len(b)
                 n_frames = max(1, n // 1024)  # pretend 1 KiB per frame
                 for i in range(0, n_frames, every_n):
-                    rows.append((int(did), i, i * 1024, "STUB_FRAME_NO_CODEC"))
+                    rows.append(
+                        (int(did), i, i * 1024, None, "STUB_FRAME_NO_CODEC", None)
+                    )
             yield pd.DataFrame(
-                rows, columns=["doc_id", "frame_idx", "frame_offset_bytes", "frame"]
+                rows,
+                columns=[
+                    "doc_id", "frame_idx", "frame_offset_bytes",
+                    "frame_n_bytes", "frame", "frame_payload",
+                ],
             )
 
     return df.select(id_col, blob_col).mapInPandas(sample, _FRAME_SCHEMA)
