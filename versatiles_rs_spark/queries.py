@@ -1476,6 +1476,66 @@ O_URL_CANONICAL = _o_url_canonical()
 
 
 # ---------------------------------------------------------------------------
+# 19. PII scrubbing (training-data hygiene)
+# ---------------------------------------------------------------------------
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (pages/pii.py): emails / cards / phones / IPv4s
+    replaced by typed tokens — regexp_replace Columns in codegen, rule
+    list shared verbatim with the DuckDB oracle via scrub_pii_sql.
+    Deterministic PII is injected per doc_id (each kind on its own residue
+    class, none on class 0) so every rule and the no-op path are hit."""
+    from versatiles_rs_spark.pages.pii import pii_counts, scrub_pii
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    m4 = did % 4
+    noisy = F.concat(
+        F.col("text"),
+        F.when(m4 == 1, F.concat(F.lit(" mail user"), did.cast("string"), F.lit("@ex.org")))
+        .when(m4 == 2, F.concat(F.lit(" tel +1 555-01"), F.lpad((did % 100).cast("string"), 2, "0"), F.lit(" end")))
+        .when(m4 == 3, F.concat(F.lit(" card 4111 1111 1111 "), F.lpad((did % 10000).cast("string"), 4, "0"), F.lit(" ip 10.0.0."), (did % 256).cast("string")))
+        .otherwise(F.lit("")),
+    )
+    counts = pii_counts(noisy)
+    return docs.select(
+        "doc_id",
+        scrub_pii(noisy).alias("clean"),
+        counts["n_email"].alias("n_email"),
+        counts["n_card"].alias("n_card"),
+        counts["n_phone"].alias("n_phone"),
+        counts["n_ip"].alias("n_ip"),
+    )
+
+
+def _o_pii_scrub() -> str:
+    from versatiles_rs_spark.pages.pii import scrub_pii_sql
+
+    noisy = (
+        "text || (CASE "
+        "WHEN doc_id % 4 = 1 THEN ' mail user' || CAST(doc_id AS VARCHAR) || '@ex.org' "
+        "WHEN doc_id % 4 = 2 THEN ' tel +1 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || ' end' "
+        "WHEN doc_id % 4 = 3 THEN ' card 4111 1111 1111 ' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ip 10.0.0.' || CAST(doc_id % 256 AS VARCHAR) "
+        "ELSE '' END)"
+    )
+    clean = scrub_pii_sql(noisy)
+    cnt = {
+        tok: f"CAST((length({clean}) - length(replace({clean}, '<{tok}>', ''))) / {len(tok) + 2} AS BIGINT)"
+        for tok in ("EMAIL", "CARD", "PHONE", "IP")
+    }
+    return (
+        f"SELECT doc_id, {clean} AS clean, "
+        f"{cnt['EMAIL']} AS n_email, {cnt['CARD']} AS n_card, "
+        f"{cnt['PHONE']} AS n_phone, {cnt['IP']} AS n_ip "
+        "FROM documents"
+    )
+
+
+O_PII_SCRUB = _o_pii_scrub()
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1521,6 +1581,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hex_cell_stats": q_hex_cell_stats,
     "html_extract": q_html_extract,
     "url_canonical": q_url_canonical,
+    "pii_scrub": q_pii_scrub,
 }
 
 ORACLES: dict[str, str] = {
@@ -1565,4 +1626,5 @@ ORACLES: dict[str, str] = {
     "hex_cell_stats": O_HEX_CELL_STATS,
     "html_extract": O_HTML_EXTRACT,
     "url_canonical": O_URL_CANONICAL,
+    "pii_scrub": O_PII_SCRUB,
 }
