@@ -1536,6 +1536,67 @@ O_PII_SCRUB = _o_pii_scrub()
 
 
 # ---------------------------------------------------------------------------
+# 20. paragraph-level corpus dedup (CCNet/GPT-3-style boilerplate removal)
+# ---------------------------------------------------------------------------
+
+# Deterministic multi-paragraph pages: every doc gets its unique body plus
+# shared boilerplate — a footer on residue classes 0-2 of 4 (corpus-wide
+# duplicate -> dropped) and a per-source banner (duplicated within each
+# source group -> dropped), while 'extra <doc_id>' stays unique (kept).
+_PARA_FOOTER = "all rights reserved footer"
+
+
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide paragraph dedup (dedup/paragraphs.py): posexplode ->
+    hash-count with map-side combine -> join on hash -> order-preserving
+    reassembly. The oracle reimplements it in pure SQL (list aggregation
+    with ORDER BY pos)."""
+    from versatiles_rs_spark.dedup.paragraphs import paragraph_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    body = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 4 < 3, F.lit("\n\n" + _PARA_FOOTER)).otherwise(F.lit("")),
+        F.lit("\n\nbanner for "), F.col("source"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit("\n\nextra "), F.col("doc_id").cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    out = paragraph_dedup(docs.select("doc_id", body.alias("text")), max_occurrences=1)
+    return out.select("doc_id", "text", "n_kept", "n_dropped")
+
+
+O_PARAGRAPH_DEDUP = f"""
+WITH pages AS (
+  SELECT doc_id,
+         text
+         || (CASE WHEN doc_id % 4 < 3 THEN e'\\n\\n{_PARA_FOOTER}' ELSE '' END)
+         || e'\\n\\nbanner for ' || source
+         || (CASE WHEN doc_id % 5 = 0 THEN e'\\n\\nextra ' || CAST(doc_id AS VARCHAR) ELSE '' END)
+         AS text
+  FROM documents
+), split AS (
+  SELECT doc_id, string_split(text, e'\\n\\n') AS l FROM pages
+), paras AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(l) + 1),
+                 i -> {{'pos': i, 'para': l[i]}})) AS s
+  FROM split
+), flat AS (
+  SELECT doc_id, s.pos AS pos, s.para AS para FROM paras WHERE trim(s.para) != ''
+), counts AS (
+  SELECT para, count(*) AS n_occ FROM flat GROUP BY para
+)
+SELECT f.doc_id,
+       array_to_string(list(f.para ORDER BY f.pos) FILTER (WHERE c.n_occ <= 1), e'\\n\\n') AS text,
+       CAST(count(*) FILTER (WHERE c.n_occ <= 1) AS BIGINT) AS n_kept,
+       CAST(count(*) FILTER (WHERE c.n_occ > 1) AS BIGINT) AS n_dropped
+FROM flat f JOIN counts c USING (para)
+GROUP BY f.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1582,6 +1643,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "html_extract": q_html_extract,
     "url_canonical": q_url_canonical,
     "pii_scrub": q_pii_scrub,
+    "paragraph_dedup": q_paragraph_dedup,
 }
 
 ORACLES: dict[str, str] = {
@@ -1627,4 +1689,5 @@ ORACLES: dict[str, str] = {
     "html_extract": O_HTML_EXTRACT,
     "url_canonical": O_URL_CANONICAL,
     "pii_scrub": O_PII_SCRUB,
+    "paragraph_dedup": O_PARAGRAPH_DEDUP,
 }
