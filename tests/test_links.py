@@ -1,0 +1,67 @@
+"""Link extraction, host graph, PageRank (pages/links.py)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from versatiles_rs_spark.pages.links import extract_links, host_edges, pagerank_hosts
+
+
+def _pages(spark):
+    rows = [
+        ("http://a.io/1", b'<a href="http://b.io/x">b</a><a href="https://c.io/y">c</a>'),
+        ("http://a.io/2", b'<a href="http://b.io/z">b</a> nolink text'),
+        ("http://b.io/1", b'<a href="http://c.io/q">c</a>'),
+        ("http://c.io/1", b"<p>dangling: no links</p>"),
+        ("http://a.io/3", b'<a href="http://a.io/other">self</a>'),
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["url", "html"]))
+
+
+def test_extract_links(spark):
+    links = extract_links(_pages(spark)).collect()
+    got = sorted((r["url"], r["link"]) for r in links)
+    assert got == [
+        ("http://a.io/1", "http://b.io/x"),
+        ("http://a.io/1", "https://c.io/y"),
+        ("http://a.io/2", "http://b.io/z"),
+        ("http://a.io/3", "http://a.io/other"),
+        ("http://b.io/1", "http://c.io/q"),
+    ]
+
+
+def test_host_edges_weighted_no_self_loops(spark):
+    edges = host_edges(extract_links(_pages(spark))).collect()
+    got = {(r["src"], r["dst"]): r["weight"] for r in edges}
+    # a.io -> a.io self-loop dropped; a.io -> b.io weight 2
+    assert got == {("a.io", "b.io"): 2, ("a.io", "c.io"): 1, ("b.io", "c.io"): 1}
+
+
+def test_pagerank_properties(spark):
+    edges = host_edges(extract_links(_pages(spark)))
+    ranks = {r["host"]: r["rank"] for r in pagerank_hosts(edges, n_iter=5).collect()}
+    assert set(ranks) == {"a.io", "b.io", "c.io"}
+    # total mass conserved (teleport + flow + dangling redistribution)
+    assert sum(ranks.values()) == pytest.approx(1.0, abs=1e-9)
+    # c.io receives from both others and is dangling-fed -> top rank;
+    # a.io receives nothing but teleport/dangling -> bottom
+    assert ranks["c.io"] > ranks["b.io"] > ranks["a.io"]
+
+
+def test_pagerank_matches_numpy_reference(spark):
+    """5 iterations of the DataFrame PageRank equal a dense numpy power
+    iteration on the same 3-node graph."""
+    import numpy as np
+
+    edges = host_edges(extract_links(_pages(spark)))
+    got = {r["host"]: r["rank"] for r in pagerank_hosts(edges, n_iter=5).collect()}
+
+    hosts = ["a.io", "b.io", "c.io"]
+    # column-stochastic transition: a-> b (2/3), a->c (1/3), b->c (1); c dangling
+    p = np.array([[0, 0, 0], [2 / 3, 0, 0], [1 / 3, 1, 0]])
+    dang = np.array([0.0, 0.0, 1.0])
+    r = np.full(3, 1 / 3)
+    for _ in range(5):
+        r = 0.15 / 3 + 0.85 * (p @ r + (dang @ r) / 3)
+    for i, h in enumerate(hosts):
+        assert got[h] == pytest.approx(r[i], abs=1e-12)

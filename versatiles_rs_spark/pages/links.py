@@ -1,0 +1,105 @@
+"""Link extraction + host-level link graph + distributed PageRank.
+
+The web-graph layer of a crawl pipeline: pull hrefs out of raw HTML
+(``regexp_extract_all`` — JVM-side, shared with the DuckDB oracle),
+canonicalize them, collapse to a host→host edge list, and rank hosts
+with power-iteration PageRank expressed as DataFrame joins.
+
+Scale shape (100 TB): link extraction is a codegen projection; the edge
+list aggregates with map-side combine on (src_host, dst_host) — web graphs
+are sparse, so the grouped edge list is orders of magnitude smaller than
+the page table; each PageRank iteration is one broadcast-or-shuffle join
+of ranks (one row per host) against edges plus one aggregation. Hosts are
+range-partitionable by the reversed-host key (pages/urls.py) so a host's
+out-edges co-locate. A fixed iteration count keeps the whole job a static
+DAG (no driver-side convergence loop at scale; convergence is monitored
+from the per-iteration delta aggregate if needed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from versatiles_rs_spark.pages.urls import host_of, host_of_sql
+
+# href extraction rule — Java-regex/RE2 shared subset, double-quoted
+# attributes (the form crawl HTML normalizes to).
+HREF_PATTERN = r'href="(https?://[^"]+)"'
+
+
+def extract_links(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """(url, link) — one row per absolute href in each page's HTML."""
+    html_str = F.col(html_col).cast("string")
+    return pages.select(
+        "url",
+        F.explode(F.regexp_extract_all(html_str, F.lit(HREF_PATTERN), F.lit(1))).alias("link"),
+    )
+
+
+def host_edges(links: DataFrame) -> DataFrame:
+    """Collapse page-level links to a weighted host graph; self-loops
+    dropped (they distort PageRank and carry no cross-site signal)."""
+    e = links.select(
+        host_of(F.col("url")).alias("src"),
+        host_of(F.col("link")).alias("dst"),
+    ).where(F.col("src") != F.col("dst"))
+    return e.groupBy("src", "dst").agg(F.count("*").alias("weight"))
+
+
+def pagerank_hosts(
+    edges: DataFrame,
+    n_iter: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Weighted PageRank over the host graph, ``n_iter`` power iterations.
+
+    Classic formulation with uniform teleport over the node set N:
+    rank' = (1-d)/|N| + d * (in-flow + dangling-mass/|N|), where each
+    node's out-flow is split by edge weight. Every step is a DataFrame
+    join/agg — the rank table is one row per host, broadcastable for any
+    realistic host count even at crawl scale.
+    """
+    nodes = (
+        edges.select(F.col("src").alias("host"))
+        .union(edges.select(F.col("dst").alias("host")))
+        .distinct()
+    ).cache()
+    n = nodes.count()
+    out_w = edges.groupBy("src").agg(F.sum("weight").alias("w_out"))
+    # per-edge share of the source's out-flow, fixed across iterations
+    share = edges.join(out_w, "src").select(
+        "src", "dst", (F.col("weight") / F.col("w_out")).alias("share")
+    ).cache()
+    share.count()
+
+    ranks = nodes.select("host", F.lit(1.0 / n).alias("rank"))
+    for _ in range(n_iter):
+        flow = (
+            share.join(ranks.withColumnRenamed("host", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("share") * F.col("rank")).alias("inflow"))
+        )
+        # dangling hosts (no out-edges) spread their mass uniformly; the
+        # one-row aggregate stays IN the plan (broadcast cross join) so no
+        # driver round-trip happens per iteration
+        dangling = (
+            ranks.join(out_w.withColumnRenamed("src", "host"), "host", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling_mass"))
+        )
+        ranks = (
+            nodes.join(flow.withColumnRenamed("dst", "host"), "host", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "host",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("inflow"), F.lit(0.0))
+                        + F.col("dangling_mass") / n
+                    )
+                ).alias("rank"),
+            )
+        )
+    return ranks

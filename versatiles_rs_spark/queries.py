@@ -1567,6 +1567,91 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "text", "n_kept", "n_dropped")
 
 
+# ---------------------------------------------------------------------------
+# 21. link graph + PageRank (web-graph layer)
+# ---------------------------------------------------------------------------
+
+_PR_DAMPING = 0.85
+_PR_ITER = 3
+
+
+def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-graph PageRank (pages/links.py): href extraction with
+    regexp_extract_all, weighted host edge list (self-loops dropped),
+    3 power iterations as DataFrame joins with the dangling-mass term kept
+    in-plan. Deterministic linky HTML: every src<k> page links to
+    src<k+1>, every third page links to the hub src0, and src19 pages
+    emit no links (a dangling host). Oracle: the same graph + 3 unrolled
+    iterations in pure SQL CTEs."""
+    from versatiles_rs_spark.pages.links import extract_links, host_edges, pagerank_hosts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    k = F.col("doc_id") % 20
+    url = F.concat(F.lit("http://src"), k.cast("string"), F.lit(".ex.com/d/"), F.col("doc_id").cast("string"))
+    nxt = (F.col("doc_id") + 1) % 20
+    html = F.when(k == 19, F.lit("<p>no links</p>")).otherwise(
+        F.concat(
+            F.lit('<a href="http://src'), nxt.cast("string"), F.lit('.ex.com/p">n</a>'),
+            F.when(
+                F.col("doc_id") % 3 == 0, F.lit('<a href="http://src0.ex.com/h">h</a>')
+            ).otherwise(F.lit("")),
+        )
+    )
+    pages = docs.select(url.alias("url"), F.encode(html, "UTF-8").alias("html"))
+    edges = host_edges(extract_links(pages))
+    ranks = pagerank_hosts(edges, n_iter=_PR_ITER, damping=_PR_DAMPING)
+    return ranks.select("host", F.round("rank", 6).alias("rank"))
+
+
+def _o_link_pagerank() -> str:
+    from versatiles_rs_spark.pages.links import HREF_PATTERN
+    from versatiles_rs_spark.pages.urls import host_of_sql
+
+    d = _PR_DAMPING
+    pat = HREF_PATTERN.replace("'", "''").replace('"', '"')
+    html = (
+        "CASE WHEN doc_id % 20 = 19 THEN '<p>no links</p>' ELSE "
+        "'<a href=\"http://src' || CAST((doc_id + 1) % 20 AS VARCHAR) || '.ex.com/p\">n</a>' || "
+        "(CASE WHEN doc_id % 3 = 0 THEN '<a href=\"http://src0.ex.com/h\">h</a>' ELSE '' END) END"
+    )
+    url = "'http://src' || CAST(doc_id % 20 AS VARCHAR) || '.ex.com/d/' || CAST(doc_id AS VARCHAR)"
+    sql = f"""
+WITH pages AS (
+  SELECT {url} AS url, {html} AS html FROM documents
+), links AS (
+  SELECT url, unnest(regexp_extract_all(html, '{pat}', 1)) AS link FROM pages
+), edges_raw AS (
+  SELECT {host_of_sql('url')} AS src, {host_of_sql('link')} AS dst FROM links
+), edges AS (
+  SELECT src, dst, count(*) AS weight FROM edges_raw WHERE src != dst GROUP BY 1, 2
+), nodes AS (
+  SELECT DISTINCT host FROM (SELECT src AS host FROM edges UNION ALL SELECT dst FROM edges)
+), nn AS (SELECT count(*) AS n FROM nodes
+), outw AS (SELECT src, sum(weight) AS w_out FROM edges GROUP BY 1
+), share AS (
+  SELECT e.src, e.dst, e.weight * 1.0 / o.w_out AS share FROM edges e JOIN outw o USING (src)
+), r0 AS (SELECT host, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""
+    for i in range(1, _PR_ITER + 1):
+        p = i - 1
+        sql += f""", f{i} AS (
+  SELECT s.dst AS host, sum(s.share * r.rank) AS inflow
+  FROM share s JOIN r{p} r ON s.src = r.host GROUP BY 1
+), d{i} AS (
+  SELECT coalesce(sum(rank), 0) AS dm FROM r{p}
+  WHERE host NOT IN (SELECT src FROM outw)
+), r{i} AS (
+  SELECT n.host,
+         (1 - {d}) / (SELECT n FROM nn)
+         + {d} * (coalesce(f.inflow, 0) + (SELECT dm FROM d{i}) / (SELECT n FROM nn)) AS rank
+  FROM nodes n LEFT JOIN f{i} f USING (host)
+)"""
+    sql += f"\nSELECT host, round(rank, 6) AS rank FROM r{_PR_ITER}"
+    return sql
+
+
+O_LINK_PAGERANK = _o_link_pagerank()
+
+
 O_PARAGRAPH_DEDUP = f"""
 WITH pages AS (
   SELECT doc_id,
@@ -1644,6 +1729,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_canonical": q_url_canonical,
     "pii_scrub": q_pii_scrub,
     "paragraph_dedup": q_paragraph_dedup,
+    "link_pagerank": q_link_pagerank,
 }
 
 ORACLES: dict[str, str] = {
@@ -1690,4 +1776,5 @@ ORACLES: dict[str, str] = {
     "url_canonical": O_URL_CANONICAL,
     "pii_scrub": O_PII_SCRUB,
     "paragraph_dedup": O_PARAGRAPH_DEDUP,
+    "link_pagerank": O_LINK_PAGERANK,
 }
