@@ -1568,6 +1568,83 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# 20b. repetition quality signals (Gopher/MassiveText-style filters)
+# ---------------------------------------------------------------------------
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition signals (pages/repetition.py): dup-line fraction as
+    zero-shuffle array Column math and top-bigram share via exploded
+    two-level aggregation. Deterministic repetition is injected per
+    residue class: duplicated lines (class 1), unique extra lines
+    (class 2), and a spammy repeated bigram tail (class 3)."""
+    from versatiles_rs_spark.pages.repetition import (
+        dup_fraction,
+        top_bigram_fraction,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    m4 = F.col("doc_id") % 4
+    body = (
+        F.when(m4 == 1, F.concat(F.col("text"), F.lit("\n"), F.col("text"), F.lit("\n"), F.col("text")))
+        .when(m4 == 2, F.concat(F.col("text"), F.lit("\nunique line one\nunique line two")))
+        .when(m4 == 3, F.concat(F.col("text"), F.lit(" "), F.repeat(F.lit("buy now "), 12)))
+        .otherwise(F.col("text"))
+    )
+    shaped = docs.select("doc_id", body.alias("text"))
+    lines = shaped.select(
+        "doc_id", F.round(dup_fraction(F.col("text"), "\n"), 6).alias("dup_line_frac")
+    )
+    grams = top_bigram_fraction(shaped)
+    return lines.join(grams, "doc_id").select(
+        "doc_id",
+        "dup_line_frac",
+        "n_bigrams",
+        F.round("top_bigram_frac", 6).alias("top_bigram_frac"),
+    )
+
+
+def _o_repetition_stats() -> str:
+    from versatiles_rs_spark.pages.repetition import dup_fraction_sql
+
+    body = (
+        "CASE WHEN doc_id % 4 = 1 THEN text || e'\\n' || text || e'\\n' || text "
+        "WHEN doc_id % 4 = 2 THEN text || e'\\nunique line one\\nunique line two' "
+        "WHEN doc_id % 4 = 3 THEN text || ' ' || repeat('buy now ', 12) "
+        "ELSE text END"
+    )
+    dup = dup_fraction_sql("s.text", "e'\\n'")
+    return f"""
+WITH shaped AS (
+  SELECT doc_id, {body} AS text FROM documents
+), toks AS (
+  SELECT doc_id,
+         list_filter(string_split(regexp_replace(text, '\\s+', ' ', 'g'), ' '),
+                     x -> x != '') AS l
+  FROM shaped
+), grams AS (
+  SELECT doc_id, unnest(CASE WHEN len(l) < 2 THEN []
+                             ELSE list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i + 1])
+                        END) AS gram
+  FROM toks
+), per_gram AS (
+  SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY 1, 2
+), per_doc AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+         round(max(c) * 1.0 / sum(c), 6) AS top_bigram_frac
+  FROM per_gram GROUP BY 1
+)
+SELECT s.doc_id, round({dup}, 6) AS dup_line_frac,
+       coalesce(p.n_bigrams, 0) AS n_bigrams,
+       coalesce(p.top_bigram_frac, 0.0) AS top_bigram_frac
+FROM shaped s LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+O_REPETITION_STATS = _o_repetition_stats()
+
+
+# ---------------------------------------------------------------------------
 # 21. link graph + PageRank (web-graph layer)
 # ---------------------------------------------------------------------------
 
@@ -1730,6 +1807,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_scrub": q_pii_scrub,
     "paragraph_dedup": q_paragraph_dedup,
     "link_pagerank": q_link_pagerank,
+    "repetition_stats": q_repetition_stats,
 }
 
 ORACLES: dict[str, str] = {
@@ -1777,4 +1855,5 @@ ORACLES: dict[str, str] = {
     "pii_scrub": O_PII_SCRUB,
     "paragraph_dedup": O_PARAGRAPH_DEDUP,
     "link_pagerank": O_LINK_PAGERANK,
+    "repetition_stats": O_REPETITION_STATS,
 }
