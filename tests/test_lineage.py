@@ -169,3 +169,49 @@ def test_commit_pointer_protects_partial_snapshot(tiles, tmp_path, spark):
     _json.dump(snap, open(_os.path.join(table, "_snapshots", "v3.json"), "w"))
     assert read_manifest(table)["current_snapshot"] == 2
     assert read_tiles(spark, table).count() == tiles.filter("z <= 1").count()
+
+
+def test_compact_and_expire(tiles, tmp_path, spark):
+    """Compaction rewrites a batch's files as a REPLACE snapshot; expiry
+    GCs the replaced files and fences expired time travel."""
+    import glob as _glob
+
+    from versatiles_rs_spark.lineage import (
+        compact_batch,
+        expire_snapshots,
+        plan_files,
+        snapshots_table,
+    )
+
+    table = str(tmp_path / "tiles_tbl9")
+    convert_resumable(tiles, table, 0, MAXZ)
+    pre = read_tiles(spark, table)
+    want_rows = pre.count()
+    deep = f"z{MAXZ}_x0_y0"
+    before = [f for f in plan_files(table) if f"batch={deep}" in f["path"]]
+    assert len(before) > 1  # multiple shuffle-partition files to compact
+
+    res = compact_batch(spark, table, deep)
+    assert res["files_after"] == 1 and res["files_before"] == len(before)
+    # current read identical rows; batch membership unchanged
+    post = read_tiles(spark, table)
+    assert post.count() == want_rows
+    assert post.filter(f"z = {MAXZ}").count() == tiles.filter(f"z = {MAXZ}").count()
+    # time travel to the pre-compaction snapshot still sees the old files
+    pre_sid = res["snapshot_id"] - 1
+    assert read_tiles(spark, table, as_of=pre_sid).count() == want_rows
+    ops = {r["snapshot_id"]: r["operation"] for r in snapshots_table(spark, table).collect()}
+    assert ops[res["snapshot_id"]] == "replace"
+
+    # expiry: keep only the newest snapshot -> replaced files deleted
+    old_paths = [f["path"] for f in before]
+    assert all(os.path.exists(p) for p in old_paths)
+    gc = expire_snapshots(table, keep_last=1)
+    assert gc["deleted_files"] == len(old_paths)
+    assert not any(os.path.exists(p) for p in old_paths)
+    # current read unaffected; expired as_of fails fast
+    assert read_tiles(spark, table).count() == want_rows
+    with pytest.raises(ValueError, match="expired"):
+        read_tiles(spark, table, as_of=pre_sid)
+    # resume contract untouched: nothing to re-run
+    assert convert_resumable(tiles, table, 0, MAXZ) == []

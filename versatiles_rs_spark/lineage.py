@@ -196,6 +196,7 @@ def write_batch(table: str, batch: TileBatch, tiles: DataFrame) -> dict:
             "added_files": len(files),
         },
         "files": files,
+        "removed": [],
     }
     os.makedirs(os.path.join(table, "_snapshots"), exist_ok=True)
     snap_tmp = os.path.join(table, "_snapshots", f"v{sid}.json.tmp")
@@ -238,13 +239,25 @@ def plan_files(
     """Data files of snapshot ``as_of`` (default: current), pruned by the
     manifest-recorded per-file z/x/y bounds. Metadata-only: the plan is
     built from kilobytes of JSON, no parquet footer or row is touched."""
-    current = read_manifest(table)["current_snapshot"]
+    manifest = read_manifest(table)
+    current = manifest["current_snapshot"]
     sid = current if as_of is None else as_of
     if sid > current:
         raise ValueError(f"snapshot {sid} does not exist (current is {current})")
-    files: list[dict] = []
+    min_snap = manifest.get("min_snapshot", 1)
+    if as_of is not None and sid < min_snap and sid != current:
+        raise ValueError(
+            f"snapshot {sid} expired (oldest retained is {min_snap}); "
+            "its data files may have been garbage-collected"
+        )
+    files_by_path: dict[str, dict] = {}
     for s in range(1, sid + 1):
-        files.extend(_read_snapshot(table, s)["files"])
+        snap = _read_snapshot(table, s)
+        for path in snap.get("removed", []):
+            files_by_path.pop(path, None)
+        for f in snap["files"]:
+            files_by_path[f["path"]] = f
+    files = list(files_by_path.values())
 
     def keep(f: dict) -> bool:
         for name, rng in (("z", z), ("x", x), ("y", y)):
@@ -273,6 +286,85 @@ def read_tiles(
     if not files:
         raise ValueError(f"no committed data in {table} for the requested slice")
     return spark.read.parquet(*[f["path"] for f in files])
+
+
+def compact_batch(
+    spark: SparkSession, table: str, batch_id: str, target_files: int = 1
+) -> dict:
+    """Rewrite one batch's data files into ``target_files`` larger ones and
+    commit the rewrite as a REPLACE snapshot (Iceberg's rewrite_data_files
+    analog). Readers at the current snapshot see the compacted files;
+    earlier snapshots still see the originals until they are expired —
+    the commit order (write data, write snapshot, swap pointer) keeps a
+    crash at any step readable."""
+    manifest = read_manifest(table)
+    if batch_id not in manifest["batches"]:
+        raise ValueError(f"unknown batch {batch_id!r}")
+    current_files = {f["path"]: f for f in plan_files(table)}
+    old = [f for f in current_files.values() if f"batch={batch_id}" in f["path"]]
+    if not old:
+        raise ValueError(f"batch {batch_id!r} has no live files")
+    sid = manifest["current_snapshot"] + 1
+    out_dir = os.path.join(table, "data", f"batch={batch_id}_r{sid}")
+    df = spark.read.parquet(*[f["path"] for f in old])
+    df.coalesce(target_files).write.mode("overwrite").parquet(out_dir)
+    files = _file_stats(out_dir)
+    snapshot = {
+        "snapshot_id": sid,
+        "parent_id": manifest["current_snapshot"],
+        "operation": "replace",
+        "batch_id": batch_id,
+        "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "summary": {
+            "added_rows": sum(f["rows"] for f in files),
+            "added_tile_bytes": 0,
+            "added_files": len(files),
+            "removed_files": len(old),
+        },
+        "files": files,
+        "removed": [f["path"] for f in old],
+    }
+    snap_tmp = os.path.join(table, "_snapshots", f"v{sid}.json.tmp")
+    with open(snap_tmp, "w") as f:
+        json.dump(snapshot, f, indent=1, sort_keys=True)
+    os.replace(snap_tmp, os.path.join(table, "_snapshots", f"v{sid}.json"))
+    manifest["current_snapshot"] = sid
+    _commit_manifest(table, manifest)
+    return {"snapshot_id": sid, "files_before": len(old), "files_after": len(files)}
+
+
+def expire_snapshots(table: str, keep_last: int = 1) -> dict:
+    """Garbage-collect history: keep the last ``keep_last`` snapshots
+    readable, physically delete data files only referenced by older ones
+    (files added then removed before the retention horizon). Snapshot
+    JSONs are kept — they are kilobytes and the add/remove replay needs
+    them — but expired ``as_of`` reads fail fast via ``min_snapshot``."""
+    manifest = read_manifest(table)
+    current = manifest["current_snapshot"]
+    horizon = max(1, current - keep_last + 1)
+    old_min = manifest.get("min_snapshot", 1)
+    if horizon <= old_min:
+        return {"deleted_files": 0, "min_snapshot": old_min}
+    # replay up to the horizon: anything removed by then is dead in every
+    # retained snapshot
+    added: dict[str, int] = {}
+    dead: list[str] = []
+    for s in range(1, horizon + 1):
+        snap = _read_snapshot(table, s)
+        for path in snap.get("removed", []):
+            if path in added:
+                dead.append(path)
+                del added[path]
+        for f in snap["files"]:
+            added[f["path"]] = s
+    deleted = 0
+    for path in dead:
+        if os.path.exists(path):
+            os.remove(path)
+            deleted += 1
+    manifest["min_snapshot"] = horizon
+    _commit_manifest(table, manifest)
+    return {"deleted_files": deleted, "min_snapshot": horizon}
 
 
 def snapshots_table(spark: SparkSession, table: str) -> DataFrame:
