@@ -124,3 +124,26 @@ def test_warc_uncompressed_read(spark, tmp_path):
     want = {r["url"]: bytes(r["html"]) for r in pages.collect()}
     for r in back.collect():
         assert bytes(r["html"]) == want[r["url"]]
+
+
+def test_warc_salvages_corrupt_archives(spark, tmp_path):
+    """A truncated/garbage archive yields the records before the corruption
+    point — never a job failure (CC shards contain damaged members)."""
+    pages = synth_pages(spark, SF).limit(6).coalesce(1)
+    good = str(tmp_path / "good")
+    write_warc(pages, good)
+    blob = open(os.path.join(good, "part-00000.warc.gz"), "rb").read()
+    # find the 4th member boundary and truncate mid-member + append garbage
+    cdx = open(os.path.join(good, "part-00000.cdx")).read().splitlines()
+    offs = sorted(int(ln.rsplit(" ", 2)[1]) for ln in cdx)
+    bad_dir = tmp_path / "bad"
+    bad_dir.mkdir()
+    (bad_dir / "a.warc.gz").write_bytes(blob[: offs[3] + 10] + b"\xff" * 64)
+    (bad_dir / "b.warc.gz").write_bytes(b"\x1f\x8b\xff garbage not gzip")
+    (bad_dir / "c.warc").write_bytes(b"not a warc at all")
+
+    got = read_warc(spark, str(bad_dir)).collect()
+    assert len(got) == 3  # the 3 intact members of a.warc.gz survive
+    want = {r["url"]: bytes(r["html"]) for r in pages.collect()}
+    for r in got:
+        assert bytes(r["html"]) == want[r["url"]]

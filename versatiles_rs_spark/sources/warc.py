@@ -209,12 +209,19 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                     members = _split_members(blob)
                 else:  # uncompressed .warc: records separated by blank lines
                     members = _iter_plain_records(blob)
-                for off, length, raw in members:
-                    rec = _parse_record(raw)
-                    if rec is None:
-                        continue
-                    url, date, html = rec
-                    rows.append((url, date, html, fpath, off, length))
+                # salvage semantics: a truncated/corrupt archive yields the
+                # records before the corruption point instead of failing the
+                # whole 100 TB job on one bad shard (CC archives do contain
+                # damaged members in the wild)
+                try:
+                    for off, length, raw in members:
+                        rec = _parse_record(raw)
+                        if rec is None:
+                            continue
+                        url, date, html = rec
+                        rows.append((url, date, html, fpath, off, length))
+                except (zlib.error, ValueError, KeyError, IndexError):
+                    pass
                 if rows:
                     out = pd.DataFrame(
                         rows,
