@@ -1645,6 +1645,49 @@ O_REPETITION_STATS = _o_repetition_stats()
 
 
 # ---------------------------------------------------------------------------
+# 20c. WARC archive round-trip (Common-Crawl container path)
+# ---------------------------------------------------------------------------
+
+
+def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write the synthetic pages to Common-Crawl-layout .warc.gz archives
+    (member-per-record + CDX sidecars), re-ingest with the distributed
+    reader, and emit (url, md5 of the html payload, second-truncated
+    timestamp). The oracle recomputes all three straight from the
+    documents table via the shared SQL derivations — byte-level survival
+    of every record through the archive format is what the hash proves."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from versatiles_rs_spark.pages.generator import synth_pages
+    from versatiles_rs_spark.sources.warc import read_warc, write_warc
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    out = f"{tempfile.gettempdir()}/vt_warc_rt_{tag}"
+    shutil.rmtree(out, ignore_errors=True)
+    write_warc(synth_pages(spark, sf_dir).repartition(4), out)
+    back = read_warc(spark, out)
+    return back.select(
+        "url",
+        F.md5(F.col("html").cast("string")).alias("html_md5"),
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+    )
+
+
+O_WARC_ROUNDTRIP = """
+SELECT 'https://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+       md5('<html><head><meta name="geo" content="'
+           || CAST((doc_id * 2654435761) % 360000000 AS VARCHAR) || ','
+           || CAST((doc_id * 2246822519) % 170000000 AS VARCHAR)
+           || '"></head><body>' || text || '</body></html>') AS html_md5,
+       strftime(TIMESTAMP '2024-01-01 00:00:00' + to_seconds(doc_id),
+                '%Y-%m-%d %H:%M:%S') AS ts
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
 # 21. link graph + PageRank (web-graph layer)
 # ---------------------------------------------------------------------------
 
@@ -1808,6 +1851,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "paragraph_dedup": q_paragraph_dedup,
     "link_pagerank": q_link_pagerank,
     "repetition_stats": q_repetition_stats,
+    "warc_roundtrip": q_warc_roundtrip,
 }
 
 ORACLES: dict[str, str] = {
@@ -1856,4 +1900,5 @@ ORACLES: dict[str, str] = {
     "paragraph_dedup": O_PARAGRAPH_DEDUP,
     "link_pagerank": O_LINK_PAGERANK,
     "repetition_stats": O_REPETITION_STATS,
+    "warc_roundtrip": O_WARC_ROUNDTRIP,
 }
