@@ -1645,6 +1645,69 @@ O_REPETITION_STATS = _o_repetition_stats()
 
 
 # ---------------------------------------------------------------------------
+# 20d. stratified sampling + vocabulary (training-mix shaping)
+# ---------------------------------------------------------------------------
+
+_STRATA = {"en": 0.9, "de": 0.5, "fr": 0.25}
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language stratified sampling (pages/sampling.py): deterministic
+    portable-hash keep decision per stratum fraction — zero-shuffle Column
+    predicate; the oracle runs the identical predicate via
+    stratified_sample_sql. Audit aggregate: kept count + id checksum per
+    language."""
+    from versatiles_rs_spark.pages.sampling import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kept = stratified_sample(docs, _STRATA, default_fraction=0.75)
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("kept"), F.sum("doc_id").alias("id_sum")
+    )
+
+
+def _o_stratified_sample() -> str:
+    from versatiles_rs_spark.pages.sampling import stratified_sample_sql
+
+    pred = stratified_sample_sql(_STRATA, default_fraction=0.75)
+    return (
+        "SELECT lang, count(*) AS kept, CAST(sum(doc_id) AS BIGINT) AS id_sum "
+        f"FROM documents WHERE {pred} GROUP BY lang"
+    )
+
+
+O_STRATIFIED_SAMPLE = _o_stratified_sample()
+
+_VOCAB_K = 50
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus top-k vocabulary (tokenizer-training step 1): word explode in
+    codegen, map-side-combined counts, distributed TakeOrderedAndProject
+    top-k with a deterministic (count DESC, word ASC) total order."""
+    from versatiles_rs_spark.pages.sampling import vocab_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return vocab_topk(docs, k=_VOCAB_K).select(
+        F.col("rank").cast("bigint").alias("rank"), "word", F.col("n").cast("bigint").alias("n")
+    )
+
+
+O_VOCAB_TOPK = f"""
+WITH words AS (
+  SELECT unnest(list_filter(string_split(regexp_replace(text, '\\s+', ' ', 'g'), ' '),
+                x -> x != '')) AS word
+  FROM documents
+), counts AS (
+  SELECT word, count(*) AS n FROM words GROUP BY word
+)
+SELECT CAST(row_number() OVER (ORDER BY n DESC, word ASC) AS BIGINT) AS rank,
+       word, CAST(n AS BIGINT) AS n
+FROM counts ORDER BY n DESC, word ASC LIMIT {_VOCAB_K}
+"""
+
+
+# ---------------------------------------------------------------------------
 # 20c. WARC archive round-trip (Common-Crawl container path)
 # ---------------------------------------------------------------------------
 
@@ -1852,6 +1915,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "link_pagerank": q_link_pagerank,
     "repetition_stats": q_repetition_stats,
     "warc_roundtrip": q_warc_roundtrip,
+    "stratified_sample": q_stratified_sample,
+    "vocab_topk": q_vocab_topk,
 }
 
 ORACLES: dict[str, str] = {
@@ -1901,4 +1966,6 @@ ORACLES: dict[str, str] = {
     "link_pagerank": O_LINK_PAGERANK,
     "repetition_stats": O_REPETITION_STATS,
     "warc_roundtrip": O_WARC_ROUNDTRIP,
+    "stratified_sample": O_STRATIFIED_SAMPLE,
+    "vocab_topk": O_VOCAB_TOPK,
 }
