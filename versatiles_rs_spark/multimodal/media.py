@@ -124,6 +124,17 @@ def with_media_metadata(df: DataFrame, blob_col: str = "media") -> DataFrame:
                             w, h = vid["width"], vid["height"]
                     except ValueError:
                         pass
+                elif mt == "video/webm":
+                    # real EBML parse: dimensions from the video TrackEntry
+                    from versatiles_rs_spark.multimodal.webm import parse_webm
+
+                    try:
+                        meta = parse_webm(b)
+                        vid = next((t for t in meta["tracks"] if t["type"] == 1), None)
+                        if vid:
+                            w, h = vid["width"], vid["height"]
+                    except ValueError:
+                        pass
                 elif mt == "image/png":
                     img = png_decode(b)
                     h, w, c = (int(v) for v in img.shape)
@@ -206,9 +217,11 @@ def frame_sample_video(
     sample tables (multimodal/mp4.py) resolve each sampled frame's exact
     byte range and the codec bitstream payload is extracted from mdat
     (frame tag ``BITSTREAM_<fourcc>``); only the pixel DECODE of that
-    payload is stubbed (no video codec in this container). Non-MP4 blobs
-    keep the labeled ``STUB_FRAME_NO_CODEC`` plumbing row."""
+    payload is stubbed (no video codec in this container). WebM/Matroska
+    blobs demux the same way through the EBML walker (multimodal/webm.py).
+    Other blobs keep the labeled ``STUB_FRAME_NO_CODEC`` plumbing row."""
     from versatiles_rs_spark.multimodal.mp4 import parse_mp4, sample_byte_ranges
+    from versatiles_rs_spark.multimodal.webm import parse_webm
 
     def sample(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -228,6 +241,20 @@ def frame_sample_video(
                     continue
                 except (ValueError, StopIteration):
                     pass
+                if b[:4] == b"\x1aE\xdf\xa3":
+                    try:
+                        meta = parse_webm(b)
+                        video = next(t for t in meta["tracks"] if t["type"] == 1)
+                        tag = f"BITSTREAM_{video['codec']}"
+                        vframes = [
+                            fr for fr in meta["frames"] if fr[0] == video["number"]
+                        ]
+                        for i in range(0, len(vframes), every_n):
+                            _, _, off, size = vframes[i]
+                            rows.append((int(did), i, off, size, tag, b[off : off + size]))
+                        continue
+                    except (ValueError, StopIteration, IndexError, KeyError):
+                        pass
                 n = len(b)
                 n_frames = max(1, n // 1024)  # pretend 1 KiB per frame
                 for i in range(0, n_frames, every_n):
