@@ -355,6 +355,22 @@ def extract_audio_features(df: DataFrame, id_col: str = "doc_id", blob_col: str 
                         zc, float(np.abs(x).max()) if n else 0.0,
                     ))
                 except ValueError:
+                    blob_b = bytes(blob)
+                    if blob_b[:4] == b"OggS":
+                        # real Ogg demux (multimodal/ogg.py): codec id header
+                        # gives channels/rate/duration; PCM features stay
+                        # null — no Vorbis/Opus decoder in this container
+                        from versatiles_rs_spark.multimodal.ogg import parse_ogg
+
+                        try:
+                            meta = parse_ogg(blob_b)
+                            rows.append((
+                                int(did), meta["sample_rate"], meta["channels"],
+                                None, meta["duration_s"], None, None, None,
+                            ))
+                            continue
+                        except ValueError:
+                            pass
                     rows.append((int(did), None, None, None, None, None, None, None))
             yield pd.DataFrame(
                 rows,
