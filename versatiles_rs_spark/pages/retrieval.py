@@ -1,0 +1,111 @@
+"""Full-text retrieval over the corpus: inverted index + BM25 top-k.
+
+The quality-filter side of a training pipeline needs retrieval (near-
+benchmark probes, targeted subset pulls, eval-set mining); at corpus
+scale that is an inverted index, not a scan with LIKE. Everything here is
+relational:
+
+- ``build_postings``: explode lowercased terms (codegen), aggregate
+  (term, doc_id, tf) with map-side combine — the postings list, naturally
+  partitioned by term.
+- ``bm25_topk``: classic BM25 (Robertson/Sparck Jones; the
+  ``ln(1 + (N - df + .5)/(df + .5))`` idf variant Lucene uses) — postings
+  are filtered to the query's terms FIRST (an isin prune that reaches the
+  aggregation), so scoring touches only the query's posting lists, never
+  the corpus. Document lengths and the global avgdl join in as one tiny
+  broadcast each. Top-k is orderBy+limit = distributed
+  TakeOrderedAndProject on (rounded score DESC, doc_id ASC) — a total
+  order, so results are deterministic and cross-engine comparable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _terms(text_col: str):
+    return F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != F.lit("")
+    )
+
+
+def build_postings(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(term, doc_id, tf) — the inverted index as a DataFrame."""
+    return (
+        docs.select("doc_id", F.explode(_terms(text_col)).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def doc_lengths(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    return docs.select("doc_id", F.size(_terms(text_col)).alias("dl"))
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k documents for a bag-of-terms query: (doc_id, score)."""
+    postings = build_postings(docs, text_col)
+    lengths = doc_lengths(docs, text_col)
+    n_docs = docs.count()
+    avgdl = lengths.agg(F.avg("dl")).collect()[0][0]
+
+    q = [t.lower() for t in query_terms]
+    hits = postings.where(F.col("term").isin(q))
+    df_t = hits.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(1.0 + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    scored = (
+        hits.join(F.broadcast(df_t), "term")
+        .join(F.broadcast(lengths), "doc_id")
+        .withColumn(
+            "contrib",
+            idf
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(float(avgdl)))),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("contrib"), 6).alias("score"))
+    )
+    return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+
+
+def bm25_topk_sql(
+    query_terms: list[str], k: int = 10, k1: float = 1.2, b: float = 0.75
+) -> str:
+    """The identical BM25 computation as DuckDB SQL over ``documents``."""
+    q = ", ".join(f"'{t.lower()}'" for t in query_terms)
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '),
+                     x -> x != '') AS l
+  FROM documents
+), lengths AS (
+  SELECT doc_id, len(l) AS dl FROM toks
+), stats AS (
+  SELECT count(*) AS n, avg(dl) AS avgdl FROM lengths
+), postings AS (
+  SELECT doc_id, unnest(l) AS term FROM toks
+), tf AS (
+  SELECT term, doc_id, count(*) AS tf FROM postings
+  WHERE term IN ({q}) GROUP BY 1, 2
+), dft AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1
+)
+SELECT t.doc_id,
+       round(sum(ln(1.0 + ((SELECT n FROM stats) - d.df + 0.5) / (d.df + 0.5))
+                 * (t.tf * ({k1} + 1))
+                 / (t.tf + {k1} * (1 - {b} + {b} * l.dl / (SELECT avgdl FROM stats)))), 6)
+       AS score
+FROM tf t JOIN dft d USING (term) JOIN lengths l ON t.doc_id = l.doc_id
+GROUP BY t.doc_id
+ORDER BY score DESC, t.doc_id ASC
+LIMIT {k}
+"""

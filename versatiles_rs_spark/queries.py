@@ -1693,6 +1693,30 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_TERMS = ["spark", "window", "hash"]
+_BM25_K = 15
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval (pages/retrieval.py): inverted-index postings pruned
+    to the query terms before any scoring, Lucene-variant idf, document-
+    length normalization, distributed top-k on a (rounded score, doc_id)
+    total order. The oracle recomputes the full formula in SQL."""
+    from versatiles_rs_spark.pages.retrieval import bm25_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bm25_topk(docs, _BM25_TERMS, k=_BM25_K)
+
+
+def _o_bm25_topk() -> str:
+    from versatiles_rs_spark.pages.retrieval import bm25_topk_sql
+
+    return bm25_topk_sql(_BM25_TERMS, k=_BM25_K)
+
+
+O_BM25_TOPK = _o_bm25_topk()
+
+
 O_VOCAB_TOPK = f"""
 WITH words AS (
   SELECT unnest(list_filter(string_split(regexp_replace(text, '\\s+', ' ', 'g'), ' '),
@@ -1917,6 +1941,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "warc_roundtrip": q_warc_roundtrip,
     "stratified_sample": q_stratified_sample,
     "vocab_topk": q_vocab_topk,
+    "bm25_topk": q_bm25_topk,
 }
 
 ORACLES: dict[str, str] = {
@@ -1968,4 +1993,5 @@ ORACLES: dict[str, str] = {
     "warc_roundtrip": O_WARC_ROUNDTRIP,
     "stratified_sample": O_STRATIFIED_SAMPLE,
     "vocab_topk": O_VOCAB_TOPK,
+    "bm25_topk": O_BM25_TOPK,
 }
