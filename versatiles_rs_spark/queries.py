@@ -1693,6 +1693,40 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SESSION_GAP_MIN = 20.0
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (operators/sessions.py): lag + running-sum
+    windows on the user key, boundaries compared in integer microseconds
+    so the SQL oracle's sessions are bit-identical."""
+    from versatiles_rs_spark.operators.sessions import session_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = session_stats(ev, gap_minutes=_SESSION_GAP_MIN)
+    return out.select(
+        "user_id",
+        F.col("session_no").cast("bigint").alias("session_no"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.round("duration_s", 6).alias("duration_s"),
+        "value_sum",
+    )
+
+
+def _o_sessionize() -> str:
+    from versatiles_rs_spark.operators.sessions import session_stats_sql
+
+    sql = session_stats_sql(gap_minutes=_SESSION_GAP_MIN).rstrip()
+    # wrap to round duration identically to the Spark side
+    return (
+        "SELECT user_id, session_no, n_events, round(duration_s, 6) AS duration_s, "
+        f"value_sum FROM ({sql})"
+    )
+
+
+O_SESSIONIZE = _o_sessionize()
+
+
 _BM25_TERMS = ["spark", "window", "hash"]
 _BM25_K = 15
 
@@ -1942,6 +1976,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": q_stratified_sample,
     "vocab_topk": q_vocab_topk,
     "bm25_topk": q_bm25_topk,
+    "sessionize": q_sessionize,
 }
 
 ORACLES: dict[str, str] = {
@@ -1994,4 +2029,5 @@ ORACLES: dict[str, str] = {
     "stratified_sample": O_STRATIFIED_SAMPLE,
     "vocab_topk": O_VOCAB_TOPK,
     "bm25_topk": O_BM25_TOPK,
+    "sessionize": O_SESSIONIZE,
 }
