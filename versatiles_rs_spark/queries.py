@@ -1693,6 +1693,79 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ROBOTS_TXT = "User-agent: *\nDisallow: /d/\nAllow: /d/ok/\n"
+
+
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt compliance filter (pages/robots.py): parse per-host
+    policies into a rules table, broadcast-join pages with the prefix
+    match in the join condition, longest-prefix winner per row (allow
+    beats disallow on ties). Even-numbered hosts carry a policy
+    (disallow /d/, allow-override /d/ok/); odd hosts have none. The
+    oracle reimplements the winner selection in SQL over the SAME rule
+    set written as literals — so both the parser and the applier are
+    cross-checked."""
+    import pandas as pd
+
+    from versatiles_rs_spark.pages.robots import apply_robots, parse_robots
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    robots = spark.createDataFrame(
+        pd.DataFrame(
+            [(f"src{k}.ex.com", _ROBOTS_TXT.encode()) for k in range(0, 20, 2)],
+            columns=["host", "robots"],
+        )
+    )
+    rules = parse_robots(robots)
+    m5 = F.col("doc_id") % 5
+    path = (
+        F.when(m5 == 0, F.lit("/d/x"))
+        .when(m5 == 1, F.lit("/d/ok/y"))
+        .when(m5 == 2, F.lit("/p/z"))
+        .when(m5 == 3, F.lit("/d/"))
+        .otherwise(F.lit("/q"))
+    )
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("http://src"), (F.col("doc_id") % 20).cast("string"), F.lit(".ex.com"), path
+        ).alias("url"),
+    )
+    return apply_robots(pages, rules).select("doc_id", "url", "allowed")
+
+
+def _o_robots_filter() -> str:
+    rules = ", ".join(
+        f"('src{k}.ex.com', 'disallow', '/d/'), ('src{k}.ex.com', 'allow', '/d/ok/')"
+        for k in range(0, 20, 2)
+    )
+    return f"""
+WITH pages AS (
+  SELECT doc_id,
+         'src' || CAST(doc_id % 20 AS VARCHAR) || '.ex.com' AS host,
+         CASE doc_id % 5 WHEN 0 THEN '/d/x' WHEN 1 THEN '/d/ok/y'
+              WHEN 2 THEN '/p/z' WHEN 3 THEN '/d/' ELSE '/q' END AS path
+  FROM documents
+), rules AS (
+  SELECT * FROM (VALUES {rules}) AS t(host, rule, prefix)
+), cand AS (
+  SELECT p.doc_id, p.host, p.path, r.rule, r.prefix
+  FROM pages p LEFT JOIN rules r
+    ON r.host = p.host AND starts_with(p.path, r.prefix)
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+            ORDER BY length(prefix) DESC NULLS LAST, rule ASC) AS rn
+  FROM cand
+)
+SELECT doc_id, 'http://' || host || path AS url,
+       coalesce(rule = 'allow', TRUE) AS allowed
+FROM ranked WHERE rn = 1
+"""
+
+
+O_ROBOTS_FILTER = _o_robots_filter()
+
+
 _SESSION_GAP_MIN = 20.0
 
 
@@ -1977,6 +2050,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_topk": q_vocab_topk,
     "bm25_topk": q_bm25_topk,
     "sessionize": q_sessionize,
+    "robots_filter": q_robots_filter,
 }
 
 ORACLES: dict[str, str] = {
@@ -2030,4 +2104,5 @@ ORACLES: dict[str, str] = {
     "vocab_topk": O_VOCAB_TOPK,
     "bm25_topk": O_BM25_TOPK,
     "sessionize": O_SESSIONIZE,
+    "robots_filter": O_ROBOTS_FILTER,
 }
