@@ -75,3 +75,18 @@ def test_apply_robots_keeps_duplicate_urls(spark):
         pd.DataFrame({"url": ["http://a.io/x", "http://a.io/x"]})
     )
     assert apply_robots(pages, rules).count() == 2
+
+
+def test_apply_robots_zero_pages_shuffle(spark):
+    """The winner selection is row-local: no Window, no pages-side
+    Exchange — only the tiny rules-side aggregation shuffles."""
+    robots = spark.createDataFrame(
+        pd.DataFrame([("a.io", ROBOTS_A)], columns=["host", "robots"])
+    )
+    rules = parse_robots(robots)
+    pages = spark.range(100).selectExpr("concat('http://a.io/p/', id) AS url")
+    plan = apply_robots(pages, rules)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    import re as _re
+    # every Exchange in the plan must be on the (broadcast-input) rules side
+    assert not _re.search(r"Exchange hashpartitioning\((url|id|_rid)", plan)

@@ -58,7 +58,9 @@ def bm25_topk(
     avgdl = lengths.agg(F.avg("dl")).collect()[0][0]
 
     q = [t.lower() for t in query_terms]
-    hits = postings.where(F.col("term").isin(q))
+    # the pruned postings are used twice (df and scoring) and are tiny
+    # (query terms only) — cache so the corpus isn't re-exploded per use
+    hits = postings.where(F.col("term").isin(q)).cache()
     df_t = hits.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     idf = F.log(1.0 + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
     scored = (

@@ -90,36 +90,38 @@ def parse_robots(robots: DataFrame, agent: str = "*") -> DataFrame:
 
 def apply_robots(pages: DataFrame, rules: DataFrame, url_col: str = "url") -> DataFrame:
     """Append an ``allowed`` flag: longest-prefix rule wins, allow beats
-    disallow on equal length, hosts without rules are allowed."""
+    disallow on equal length, hosts without rules are allowed.
+
+    Zero pages-side shuffle: rules collapse to ONE array row per host
+    (tiny aggregation on the rules side only), broadcast-join on host, and
+    the winner is picked ROW-LOCALLY with array higher-order functions —
+    each matching rule maps to a sortable key ``lpad(prefix_len) ||
+    allow-bit`` and ``array_max`` selects it, so no window, no exchange,
+    no row explosion ever touches the pages table."""
     u = F.col(url_col)
     path = F.regexp_replace(
         F.regexp_replace(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/]*", ""), "^$", "/"
     )
-    # transient per-row id so duplicate urls keep their own winner row; the
-    # id never leaves this function, so its partition-dependence is harmless
-    pg = (
-        pages.withColumn("_rid", F.monotonically_increasing_id())
-        .withColumn("_host", host_of(u))
-        .withColumn("_path", path)
+    per_host = rules.groupBy("host").agg(
+        F.collect_list(F.struct("prefix", "rule")).alias("_rules")
+    ).withColumnRenamed("host", "_host")
+    pg = pages.withColumn("_host", host_of(u)).withColumn("_path", path)
+    joined = pg.join(F.broadcast(per_host), "_host", "left")
+    # sortable winner key: 4-digit prefix length, then '1' for allow so the
+    # max at equal length is the allow rule
+    matched = F.filter(
+        F.coalesce(F.col("_rules"), F.array()),
+        lambda r: F.col("_path").startswith(r["prefix"]),
     )
-    r = F.broadcast(rules.withColumnRenamed("host", "_rhost"))
-    # the prefix match is part of the JOIN condition: a page whose host has
-    # rules but none matching still survives (as an unmatched left row)
-    cand = pg.join(
-        r,
-        (F.col("_host") == F.col("_rhost")) & F.col("_path").startswith(F.col("prefix")),
-        "left",
-    ).drop("_rhost")
-    w = Window.partitionBy("_rid").orderBy(
-        F.length(F.col("prefix")).desc_nulls_last(),
-        F.col("rule").asc(),  # 'allow' < 'disallow': allow wins ties
+    keys = F.transform(
+        matched,
+        lambda r: F.concat(
+            F.lpad(F.length(r["prefix"]).cast("string"), 4, "0"),
+            F.when(r["rule"] == "allow", F.lit("1")).otherwise(F.lit("0")),
+        ),
     )
-    ranked = cand.withColumn("_rn", F.row_number().over(w))
-    return (
-        ranked.where(F.col("_rn") == 1)
-        .withColumn(
-            "allowed",
-            F.when(F.col("rule").isNull(), F.lit(True)).otherwise(F.col("rule") == "allow"),
-        )
-        .drop("_rid", "_host", "_path", "rule", "prefix", "_rn")
+    best = F.array_max(keys)
+    allowed = F.when(F.size(keys) == 0, F.lit(True)).otherwise(
+        F.substring(best, 5, 1) == "1"
     )
+    return joined.withColumn("allowed", allowed).drop("_host", "_path", "_rules")
