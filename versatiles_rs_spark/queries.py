@@ -1800,6 +1800,32 @@ def _o_sessionize() -> str:
 O_SESSIONIZE = _o_sessionize()
 
 
+_LM_REF_MOD = 10
+
+
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring (pages/lm.py): add-k bigram LM
+    trained on the doc_id % 10 == 0 reference slice (two hash
+    aggregations), every document scored by joining its exploded bigrams
+    to the broadcast model. The oracle retrains and rescores entirely in
+    SQL — model AND scorer are cross-engine-verified."""
+    from versatiles_rs_spark.pages.lm import perplexity, train_bigram_lm
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ref = docs.where(F.col("doc_id") % _LM_REF_MOD == 0)
+    uni, bi, vocab = train_bigram_lm(ref)
+    return perplexity(docs, uni, bi, vocab)
+
+
+def _o_lm_perplexity() -> str:
+    from versatiles_rs_spark.pages.lm import perplexity_sql
+
+    return perplexity_sql(f"doc_id % {_LM_REF_MOD} = 0")
+
+
+O_LM_PERPLEXITY = _o_lm_perplexity()
+
+
 _BM25_TERMS = ["spark", "window", "hash"]
 _BM25_K = 15
 
@@ -2051,6 +2077,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk": q_bm25_topk,
     "sessionize": q_sessionize,
     "robots_filter": q_robots_filter,
+    "lm_perplexity": q_lm_perplexity,
 }
 
 ORACLES: dict[str, str] = {
@@ -2105,4 +2132,5 @@ ORACLES: dict[str, str] = {
     "bm25_topk": O_BM25_TOPK,
     "sessionize": O_SESSIONIZE,
     "robots_filter": O_ROBOTS_FILTER,
+    "lm_perplexity": O_LM_PERPLEXITY,
 }
