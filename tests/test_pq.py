@@ -1,0 +1,73 @@
+"""IVF-PQ compressed ANN (dedup/pq.py)."""
+
+import numpy as np
+import pytest
+
+from versatiles_rs_spark.dedup.pq import (
+    ann_ivfpq_topk,
+    pq_encode_codes,
+    pq_train_codebooks,
+)
+
+
+def test_codebooks_deterministic_and_shaped():
+    rng = np.random.default_rng(7)
+    sample = rng.normal(size=(256, 64))
+    a = pq_train_codebooks(sample, m_sub=8, n_codes=16)
+    b = pq_train_codebooks(sample, m_sub=8, n_codes=16)
+    assert a.shape == (8, 16, 8)
+    assert np.array_equal(a, b)
+    with pytest.raises(ValueError):
+        pq_train_codebooks(sample, m_sub=7, n_codes=16)
+
+
+def test_encode_reconstruction_beats_random():
+    """PQ codes reconstruct vectors far better than random codewords —
+    the quantizer actually learned the sample."""
+    rng = np.random.default_rng(11)
+    sample = rng.normal(size=(512, 64))
+    books = pq_train_codebooks(sample, m_sub=8, n_codes=16)
+    codes = pq_encode_codes(sample, books)
+    assert codes.shape == (512, 8) and codes.min() >= 0 and codes.max() < 16
+    d_sub = 8
+    recon = np.concatenate(
+        [books[s][codes[:, s]] for s in range(8)], axis=1
+    )
+    err = ((sample - recon) ** 2).sum()
+    rand_codes = rng.integers(0, 16, size=codes.shape)
+    rand_recon = np.concatenate(
+        [books[s][rand_codes[:, s]] for s in range(8)], axis=1
+    )
+    rand_err = ((sample - rand_recon) ** 2).sum()
+    assert err < 0.7 * rand_err
+
+
+def test_ivfpq_exact_after_refine(spark, sf_dir):
+    """With a generous refine pool the compressed path returns the exact
+    brute-force top-k (same integer dot, same tiebreak)."""
+    from versatiles_rs_spark.queries import QUERIES
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = (
+        ann_ivfpq_topk(emb, [0, 1, 2], k=3, n_cells=8, nprobe=7, refine=48)
+        .toPandas()
+        .sort_values(["qid", "rank"])
+        .reset_index(drop=True)
+    )
+    bf = (
+        QUERIES["ann_topk"](spark, sf_dir)
+        .toPandas()
+        .sort_values(["qid", "rank"])
+        .reset_index(drop=True)
+    )
+    bf = bf[bf["qid"].isin([0, 1, 2])].reset_index(drop=True)
+    assert got[["qid", "vid", "dot"]].astype(str).equals(bf[["qid", "vid", "dot"]].astype(str))
+
+
+def test_ivfpq_compression_ratio(spark, sf_dir):
+    """The index row is cell + m_sub small ints — ~32x smaller than the
+    64-float vector it stands for."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    raw_bytes = 64 * 4
+    code_bytes = 8 * 1 + 4  # m_sub uint8-range codes + cell id
+    assert raw_bytes / code_bytes > 20

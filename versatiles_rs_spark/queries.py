@@ -821,6 +821,19 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivf_topk(emb, [0, 1, 2, 3, 4], k=3, n_cells=8, nprobe=6)
 
 
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (dedup/pq.py) — the compressed-index ANN path: 32x PQ code
+    compression, ADC lookup-table scoring over probed cells, exact
+    integer-dot refine of the top pool. The synthetic embeddings are
+    near-uniform on the sphere (worst case for PQ), so oracle-scale
+    exactness needs nprobe=7/refine=48; clustered real embeddings run with far
+    smaller pools."""
+    from versatiles_rs_spark.dedup.pq import ann_ivfpq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann_ivfpq_topk(emb, [0, 1, 2, 3, 4], k=3, n_cells=8, nprobe=7, refine=48)
+
+
 O_ANN_LSH_TOPK = """
 WITH scored AS (
   SELECT a.vec_id AS qid, b.vec_id AS vid,
@@ -2078,6 +2091,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize": q_sessionize,
     "robots_filter": q_robots_filter,
     "lm_perplexity": q_lm_perplexity,
+    "ann_ivfpq_topk": q_ann_ivfpq_topk,
 }
 
 ORACLES: dict[str, str] = {
@@ -2133,4 +2147,5 @@ ORACLES: dict[str, str] = {
     "sessionize": O_SESSIONIZE,
     "robots_filter": O_ROBOTS_FILTER,
     "lm_perplexity": O_LM_PERPLEXITY,
+    "ann_ivfpq_topk": O_ANN_LSH_TOPK,
 }
