@@ -1813,6 +1813,57 @@ def _o_sessionize() -> str:
 O_SESSIONIZE = _o_sessionize()
 
 
+_DIFF_MOD = 7
+
+
+def q_tile_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-update verification (operators/tile_diff.py): render the
+    full corpus and a corpus with every 7th doc removed, diff the two
+    pyramids by content hash (only 16-byte digests shuffle). doc_id rides
+    in the tile properties, so byte-equality holds exactly when the
+    contributing doc set is unchanged — which is what the oracle computes
+    independently from the raw points (per-tile sorted doc lists under the
+    shared Web-Mercator formula), never decoding a tile."""
+    from versatiles_rs_spark.operators.convert import convert_pages_to_tiles
+    from versatiles_rs_spark.operators.tile_diff import tile_diff_summary
+
+    geo = _docs_geo(spark, sf_dir)
+    old = convert_pages_to_tiles(geo, 0, 4, keep_ratio=1.0, props_cols=["doc_id"], compression="none")
+    new = convert_pages_to_tiles(
+        geo.where(F.col("doc_id") % _DIFF_MOD != 0), 0, 4,
+        keep_ratio=1.0, props_cols=["doc_id"], compression="none",
+    )
+    return tile_diff_summary(old, new).select(
+        F.col("z").cast("int").alias("z"), "status", F.col("n").cast("bigint").alias("n")
+    )
+
+
+O_TILE_DIFF = f"""
+WITH pts AS (
+  SELECT doc_id, {LON_SQL.format(id="doc_id")} AS lon, {LAT_SQL.format(id="doc_id")} AS lat
+  FROM documents
+), zs AS (SELECT z FROM generate_series(0, 4) t(z)),
+a AS (
+  SELECT CAST(z AS INTEGER) AS z, {_tile_sql("x")} AS x, {_tile_sql("y")} AS y,
+         list(doc_id ORDER BY doc_id) AS ds
+  FROM pts CROSS JOIN zs GROUP BY 1, 2, 3
+),
+b AS (
+  SELECT CAST(z AS INTEGER) AS z, {_tile_sql("x")} AS x, {_tile_sql("y")} AS y,
+         list(doc_id ORDER BY doc_id) AS ds
+  FROM pts CROSS JOIN zs WHERE doc_id % {_DIFF_MOD} != 0 GROUP BY 1, 2, 3
+),
+d AS (
+  SELECT coalesce(a.z, b.z) AS z,
+         CASE WHEN a.ds IS NULL THEN 'added'
+              WHEN b.ds IS NULL THEN 'removed'
+              WHEN a.ds = b.ds THEN 'same' ELSE 'changed' END AS status
+  FROM a FULL OUTER JOIN b ON a.z = b.z AND a.x = b.x AND a.y = b.y
+)
+SELECT z, status, count(*) AS n FROM d GROUP BY 1, 2
+"""
+
+
 _LM_REF_MOD = 10
 
 
@@ -2092,6 +2143,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "robots_filter": q_robots_filter,
     "lm_perplexity": q_lm_perplexity,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
+    "tile_diff": q_tile_diff,
 }
 
 ORACLES: dict[str, str] = {
@@ -2148,4 +2200,5 @@ ORACLES: dict[str, str] = {
     "robots_filter": O_ROBOTS_FILTER,
     "lm_perplexity": O_LM_PERPLEXITY,
     "ann_ivfpq_topk": O_ANN_LSH_TOPK,
+    "tile_diff": O_TILE_DIFF,
 }
