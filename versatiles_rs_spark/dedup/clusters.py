@@ -1,0 +1,84 @@
+"""Near-duplicate CLUSTERS from pair output — the dedup endgame.
+
+Pair emitters (MinHash/SimHash/embedding) find edges; deciding which
+documents to actually drop needs the connected components of that pair
+graph: one canonical representative per cluster, everything else removed.
+This is iterative min-label propagation (the Pregel/GraphX connected-
+components algorithm) written as DataFrame joins:
+
+- labels start as each node's own id,
+- every iteration each node takes the min of its label and its
+  neighbors' labels (one join on the symmetrized edge list + one
+  aggregation, both on the node key),
+- the loop stops when an in-plan count says no label changed
+  (O(component diameter) iterations — near-dup clusters are dense, so
+  typically 2-3; ``max_iter`` is a safety valve).
+
+At 10^12 docs the edge list is the SMALL side (pairs are rare by
+construction), so each iteration is a modest shuffle keyed by node —
+never anything corpus-sized."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, cluster) for every node in ``edges``; cluster = the min node
+    id in its component (the canonical representative)."""
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .cache()
+    )
+    labels = sym.select(F.col("u").alias("node")).distinct().withColumn(
+        "comp", F.col("node")
+    )
+    for _ in range(max_iter):
+        neigh = (
+            sym.join(labels.withColumnRenamed("node", "u"), "u")
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.min("comp").alias("n_comp"))
+        )
+        new = (
+            labels.join(neigh, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce(F.col("n_comp"), F.col("comp"))).alias("comp"),
+            )
+            .cache()
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("comp", "old"), "node")
+            .where(F.col("comp") != F.col("old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select("node", F.col("comp").alias("cluster"))
+
+
+def dedup_clusters(edges: DataFrame, src: str = "id_a", dst: str = "id_b") -> DataFrame:
+    """(node, cluster, cluster_size, keep) — keep is true only for the
+    canonical (min-id) representative; dropping ``not keep`` rows is the
+    dedup action."""
+    cc = connected_components(edges, src, dst)
+    sizes = cc.groupBy("cluster").agg(F.count("*").alias("cluster_size"))
+    return (
+        cc.join(sizes, "cluster")
+        .select(
+            "node", "cluster",
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+            (F.col("node") == F.col("cluster")).alias("keep"),
+        )
+    )

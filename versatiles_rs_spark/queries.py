@@ -1813,6 +1813,51 @@ def _o_sessionize() -> str:
 O_SESSIONIZE = _o_sessionize()
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters (dedup/clusters.py): MinHash-LSH pairs become
+    connected components via iterative min-label propagation; output is
+    one row per clustered doc with its canonical representative, cluster
+    size, and the keep/drop decision. The oracle recomputes the SAME pair
+    graph by brute force and takes its transitive closure with a
+    recursive CTE — graph construction AND clustering are cross-checked."""
+    from versatiles_rs_spark.dedup import minhash_dedup_pairs
+    from versatiles_rs_spark.dedup.clusters import dedup_clusters
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_dedup_pairs(docs, threshold=0.5)
+    return dedup_clusters(pairs).select("node", "cluster", "cluster_size", "keep")
+
+
+def _o_dedup_clusters() -> str:
+    return f"""
+WITH RECURSIVE {_SQL_GRAMS_CTE},
+sets AS (SELECT doc_id, list_distinct(gs) AS s FROM grams),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+cc(node, lab) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, cc.lab FROM cc JOIN edges e ON e.u = cc.node
+),
+comp AS (SELECT node, min(lab) AS cluster FROM cc GROUP BY node)
+SELECT node, cluster,
+       CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT) AS cluster_size,
+       node = cluster AS keep
+FROM comp
+"""
+
+
+O_DEDUP_CLUSTERS = _o_dedup_clusters()
+
+
 _DIFF_MOD = 7
 
 
@@ -2144,6 +2189,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lm_perplexity": q_lm_perplexity,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
     "tile_diff": q_tile_diff,
+    "dedup_clusters": q_dedup_clusters,
 }
 
 ORACLES: dict[str, str] = {
@@ -2201,4 +2247,5 @@ ORACLES: dict[str, str] = {
     "lm_perplexity": O_LM_PERPLEXITY,
     "ann_ivfpq_topk": O_ANN_LSH_TOPK,
     "tile_diff": O_TILE_DIFF,
+    "dedup_clusters": O_DEDUP_CLUSTERS,
 }
