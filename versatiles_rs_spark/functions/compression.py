@@ -52,6 +52,15 @@ def compress(data: bytes, codec: str) -> bytes:
     raise ValueError(f"codec {codec!r} unavailable (have: {available_codecs()})")
 
 
+def compress_gzip_fast(data: bytes) -> bytes:
+    """Low-latency gzip (level 1, deterministic mtime 0) — the
+    compress_gzip_fast variant (reference compression/methods/gzip.rs:52):
+    serve-path recompression where response latency beats ratio. The
+    default ``compress`` stays at level 9 (= the reference's
+    Compression::best default), which the byte-golden tests pin."""
+    return _gzip.compress(data, compresslevel=1, mtime=0)
+
+
 def decompress(data: bytes, codec: str) -> bytes:
     if codec == UNCOMPRESSED:
         return data
