@@ -41,7 +41,8 @@ def main() -> int:
         "--export",
         default=None,
         help="optional servable container artifact written AFTER the resumable "
-        "tile table commits: path ending .mbtiles / .pmtiles / .versatiles",
+        "tile table commits: path ending .mbtiles / .pmtiles / .versatiles / "
+        ".tar / .tar.gz / .tar.br",
     )
     ap.add_argument("--master", default=None, help="local[N] for testing; omit under spark-submit")
     args = ap.parse_args()
