@@ -30,6 +30,13 @@ Batch stats ride on ``DataFrame.observe``: the counters are collected by
 the SAME Spark job that writes the files (no read-back aggregation job),
 and per-file stats come from the parquet footers (pyarrow metadata, no
 row reads).
+
+Concurrency contract: SINGLE WRITER (the Spark driver is the committer,
+exactly like the reference's one convert process) — the manifest swap is
+a read-modify-rename, so two concurrent writers could drop each other's
+batch entry. Multi-writer needs a compare-and-swap on the manifest (a
+conditional put on object stores); readers are always safe at any
+committed snapshot.
 """
 
 from __future__ import annotations
