@@ -184,14 +184,22 @@ def job_pip_transfer_only(spark, sf_dir, replicate: int = 1) -> dict:
 
 
 def run_bench() -> dict:
+    """One warm-up then best-of-3 timed runs per job: ambient load on
+    these shared vCPUs swings single runs by ±40% (a no-op query has been
+    observed at 0.3 s and 1.7 s hours apart), so the minimum is the
+    honest estimate of the engine's own cost."""
     spark = _session(CPUS)
     timings: dict[str, float] = {}
     extras: dict[str, dict] = {}
     for name, fn in JOBS.items():
         fn(spark, SF_DIR)  # untimed warm-up (JIT, Python worker spawn)
-        t0 = time.time()
-        extras[name] = fn(spark, SF_DIR)
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(3):
+            t0 = time.time()
+            extras[name] = fn(spark, SF_DIR)
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
     spark.stop()
     total = round(sum(timings.values()), 3)
     tiles = extras["convert_pyramid"]["tiles"]
