@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from versatiles_rs_spark.operators.convert import assign_tiles, convert_pages_to_tiles
 from versatiles_rs_spark.operators.reduce_points import drop_rate_keep
-from versatiles_rs_spark.pages.generator import LAT_MULT, LON_MULT, lat_expr, lon_expr
+from versatiles_rs_spark.pages.generator import lat_expr, lon_expr
 from versatiles_rs_spark.tile_math.coords import lonlat_to_tile_cols
 
 # ---------------------------------------------------------------------------
