@@ -1909,6 +1909,65 @@ SELECT z, status, count(*) AS n FROM d GROUP BY 1, 2
 """
 
 
+_ANOM_Z = 4
+_ANOM_THRESH = 2.0
+
+
+def q_tile_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatio-temporal anomaly detection: per-tile hourly event counts
+    z-scored against that tile's own hourly distribution, flagging hours
+    with |z| > 2 — the hot-tile monitoring op a live crawl/tile service
+    runs. Pure groupBy + window aggregation on natural keys (tile, hour);
+    integer counts make the mean/std arithmetic bit-identical in both
+    engines."""
+    from versatiles_rs_spark.operators.convert import assign_tiles
+
+    ev = assign_tiles(_events_geo(spark, sf_dir), _ANOM_Z, _ANOM_Z)
+    hourly = (
+        ev.withColumn("hour", F.date_trunc("hour", F.col("ts").cast("timestamp")))
+        .groupBy("z", "x", "y", "hour")
+        .agg(F.count("*").alias("n"))
+    )
+    from pyspark.sql.window import Window as _W
+
+    w = _W.partitionBy("z", "x", "y")
+    stats = hourly.withColumn("mu", F.avg("n").over(w)).withColumn(
+        "sigma", F.stddev_pop("n").over(w)
+    )
+    flagged = stats.where(
+        (F.col("sigma") > 0)
+        & (F.abs((F.col("n") - F.col("mu")) / F.col("sigma")) > _ANOM_THRESH)
+    )
+    return flagged.select(
+        F.col("x").cast("bigint").alias("x"),
+        F.col("y").cast("bigint").alias("y"),
+        F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        F.col("n").cast("bigint").alias("n"),
+        F.round((F.col("n") - F.col("mu")) / F.col("sigma"), 6).alias("zscore"),
+    )
+
+
+O_TILE_ANOMALY = f"""
+WITH pts AS (
+  SELECT ts, {LON_SQL.format(id="event_id")} AS lon, {LAT_SQL.format(id="event_id")} AS lat
+  FROM events
+), hourly AS (
+  SELECT {_tile_sql("x", str(_ANOM_Z))} AS x, {_tile_sql("y", str(_ANOM_Z))} AS y,
+         date_trunc('hour', ts) AS hour, count(*) AS n
+  FROM pts GROUP BY 1, 2, 3
+), stats AS (
+  SELECT x, y, hour, n,
+         avg(n) OVER (PARTITION BY x, y) AS mu,
+         stddev_pop(n) OVER (PARTITION BY x, y) AS sigma
+  FROM hourly
+)
+SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+       strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour,
+       CAST(n AS BIGINT) AS n, round((n - mu) / sigma, 6) AS zscore
+FROM stats WHERE sigma > 0 AND abs((n - mu) / sigma) > {_ANOM_THRESH}
+"""
+
+
 _LM_REF_MOD = 10
 
 
@@ -2186,6 +2245,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk": q_bm25_topk,
     "sessionize": q_sessionize,
     "robots_filter": q_robots_filter,
+    "tile_anomaly": q_tile_anomaly,
     "lm_perplexity": q_lm_perplexity,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
     "tile_diff": q_tile_diff,
@@ -2248,4 +2308,5 @@ ORACLES: dict[str, str] = {
     "ann_ivfpq_topk": O_ANN_LSH_TOPK,
     "tile_diff": O_TILE_DIFF,
     "dedup_clusters": O_DEDUP_CLUSTERS,
+    "tile_anomaly": O_TILE_ANOMALY,
 }
