@@ -1909,7 +1909,7 @@ SELECT z, status, count(*) AS n FROM d GROUP BY 1, 2
 """
 
 
-_ANOM_Z = 4
+_ANOM_Z = 2
 _ANOM_THRESH = 2.0
 
 
