@@ -1994,6 +1994,63 @@ def _o_lm_perplexity() -> str:
 O_LM_PERPLEXITY = _o_lm_perplexity()
 
 
+_PMI_MIN_PAIR = 5
+
+
+def q_word_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-association mining: pointwise mutual information of adjacent
+    word pairs over the corpus — PMI(w1,w2) = ln(N * c12 / (c1 * c2))
+    with N the bigram total. Collocations (high PMI) drive tokenizer
+    merges and phrase detection. Pure two-level aggregation: bigram and
+    unigram counts (map-side combinable) joined on the word keys; the
+    oracle rebuilds the identical statistic in SQL."""
+    from versatiles_rs_spark.pages.lm import _doc_bigrams, _toks
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bi = _doc_bigrams(docs, "text").groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    uni = (
+        docs.select(F.explode(_toks("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    n = bi.agg(F.sum("c12")).collect()[0][0]
+    out = (
+        bi.where(F.col("c12") >= _PMI_MIN_PAIR)
+        .join(F.broadcast(uni.withColumnRenamed("w", "w1").withColumnRenamed("c", "c1")), "w1")
+        .join(F.broadcast(uni.withColumnRenamed("w", "w2").withColumnRenamed("c", "c2")), "w2")
+        .select(
+            "w1", "w2", F.col("c12").cast("bigint").alias("c12"),
+            F.round(
+                F.log(F.lit(float(n)) * F.col("c12") / (F.col("c1") * F.col("c2"))), 6
+            ).alias("pmi"),
+        )
+    )
+    return out
+
+
+O_WORD_PMI = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '),
+                     x -> x != '') AS l
+  FROM documents
+), grams AS (
+  SELECT unnest(CASE WHEN len(l) < 2 THEN []
+                     ELSE list_transform(range(1, len(l)), i -> {{'w1': l[i], 'w2': l[i + 1]}})
+                END) AS g
+  FROM toks
+), bi AS (
+  SELECT g.w1 AS w1, g.w2 AS w2, count(*) AS c12 FROM grams GROUP BY 1, 2
+), uni2 AS (
+  SELECT w, count(*) AS c FROM (SELECT unnest(l) AS w FROM toks) GROUP BY 1
+), n AS (SELECT sum(c12) AS total FROM bi)
+SELECT b.w1, b.w2, CAST(b.c12 AS BIGINT) AS c12,
+       round(ln((SELECT total FROM n) * b.c12 / (u1.c * u2.c)), 6) AS pmi
+FROM bi b JOIN uni2 u1 ON b.w1 = u1.w JOIN uni2 u2 ON b.w2 = u2.w
+WHERE b.c12 >= {_PMI_MIN_PAIR}
+"""
+
+
 _BM25_TERMS = ["spark", "window", "hash"]
 _BM25_K = 15
 
@@ -2243,6 +2300,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": q_stratified_sample,
     "vocab_topk": q_vocab_topk,
     "bm25_topk": q_bm25_topk,
+    "word_pmi": q_word_pmi,
     "sessionize": q_sessionize,
     "robots_filter": q_robots_filter,
     "tile_anomaly": q_tile_anomaly,
@@ -2309,4 +2367,5 @@ ORACLES: dict[str, str] = {
     "tile_diff": O_TILE_DIFF,
     "dedup_clusters": O_DEDUP_CLUSTERS,
     "tile_anomaly": O_TILE_ANOMALY,
+    "word_pmi": O_WORD_PMI,
 }
