@@ -1994,6 +1994,37 @@ def _o_lm_perplexity() -> str:
 O_LM_PERPLEXITY = _o_lm_perplexity()
 
 
+def q_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix analysis: documents ranked into exact deciles by
+    length (ntile over a total order with doc_id tiebreak — deterministic,
+    unlike approximate percentiles), with per-decile population, bounds,
+    and id checksum. One window + one aggregation."""
+    from pyspark.sql.window import Window as _W
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = _W.orderBy(F.col("n_chars").asc(), F.col("doc_id").asc())
+    binned = docs.withColumn("decile", F.ntile(10).over(w))
+    return binned.groupBy("decile").agg(
+        F.count("*").alias("n"),
+        F.min("n_chars").alias("len_min"),
+        F.max("n_chars").alias("len_max"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+
+
+O_QUALITY_DECILES = """
+WITH binned AS (
+  SELECT doc_id, n_chars,
+         ntile(10) OVER (ORDER BY n_chars ASC, doc_id ASC) AS decile
+  FROM documents
+)
+SELECT decile, count(*) AS n,
+       min(n_chars) AS len_min, max(n_chars) AS len_max,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM binned GROUP BY decile
+"""
+
+
 _PMI_MIN_PAIR = 5
 
 
@@ -2301,6 +2332,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_topk": q_vocab_topk,
     "bm25_topk": q_bm25_topk,
     "word_pmi": q_word_pmi,
+    "quality_deciles": q_quality_deciles,
     "sessionize": q_sessionize,
     "robots_filter": q_robots_filter,
     "tile_anomaly": q_tile_anomaly,
@@ -2368,4 +2400,5 @@ ORACLES: dict[str, str] = {
     "dedup_clusters": O_DEDUP_CLUSTERS,
     "tile_anomaly": O_TILE_ANOMALY,
     "word_pmi": O_WORD_PMI,
+    "quality_deciles": O_QUALITY_DECILES,
 }
