@@ -101,13 +101,14 @@ class TileJson:
 
 
 def from_tilejson(spark, path: str, min_zoom: int | None = None, max_zoom: int | None = None):
-    """Local-filesystem analog of from_tilejson.rs: read a TileJSON document
-    from ``path``, resolve its ``tiles`` URL template ({z}/{x}/{y}) against
-    the local filesystem, and load every matching tile in parallel via the
-    binaryFile source. The reference fetches the same template over HTTP
-    (from_tilejson.rs:31-38); network IO is out of scope in this sandbox, so
-    only file:// / plain-path templates are supported — an http(s) template
-    raises with a clear message.
+    """from_tilejson.rs analog: read a TileJSON document from ``path`` and
+    resolve its ``tiles`` URL template ({z}/{x}/{y}).
+
+    - file:// / plain-path templates load every matching tile in parallel
+      via the binaryFile source (glob + path regex).
+    - http(s):// templates fetch the pyramid declared by the TileJSON's
+      minzoom/maxzoom/bounds over HTTP, distributed, with the reference's
+      retry semantics (``_from_tilejson_http``; from_tilejson.rs:35-45).
     """
     import json as _json
     import os
@@ -121,10 +122,7 @@ def from_tilejson(spark, path: str, min_zoom: int | None = None, max_zoom: int |
     if not tiles_tpl:
         raise ValueError(f"TileJSON at {path} has no 'tiles' template")
     if tiles_tpl.startswith(("http://", "https://")):
-        raise NotImplementedError(
-            "from_tilejson: http(s) tile templates need network access, "
-            "which this environment does not have; use a file path template"
-        )
+        return _from_tilejson_http(spark, tj, tiles_tpl, min_zoom, max_zoom)
     tpl = tiles_tpl[len("file://"):] if tiles_tpl.startswith("file://") else tiles_tpl
     if not os.path.isabs(tpl):
         tpl = os.path.join(os.path.dirname(os.path.abspath(path)), tpl)
@@ -156,3 +154,96 @@ def from_tilejson(spark, path: str, min_zoom: int | None = None, max_zoom: int |
     if zmax is not None:
         out = out.filter(F.col("z") <= int(zmax))
     return out
+
+
+def _from_tilejson_http(spark, tj: dict, tiles_tpl: str, min_zoom, max_zoom, http_partitions: int = 8):
+    """HTTP(S) tile template fetch — the reference's from_tilejson proper
+    (from_tilejson.rs:35-45,71-72): enumerate the pyramid declared by the
+    TileJSON's minzoom/maxzoom/bounds, fetch each tile distributed with
+    ``max_retries=3`` and exponential backoff, skip 404s (sparse
+    tilesets). Concurrency is bounded by ``http_partitions`` Spark tasks —
+    the max_concurrent_requests analog."""
+    import math
+    import time as _time
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        BinaryType, IntegerType, LongType, StringType, StructField, StructType,
+    )
+
+    zmin = int(min_zoom if min_zoom is not None else tj.get("minzoom", 0))
+    zmax = int(max_zoom if max_zoom is not None else tj.get("maxzoom", zmin))
+    bounds = tj.get("bounds", [-180.0, -85.05112878, 180.0, 85.05112878])
+    ext = tiles_tpl.rsplit(".", 1)[-1] if "." in tiles_tpl.rsplit("/", 1)[-1] else "png"
+    fmt = {"pbf": "mvt"}.get(ext, ext)
+    codec = "gzip" if fmt == "mvt" else "none"
+
+    def _tx(lon, z):
+        return min(max(int(2**z * (lon / 360.0 + 0.5)), 0), 2**z - 1)
+
+    def _ty(lat, z):
+        lat = max(min(lat, 85.05112878), -85.05112878)
+        f = 0.5 - 0.5 * math.log(math.tan(lat * math.pi / 360.0 + math.pi / 4.0)) / math.pi
+        return min(max(int(2**z * f), 0), 2**z - 1)
+
+    coords = None
+    for z in range(zmin, zmax + 1):
+        x0, x1 = _tx(bounds[0], z), _tx(bounds[2], z)
+        # y axis flips: north (bounds[3]) is the smaller tile row
+        y0, y1 = _ty(bounds[3], z), _ty(bounds[1], z)
+        layer = spark.range(x0, x1 + 1).select(
+            F.lit(z).alias("z"),
+            F.col("id").alias("x"),
+            F.explode(F.sequence(F.lit(y0), F.lit(y1))).alias("y"),
+        )
+        coords = layer if coords is None else coords.unionByName(layer)
+
+    out_schema = StructType(
+        [
+            StructField("z", IntegerType()),
+            StructField("x", LongType()),
+            StructField("y", LongType()),
+            StructField("format", StringType()),
+            StructField("compression", StringType()),
+            StructField("tile", BinaryType()),
+            StructField("n_features", LongType()),
+        ]
+    )
+
+    def fetch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import urllib.error
+        import urllib.request
+
+        for pdf in it:
+            rows = []
+            for z, x, y in zip(pdf["z"], pdf["x"], pdf["y"]):
+                url = (
+                    tiles_tpl.replace("{z}", str(int(z)))
+                    .replace("{x}", str(int(x)))
+                    .replace("{y}", str(int(y)))
+                )
+                for attempt in range(4):  # 1 try + max_retries=3
+                    try:
+                        with urllib.request.urlopen(url, timeout=10) as r:
+                            blob = r.read()
+                        rows.append((int(z), int(x), int(y), fmt, codec, blob, 0))
+                        break
+                    except urllib.error.HTTPError as e:
+                        if e.code == 404:
+                            break  # sparse tileset: missing tile, not an error
+                        if attempt == 3:
+                            raise
+                        _time.sleep(0.05 * (attempt + 1))
+                    except urllib.error.URLError:
+                        if attempt == 3:
+                            raise
+                        _time.sleep(0.05 * (attempt + 1))
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=["z", "x", "y", "format", "compression", "tile", "n_features"],
+                )
+
+    return coords.repartition(http_partitions).mapInPandas(fetch, out_schema)
