@@ -195,13 +195,17 @@ def test_from_tilejson_local(spark, tmp_path):
     want = tiles.filter("z <= 2").count()
     assert len(rows) == want
     assert all(r["format"] == "mvt" for r in rows)
-    # http templates fail with a clear message
+    # http templates now build the distributed HTTP fetch plan (round 3:
+    # _from_tilejson_http; full loopback-server behavior is covered by
+    # tests/test_tilejson_http.py) — building must not raise, and the
+    # enumerated pyramid has the declared size before any fetch runs
     tj2 = tmp_path / "http.json"
-    tj2.write_text(json.dumps({"tiles": ["https://x/{z}/{x}/{y}.png"]}))
-    import pytest
-
-    with pytest.raises(NotImplementedError, match="network"):
-        build_pipeline(spark, f'from_tilejson url="{tj2}"')
+    tj2.write_text(json.dumps({
+        "tiles": ["https://x.invalid/{z}/{x}/{y}.png"],
+        "minzoom": 0, "maxzoom": 1, "bounds": [-180, -85, 180, 85],
+    }))
+    df = build_pipeline(spark, f'from_tilejson url="{tj2}"')
+    assert [f.name for f in df.schema.fields][:3] == ["z", "x", "y"]
 
 
 def test_vpl_dem_tile_resize_pipeline(spark):
