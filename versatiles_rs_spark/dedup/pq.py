@@ -209,3 +209,87 @@ def ann_ivfpq_topk(
     )
     w2 = Window.partitionBy("qid").orderBy(F.desc("dot"), F.asc("vid"))
     return exact.withColumn("rank", F.row_number().over(w2)).where(F.col("rank") <= k)
+
+
+def knn_graph(
+    vectors: DataFrame,
+    k: int = 3,
+    n_cells: int = 8,
+    nprobe: int = 6,
+    train_sample: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """k-NN GRAPH: top-k cosine neighbors for EVERY vector (the structure
+    behind embedding dedup clusters, graph-based label propagation, and
+    retrieval eval). Unlike the query-set ANN paths, nothing is collected
+    driver-side except the centroid training sample:
+
+    - every vector lands in its ONE nearest cell (index side),
+    - every vector PROBES its ``nprobe`` nearest cells (query side),
+    - candidates are the cell-local equi-join of probe x member (the only
+      join key is the cell id — at corpus scale this is the partition key,
+      so candidate generation is co-located),
+    - exact integer-quantized dots + per-source top-k window.
+
+    Returns (qid, vid, dot, rank), rank 1..k per qid.
+    """
+    import numpy as np
+
+    spark = vectors.sparkSession
+    sample = np.array(
+        vectors.select(vec_col).limit(train_sample).toPandas()[vec_col].tolist(),
+        dtype=np.float64,
+    )
+    norms = np.linalg.norm(sample, axis=1, keepdims=True)
+    cents = _kmeans_fit(sample / np.where(norms == 0, 1.0, norms), min(n_cells, len(sample)))
+    bc = spark.sparkContext.broadcast(cents)
+
+    assign_schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("cell", IntegerType()),
+            StructField("side", IntegerType()),  # 0 = member, 1 = probe
+        ]
+    )
+
+    def assign(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cc = bc.value
+        for pdf in it:
+            if pdf.empty:
+                continue
+            m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            nm = np.linalg.norm(m, axis=1, keepdims=True)
+            sims = (m / np.where(nm == 0, 1.0, nm)) @ cc.T
+            order = np.argsort(-sims, axis=1)
+            ids = pdf[id_col].values
+            member = pd.DataFrame(
+                {"vec_id": ids, "cell": order[:, 0].astype(np.int32), "side": 0}
+            )
+            np_probe = min(order.shape[1], max(1, int(nprobe)))
+            probe = pd.DataFrame(
+                {
+                    "vec_id": np.repeat(ids, np_probe),
+                    "cell": order[:, :np_probe].astype(np.int32).ravel(),
+                    "side": 1,
+                }
+            )
+            yield pd.concat([member, probe], ignore_index=True)
+
+    both = vectors.select(id_col, vec_col).mapInPandas(assign, assign_schema)
+    member = both.where(F.col("side") == 0).select(F.col("vec_id").alias("vid"), "cell")
+    probe = both.where(F.col("side") == 1).select(F.col("vec_id").alias("qid"), "cell")
+    cand = (
+        probe.join(member, "cell")
+        .where(F.col("qid") != F.col("vid"))
+        .select("qid", "vid")
+        .distinct()
+    )
+    qv = vectors.select(F.col(id_col).alias("vec_id"), _quantized(vec_col).alias("qv"))
+    scored = (
+        cand.join(qv.withColumnRenamed("vec_id", "qid").withColumnRenamed("qv", "q_qv"), "qid")
+        .join(qv.withColumnRenamed("vec_id", "vid"), "vid")
+        .select("qid", "vid", _dot("q_qv", "qv").alias("dot"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("dot"), F.asc("vid"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -1813,6 +1813,38 @@ def _o_sessionize() -> str:
 O_SESSIONIZE = _o_sessionize()
 
 
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full k-NN graph over the embedding corpus (dedup/pq.py knn_graph):
+    every vector's top-3 cosine neighbors via cell-local candidate
+    generation (IVF member x probe equi-join on the cell key — the
+    partition key at corpus scale) + exact integer-dot rescoring. Nothing
+    corpus-sized ever reaches the driver. The synthetic embeddings are
+    uniform on the sphere (no cluster structure — the IVF worst case), and
+    ALL 500 per-vector top-3 sets must be simultaneously exact for the
+    hash gate, so the oracle-scale run probes every cell (nprobe=8/8; the
+    candidate join stays cell-local/co-located — the SHAPE that scales —
+    while clustered real embeddings run nprobe << n_cells). The oracle is
+    the all-pairs window top-3."""
+    from versatiles_rs_spark.dedup.pq import knn_graph
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return knn_graph(emb, k=3, n_cells=8, nprobe=8)
+
+
+O_KNN_GRAPH = """
+WITH scored AS (
+  SELECT a.vec_id AS qid, b.vec_id AS vid,
+    CAST(list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+      p -> CAST(round(CAST(p[1] AS DOUBLE)*1000000) AS BIGINT) * CAST(round(CAST(p[2] AS DOUBLE)*1000000) AS BIGINT)), 'sum') AS BIGINT) AS dot
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+), ranked AS (
+  SELECT qid, vid, dot, row_number() OVER (PARTITION BY qid ORDER BY dot DESC, vid ASC) AS rank
+  FROM scored
+)
+SELECT qid, vid, dot, CAST(rank AS INTEGER) AS rank FROM ranked WHERE rank <= 3
+"""
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters (dedup/clusters.py): MinHash-LSH pairs become
     connected components via iterative min-label propagation; output is
@@ -2338,6 +2370,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tile_anomaly": q_tile_anomaly,
     "lm_perplexity": q_lm_perplexity,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
+    "knn_graph": q_knn_graph,
     "tile_diff": q_tile_diff,
     "dedup_clusters": q_dedup_clusters,
 }
@@ -2401,4 +2434,5 @@ ORACLES: dict[str, str] = {
     "tile_anomaly": O_TILE_ANOMALY,
     "word_pmi": O_WORD_PMI,
     "quality_deciles": O_QUALITY_DECILES,
+    "knn_graph": O_KNN_GRAPH,
 }
