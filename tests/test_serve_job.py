@@ -77,3 +77,48 @@ def test_tilejson_route(served):
     status, headers, body = _get(port, "/tiles/tiles.json")
     assert status == 200
     assert json.loads(body).get("tilejson")
+
+
+def test_serve_mosaic_output(spark, tmp_path):
+    """Compose the container story: two sources -> mosaic assemble ->
+    versatiles container -> served over HTTP, pixels intact."""
+    import numpy as np
+    import pandas as pd
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    from serve_job import serve
+
+    from versatiles_rs_spark.functions.raster import png_decode, png_encode
+    from versatiles_rs_spark.operators.mosaic import mosaic_assemble
+
+    def rgb(r, g, b):
+        img = np.zeros((8, 8, 3), dtype=np.uint8)
+        img[:, :] = (r, g, b)
+        return png_encode(img)
+
+    rows_a = [(0, 0, 0, "png", "none", rgb(10, 0, 0), 0)]
+    rows_b = [(0, 0, 0, "png", "none", rgb(0, 10, 0), 0), (1, 0, 0, "png", "none", rgb(0, 0, 10), 0)]
+    cols = ["z", "x", "y", "format", "compression", "tile", "n_features"]
+    a = spark.createDataFrame(pd.DataFrame(rows_a, columns=cols))
+    b = spark.createDataFrame(pd.DataFrame(rows_b, columns=cols))
+    pa, pb = str(tmp_path / "a.mbtiles"), str(tmp_path / "b.mbtiles")
+    write_container(a, pa)
+    write_container(b, pb)
+    out = str(tmp_path / "m.versatiles")
+    mosaic_assemble(spark, [pa, pb], out)
+
+    srv = serve(out, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = srv.server_address[1]
+        status, _, body = _get(port, "/tiles/0/0/0", {"Accept-Encoding": "identity"})
+        assert status == 200
+        img = png_decode(body)
+        # opaque top source (a) wins at 0/0/0
+        assert tuple(img[0, 0, :3]) == (10, 0, 0)
+        status, _, body = _get(port, "/tiles/1/0/0", {"Accept-Encoding": "identity"})
+        assert png_decode(body)[0, 0, 2] == 10  # b's exclusive tile
+    finally:
+        srv.shutdown()
