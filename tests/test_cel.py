@@ -239,3 +239,17 @@ def test_filter_features_cel_fallback_full_semantics(spark):
     )
     got = sorted(r["i"] for r in filter_features_cel(df, "name.size() > 2").collect())
     assert got == [0]
+
+
+def test_cel_to_column_nonbool_root_returns_none():
+    """A parsable non-boolean root (bare identifier) must return None —
+    the caller then falls back to compile_cel, which evaluates such
+    predicates to all-False — instead of handing Catalyst a string Column
+    wrapped in boolean when/coalesce (plan-time AnalysisException)."""
+    from versatiles_rs_spark.functions.cel import cel_to_column
+
+    assert cel_to_column("name") is None
+    assert cel_to_column("props['kind']") is None
+    assert cel_to_column('"literal"') is None
+    # boolean roots still translate
+    assert cel_to_column("name == 'x'") is not None

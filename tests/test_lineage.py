@@ -215,3 +215,57 @@ def test_compact_and_expire(tiles, tmp_path, spark):
         read_tiles(spark, table, as_of=pre_sid)
     # resume contract untouched: nothing to re-run
     assert convert_resumable(tiles, table, 0, MAXZ) == []
+
+
+def test_compact_batch_prefix_collision(tiles, tmp_path, spark):
+    """compact_batch('z10_x0_y1') must not sweep files of the
+    prefix-colliding batch 'z10_x0_y10' into its rewrite — membership is
+    matched on whole path components, not substrings."""
+    from versatiles_rs_spark.lineage import TileBatch, compact_batch, plan_files
+
+    table = str(tmp_path / "tiles_collide")
+    t10 = tiles.withColumn("z", F.lit(10))
+    # by=1 block covers y 64..127; by=10 covers y 640..703 (block_bits=6)
+    b_short = TileBatch(10, 0, 1)
+    b_long = TileBatch(10, 0, 10)
+    write_batch(table, b_short, t10.withColumn("y", F.col("y") % 64 + 64))
+    write_batch(table, b_long, t10.withColumn("y", F.col("y") % 64 + 640))
+    assert b_long.batch_id.startswith(b_short.batch_id)  # the collision
+
+    files_long_before = {
+        f["path"] for f in plan_files(table) if "batch=z10_x0_y10" in f["path"]
+    }
+    assert files_long_before
+
+    res = compact_batch(spark, table, b_short.batch_id)
+    # the long batch's files survive untouched and stay live
+    files_long_after = {
+        f["path"] for f in plan_files(table) if "batch=z10_x0_y10" in f["path"]
+    }
+    assert files_long_after == files_long_before
+    # the REPLACE snapshot removed only the short batch's files
+    from versatiles_rs_spark.lineage import _read_snapshot
+
+    snap = _read_snapshot(table, res["snapshot_id"])
+    assert all("batch=z10_x0_y10" not in p for p in snap["removed"])
+    # row counts preserved on the current snapshot
+    total = read_tiles(spark, table).count()
+    assert total == t10.count() * 2
+
+
+def test_compact_batch_recompaction_sweeps_own_rewrites(tiles, tmp_path, spark):
+    """Compacting the same batch twice treats the first rewrite's
+    batch=<id>_r<sid> directory as part of the batch (it IS this batch's
+    data), so the second REPLACE removes it."""
+    from versatiles_rs_spark.lineage import TileBatch, compact_batch, plan_files
+
+    table = str(tmp_path / "tiles_recompact")
+    b = TileBatch(3, 0, 0)
+    write_batch(table, b, tiles.filter("z = 3").repartition(4))
+    n = read_tiles(spark, table).count()
+    assert n > 0
+
+    r1 = compact_batch(spark, table, b.batch_id)
+    r2 = compact_batch(spark, table, b.batch_id)
+    assert r2["files_before"] == r1["files_after"]
+    assert read_tiles(spark, table).count() == n

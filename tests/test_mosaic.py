@@ -92,3 +92,83 @@ def test_container_level_mosaic(spark, tmp_path):
     blended = bytes(back.where("z = 0").collect()[0]["tile"])
     want = overlay(to_rgba(png_decode(_rgb(0, 200, 0))), png_decode(_rgba(200, 0, 0, 120)))
     assert np.array_equal(png_decode(blended), want)
+
+
+def _with_big_ancillary(png: bytes, trns: bool) -> bytes:
+    """Insert a >2KB ancillary chunk (and optionally a tRNS) after IHDR."""
+    import struct, zlib
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr_end = 8 + 8 + 25  # sig + len/type + 13 data + 4 crc = byte 33... compute properly
+    # locate end of IHDR chunk properly
+    length = int.from_bytes(png[8:12], "big")
+    ihdr_end = 8 + 12 + length
+    extra = chunk(b"tEXt", b"k\x00" + b"v" * 4000)
+    trns_chunk = chunk(b"tRNS", b"\x00\x01\x00\x02\x00\x03") if trns else b""
+    return png[:ihdr_end] + extra + trns_chunk + png[ihdr_end:]
+
+
+def test_trns_found_beyond_2kb_of_ancillary_chunks():
+    """A tRNS placed after >2KB of ancillary data must still classify the
+    tile as translucent (bounded chunk walk, not a fixed-window scan)."""
+    base = _rgb(5, 6, 7)
+    assert png_is_opaque(_with_big_ancillary(base, trns=True)) is False
+    # and the same big ancillary prefix WITHOUT tRNS stays opaque
+    assert png_is_opaque(_with_big_ancillary(base, trns=False)) is True
+
+
+def test_trns_bytes_inside_idat_do_not_misclassify():
+    """The literal bytes b'tRNS' appearing inside compressed pixel data
+    must not flip an opaque tile to translucent: the walk stops at IDAT."""
+    import struct, zlib
+
+    img = np.zeros((16, 16, 3), dtype=np.uint8)
+    blob = png_encode(img)
+    # craft: splice a fake IDAT whose payload contains b'tRNS' after the
+    # real IDAT (decoder ignores it; substring search would have tripped)
+    length = int.from_bytes(blob[8:12], "big")
+    ihdr_end = 8 + 12 + length
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+    evil = blob[:ihdr_end] + chunk(b"tEXt", b"x\x00tRNS-lookalike") + blob[ihdr_end:]
+    # b'tRNS' IS in the raw bytes, but only inside a tEXt payload
+    assert b"tRNS" in evil
+    assert png_is_opaque(evil) is True
+
+
+def test_jpg_top_passthrough_with_format_column(spark):
+    """A jpg top tile (opaque by nature) forwards byte-untouched and the
+    output row carries format='jpg', not a hardcoded 'png'."""
+    from versatiles_rs_spark.functions.jpeg import jpeg_encode
+
+    img = np.full((8, 8, 3), 77, dtype=np.uint8)
+    jpg = jpeg_encode(img)
+    a = _tiles(spark, [(1, 0, 0, "jpg", "none", jpg, 0)])
+    b = _tiles(spark, [(1, 0, 0, "png", "none", _rgb(1, 1, 1), 0)])
+    out = mosaic_assemble_tiles([a, b]).collect()
+    assert len(out) == 1
+    assert out[0]["format"] == "jpg"
+    assert bytes(out[0]["tile"]) == jpg
+
+
+def test_translucent_nonpng_stack_raises_clear_error(spark):
+    """A stack that NEEDS compositing but contains a non-png contribution
+    fails with an explanatory error instead of a decoder crash."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    a = _tiles(spark, [(1, 0, 0, "png", "none", _rgba(1, 2, 3, 100), 0)])
+    b = _tiles(spark, [(1, 0, 0, "webp", "none", b"RIFF....WEBP", 0)])
+    with pytest.raises(Exception) as ei:
+        mosaic_assemble_tiles([a, b]).collect()
+    assert "non-png contributions" in str(ei.value)

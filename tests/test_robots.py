@@ -90,3 +90,90 @@ def test_apply_robots_zero_pages_shuffle(spark):
     import re as _re
     # every Exchange in the plan must be on the (broadcast-input) rules side
     assert not _re.search(r"Exchange hashpartitioning\((url|id|_rid)", plan)
+
+
+ROBOTS_WILD = b"""User-agent: *
+Disallow: /*?sid=
+Disallow: /*.pdf$
+Allow: /docs/*.pdf$
+
+User-agent: mybot
+Disallow: /bot-only/
+"""
+
+
+def test_rfc9309_wildcards_python_path():
+    from versatiles_rs_spark.pages.robots import robots_allowed, rule_regex
+
+    rules = parse_robots_text(ROBOTS_WILD.decode(), agent="*")
+    # '*' matches any octet sequence anywhere in the value
+    assert robots_allowed("/page?sid=123", rules) is False
+    assert robots_allowed("/a/b?sid=", rules) is False
+    assert robots_allowed("/page?id=123", rules) is True
+    # trailing '$' anchors: /x.pdf blocked, /x.pdfs NOT (no longer a match)
+    assert robots_allowed("/x.pdf", rules) is False
+    assert robots_allowed("/x.pdfs", rules) is True
+    # longest VALUE wins: the allow for /docs/*.pdf$ (12 octets) beats
+    # the disallow /*.pdf$ (7 octets)
+    assert robots_allowed("/docs/x.pdf", rules) is True
+    # non-trailing '$' is a literal octet
+    assert rule_regex("/a$b") == "^" + __import__("re").escape("/a$b")
+
+
+def test_user_agent_product_token_prefix():
+    # crawler token 'mybot' (from 'MyBot/1.0') matches group 'mybot'
+    rules = parse_robots_text(ROBOTS_WILD.decode(), agent="MyBot/1.0")
+    assert rules == [("disallow", "/bot-only/")]
+    # unrelated agent falls back to the * group
+    rules = parse_robots_text(ROBOTS_WILD.decode(), agent="OtherBot/2")
+    assert ("disallow", "/*?sid=") in rules
+
+
+def test_rfc9309_wildcards_spark_path(spark):
+    robots = spark.createDataFrame(
+        pd.DataFrame([("a.io", ROBOTS_WILD)], columns=["host", "robots"])
+    )
+    rules = parse_robots(robots)
+    pages = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url": [
+                    "http://a.io/page?sid=7",   # blocked by /*?sid=
+                    "http://a.io/x.pdf",        # blocked by /*.pdf$
+                    "http://a.io/x.pdfs",       # $ anchor -> allowed
+                    "http://a.io/docs/x.pdf",   # allow override wins
+                    "http://a.io/plain",        # no match -> allowed
+                ]
+            }
+        )
+    )
+    out = {r["url"]: r["allowed"] for r in apply_robots(pages, rules).collect()}
+    assert out["http://a.io/page?sid=7"] is False
+    assert out["http://a.io/x.pdf"] is False
+    assert out["http://a.io/x.pdfs"] is True
+    assert out["http://a.io/docs/x.pdf"] is True
+    assert out["http://a.io/plain"] is True
+
+
+def test_spark_python_parity_on_wildcards(spark):
+    """apply_robots and robots_allowed agree rule-for-rule on a path set
+    exercising '*', '$', ties, and no-match."""
+    from versatiles_rs_spark.pages.robots import robots_allowed
+
+    pyrules = parse_robots_text(ROBOTS_WILD.decode(), agent="*")
+    paths = [
+        "/", "/page?sid=", "/deep/a/b?sid=x", "/x.pdf", "/x.pdfx",
+        "/docs/x.pdf", "/docs/sub/x.pdf", "/docs/x.pdfz", "/other",
+    ]
+    robots = spark.createDataFrame(
+        pd.DataFrame([("a.io", ROBOTS_WILD)], columns=["host", "robots"])
+    )
+    pages = spark.createDataFrame(
+        pd.DataFrame({"url": [f"http://a.io{p}" for p in paths]})
+    )
+    got = {
+        r["url"]: r["allowed"]
+        for r in apply_robots(pages, parse_robots(robots)).collect()
+    }
+    for p in paths:
+        assert got[f"http://a.io{p}"] == robots_allowed(p, pyrules), p

@@ -84,3 +84,24 @@ def test_dedup_matches_batch_first_seen(spark, tmp_path, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_update_shard_lowest_doc_id_wins_across_chunks():
+    """The within-batch determinism contract must hold across Arrow chunk
+    boundaries: a duplicate hash in an EARLIER chunk must lose to a lower
+    doc_id arriving in a LATER chunk of the same micro-batch."""
+    import pandas as pd
+
+    from versatiles_rs_spark.streaming.dedup import _update_shard
+
+    class FakeState:
+        exists = False
+
+        def update(self, v):
+            self.stored = v
+
+    chunk1 = pd.DataFrame({"doc_id": [50, 60], "content_hash": ["aa", "bb"]})
+    chunk2 = pd.DataFrame({"doc_id": [7, 99], "content_hash": ["aa", "cc"]})
+    out = pd.concat(list(_update_shard(("a",), iter([chunk1, chunk2]), FakeState())))
+    winners = dict(zip(out["content_hash"], out["doc_id"]))
+    assert winners == {"aa": 7, "bb": 60, "cc": 99}

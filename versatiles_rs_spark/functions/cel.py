@@ -656,6 +656,12 @@ def cel_to_column(expr: str, props_col="props"):
     from pyspark.sql import functions as F
 
     ast = _Parser(_tokenize(expr), expr).parse()
+    if _typeclass(ast) != "bool":
+        # A non-boolean root (e.g. the bare identifier `name`) evaluates
+        # to all-False under compile_cel's error contract; translating it
+        # would hand Catalyst a string Column inside when/coalesce and
+        # raise AnalysisException at plan time. Fall back instead.
+        return None
     if isinstance(props_col, str):
         props_col = F.col(props_col)
     try:

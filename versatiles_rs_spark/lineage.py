@@ -308,7 +308,17 @@ def compact_batch(
     if batch_id not in manifest["batches"]:
         raise ValueError(f"unknown batch {batch_id!r}")
     current_files = {f["path"]: f for f in plan_files(table)}
-    old = [f for f in current_files.values() if f"batch={batch_id}" in f["path"]]
+
+    def _belongs(path: str) -> bool:
+        # Match on a whole directory component: batch=b1 must not sweep
+        # batch=b10 (prefix collision), but batch=b1_r<sid> rewrite dirs
+        # produced by earlier compactions of this SAME batch do belong.
+        for part in path.split(os.sep):
+            if part == f"batch={batch_id}" or part.startswith(f"batch={batch_id}_r"):
+                return True
+        return False
+
+    old = [f for f in current_files.values() if _belongs(f["path"])]
     if not old:
         raise ValueError(f"batch {batch_id!r} has no live files")
     sid = manifest["current_snapshot"] + 1

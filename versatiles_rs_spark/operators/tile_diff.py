@@ -18,8 +18,8 @@ KEY = ["z", "x", "y"]
 
 def tile_diff(old: DataFrame, new: DataFrame) -> DataFrame:
     """(z, x, y, status) for every coordinate present in either table."""
-    a = old.select(*KEY, F.md5(F.col("tile").cast("string")).alias("h_old"))
-    b = new.select(*KEY, F.md5(F.col("tile").cast("string")).alias("h_new"))
+    a = old.select(*KEY, F.md5(F.col("tile")).alias("h_old"))
+    b = new.select(*KEY, F.md5(F.col("tile")).alias("h_new"))
     j = a.join(b, KEY, "full_outer")
     status = (
         F.when(F.col("h_old").isNull(), F.lit("added"))

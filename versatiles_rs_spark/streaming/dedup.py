@@ -41,10 +41,13 @@ def _update_shard(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         if packed:
             seen = set(packed.split(","))
     out = []
-    for pdf in pdfs:
-        # deterministic within-batch winner: lowest doc_id per hash
-        pdf = pdf.sort_values("doc_id")
-        for did, h in zip(pdf["doc_id"], pdf["content_hash"]):
+    # Materialize ALL Arrow chunks of this shard's micro-batch before the
+    # seen-set pass: the "lowest doc_id wins within a batch" contract must
+    # hold across chunk boundaries, not merely per chunk.
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        batch = pd.concat(chunks, ignore_index=True).sort_values("doc_id")
+        for did, h in zip(batch["doc_id"], batch["content_hash"]):
             if h not in seen:
                 seen.add(h)
                 out.append((int(did), h))
