@@ -570,15 +570,43 @@ def _op_from_tilejson(spark: SparkSession, node: VplNode) -> DataFrame:
     )
 
 
+def _gdal_common_props(node: VplNode) -> dict:
+    """Shared from_gdal options (reference raster/args.rs + cutline.rs):
+    resampling=nearest|bilinear, nodata=<float>, cutline=<geojson path>,
+    mode=auto|broadcast|windowed."""
+    out: dict = {
+        "resampling": str(node.props.get("resampling", "nearest")),
+        "mode": str(node.props.get("mode", "auto")),
+    }
+    if "nodata" in node.props:
+        out["nodata"] = float(node.props["nodata"])
+    if "cutline" in node.props:
+        from versatiles_rs_spark.spatial.geojson_io import load_polygons_geojson
+
+        polys = load_polygons_geojson(str(node.props["cutline"]))
+        if not polys:
+            raise ValueError("cutline GeoJSON contains no polygons")
+        # merge all polygons into one even-odd ring set
+        from versatiles_rs_spark.spatial.pip import Polygon
+
+        rings = [r for p in polys for r in p.rings]
+        out["cutline"] = Polygon(0, "cutline", "cutline", rings)
+    return out
+
+
 @register_read("from_gdal_raster")
 def _op_from_gdal_raster(spark: SparkSession, node: VplNode) -> DataFrame:
     from versatiles_rs_spark.sources.geotiff import from_gdal_raster
 
+    kw = _gdal_common_props(node)
+    if "bands" in node.props:
+        kw["bands"] = [int(b) for b in str(node.props["bands"]).split(",") if b]
     return from_gdal_raster(
         spark,
         str(_req(node, "filename")),
         min_zoom=int(node.props.get("level_min", 0)),
         max_zoom=int(node.props.get("level_max", 4)),
+        **kw,
     )
 
 
@@ -592,4 +620,5 @@ def _op_from_gdal_dem(spark: SparkSession, node: VplNode) -> DataFrame:
         min_zoom=int(node.props.get("level_min", 0)),
         max_zoom=int(node.props.get("level_max", 4)),
         encoding=str(node.props.get("encoding", "terrarium")),
+        **_gdal_common_props(node),
     )

@@ -131,41 +131,46 @@ def _tiff_lzw_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
-def read_geotiff(path: str) -> tuple[np.ndarray, dict]:
-    """GeoTIFF -> (HxWxC uint8 image, {"west","north","sx","sy","epsg"})."""
+def read_geotiff_meta(path: str) -> dict:
+    """Parse ONLY the IFD (header + tag table + out-of-line tag values)
+    with ranged reads — never the raster payload. The returned dict is the
+    driver-side plan input for distributed windowed ingest: every block's
+    byte range is known, so executor tasks can ranged-read exactly the
+    blocks their tiles need (the reference streams per-tile windows
+    through a pooled GDAL handle — from_gdal/gdal_pool.rs; this is the
+    same idea with the IFD as the window index).
+
+    Keys: width height spp dtype compression predictor tiled block_w
+    block_h blocks_across offsets byte_counts west north sx sy epsg
+    nodata (GDAL ASCII tag 42113, or None).
+    """
     with open(path, "rb") as f:
-        b = f.read()
-    if b[:2] == b"II":
-        fmt = "<"
-    elif b[:2] == b"MM":
-        fmt = ">"
-    else:
-        raise ValueError("not a TIFF")
-    if struct.unpack(fmt + "H", b[2:4])[0] != 42:
-        raise ValueError("not a classic TIFF")
-    ifd_off = struct.unpack(fmt + "I", b[4:8])[0]
-    n = struct.unpack(fmt + "H", b[ifd_off : ifd_off + 2])[0]
-    tags: dict[int, tuple] = {}
-    for i in range(n):
-        e = b[ifd_off + 2 + 12 * i : ifd_off + 14 + 12 * i]
-        tag, typ, cnt = struct.unpack(fmt + "HHI", e[:8])
-        size = _TYPE_SIZE.get(typ, 1) * cnt
-        if size <= 4:
-            raw = e[8 : 8 + size]
+        head = f.read(8)
+        if head[:2] == b"II":
+            fmt = "<"
+        elif head[:2] == b"MM":
+            fmt = ">"
         else:
-            off = struct.unpack(fmt + "I", e[8:12])[0]
-            raw = b[off : off + size]
-        if typ == 3:
-            vals = struct.unpack(fmt + f"{cnt}H", raw)
-        elif typ == 4:
-            vals = struct.unpack(fmt + f"{cnt}I", raw)
-        elif typ == 12:
-            vals = struct.unpack(fmt + f"{cnt}d", raw)
-        elif typ == 1:
-            vals = tuple(raw)
-        else:
-            vals = (raw,)
-        tags[tag] = vals
+            raise ValueError("not a TIFF")
+        if struct.unpack(fmt + "H", head[2:4])[0] != 42:
+            raise ValueError("not a classic TIFF")
+        ifd_off = struct.unpack(fmt + "I", head[4:8])[0]
+        f.seek(ifd_off)
+        n = struct.unpack(fmt + "H", f.read(2))[0]
+        entries = f.read(12 * n)
+        tags: dict[int, tuple] = {}
+        deferred: list[tuple[int, int, int, int]] = []  # (tag, typ, cnt, off)
+        for i in range(n):
+            e = entries[12 * i : 12 * (i + 1)]
+            tag, typ, cnt = struct.unpack(fmt + "HHI", e[:8])
+            size = _TYPE_SIZE.get(typ, 1) * cnt
+            if size <= 4:
+                tags[tag] = _unpack_tag(fmt, typ, cnt, e[8 : 8 + size])
+            else:
+                deferred.append((tag, typ, cnt, struct.unpack(fmt + "I", e[8:12])[0]))
+        for tag, typ, cnt, off in deferred:
+            f.seek(off)
+            tags[tag] = _unpack_tag(fmt, typ, cnt, f.read(_TYPE_SIZE.get(typ, 1) * cnt))
 
     width = tags[256][0]
     height = tags[257][0]
@@ -175,7 +180,7 @@ def read_geotiff(path: str) -> tuple[np.ndarray, dict]:
     # supported sample layouts: 8-bit uint (imagery), 16-bit int and 32-bit
     # float single band (elevation)
     if (bits, sample_format) == (8, 1):
-        dtype = np.dtype(fmt + "u1") if fmt == ">" else np.uint8
+        dtype = np.dtype(fmt + "u1") if fmt == ">" else np.dtype(np.uint8)
     elif (bits, sample_format) == (16, 2):
         dtype = np.dtype(fmt + "i2")
     elif (bits, sample_format) == (32, 3):
@@ -189,42 +194,19 @@ def read_geotiff(path: str) -> tuple[np.ndarray, dict]:
     if predictor == 2 and bits != 8:
         raise ValueError("horizontal predictor only supported for 8-bit samples")
 
-    def _decompress(raw: bytes) -> bytes:
-        if compression == 8:
-            return zlib.decompress(raw)
-        if compression == 5:
-            return _tiff_lzw_decode(raw)
-        return raw
-
-    img = np.empty((height, width, spp), dtype=dtype)
     if 322 in tags:  # tiled layout (TIFF 6.0 §15): tiles across, then down
-        tw, th = tags[322][0], tags[323][0]
+        block_w, block_h = tags[322][0], tags[323][0]
         offsets, byte_counts = tags[324], tags[325]
-        tiles_across = (width + tw - 1) // tw
-        for idx, (off, cnt) in enumerate(zip(offsets, byte_counts)):
-            raw = _decompress(b[off : off + cnt])
-            arr = np.frombuffer(raw, dtype)[: th * tw * spp].reshape(th, tw, spp)
-            if predictor == 2:
-                arr = np.cumsum(arr.astype(np.int64), axis=1).astype(np.uint8)
-            ty, tx = divmod(idx, tiles_across)
-            r0, c0 = ty * th, tx * tw
-            rr, cc = min(th, height - r0), min(tw, width - c0)
-            img[r0 : r0 + rr, c0 : c0 + cc] = arr[:rr, :cc]
+        tiled = True
+        blocks_across = (width + block_w - 1) // block_w
     else:
-        offsets = tags[273]
-        byte_counts = tags[279]
-        rows_per_strip = tags.get(278, (height,))[0]
-        row0 = 0
-        for off, cnt in zip(offsets, byte_counts):
-            raw = _decompress(b[off : off + cnt])
-            rows = min(rows_per_strip, height - row0)
-            arr = np.frombuffer(raw, dtype)[: rows * width * spp].reshape(rows, width, spp)
-            if predictor == 2:
-                arr = np.cumsum(arr.astype(np.int64), axis=1).astype(np.uint8)
-            img[row0 : row0 + rows] = arr
-            row0 += rows
+        block_w = width
+        block_h = tags.get(278, (height,))[0]
+        offsets, byte_counts = tags[273], tags[279]
+        tiled = False
+        blocks_across = 1
 
-    geo = {}
+    geo: dict = {}
     if 33550 in tags and 33922 in tags:
         sx, sy = tags[33550][0], tags[33550][1]
         tie = tags[33922]
@@ -237,12 +219,354 @@ def read_geotiff(path: str) -> tuple[np.ndarray, dict]:
         for i in range(4, len(gk), 4):
             if gk[i] == 2048:  # GeographicTypeGeoKey
                 epsg = gk[i + 3]
-    geo["epsg"] = epsg
     if not geo.get("sx"):
         raise ValueError("TIFF has no GeoTIFF geotransform")
     if epsg not in (None, 4326):
         raise ValueError(f"only EPSG:4326 rasters supported, got {epsg}")
+    nodata = None
+    if 42113 in tags:  # GDAL_NODATA: ASCII decimal
+        raw = tags[42113][0]
+        text = (raw if isinstance(raw, bytes) else bytes(tags[42113])).split(b"\x00")[0]
+        try:
+            nodata = float(text.strip())
+        except ValueError:
+            nodata = None
+    return {
+        "path": path,
+        "width": width,
+        "height": height,
+        "spp": spp,
+        "dtype": dtype,
+        "compression": compression,
+        "predictor": predictor,
+        "tiled": tiled,
+        "block_w": block_w,
+        "block_h": block_h,
+        "blocks_across": blocks_across,
+        "offsets": tuple(offsets),
+        "byte_counts": tuple(byte_counts),
+        "epsg": epsg,
+        "nodata": nodata,
+        **geo,
+    }
+
+
+def _unpack_tag(fmt: str, typ: int, cnt: int, raw: bytes) -> tuple:
+    if typ == 3:
+        return struct.unpack(fmt + f"{cnt}H", raw)
+    if typ == 4:
+        return struct.unpack(fmt + f"{cnt}I", raw)
+    if typ == 12:
+        return struct.unpack(fmt + f"{cnt}d", raw)
+    if typ == 1:
+        return tuple(raw)
+    return (raw,)
+
+
+class GeoTiffBlockReader:
+    """Ranged-read block gatherer: decompresses ONLY the strips/tiles the
+    requested sample positions fall in, with a byte-bounded LRU cache so
+    neighboring output tiles in the same Spark task reuse blocks. One
+    instance per task (mapInPandas partition); the file handle is opened
+    lazily on the executor — nothing pixel-sized ever crosses the driver.
+    """
+
+    def __init__(self, meta: dict, max_cache_bytes: int = 64 << 20):
+        from collections import OrderedDict
+
+        self.m = meta
+        self.max_cache_bytes = max_cache_bytes
+        self._cache: "OrderedDict[int, np.ndarray]" = OrderedDict()
+        self._cache_bytes = 0
+        self._fh = None
+
+    def _file(self):
+        if self._fh is None:
+            self._fh = open(self.m["path"], "rb")
+        return self._fh
+
+    def close(self) -> None:
+        if self._fh is not None:
+            self._fh.close()
+            self._fh = None
+
+    def _decompress(self, raw: bytes) -> bytes:
+        c = self.m["compression"]
+        if c == 8:
+            return zlib.decompress(raw)
+        if c == 5:
+            return _tiff_lzw_decode(raw)
+        return raw
+
+    def _block(self, br: int, bc: int) -> np.ndarray:
+        m = self.m
+        idx = br * m["blocks_across"] + bc
+        blk = self._cache.pop(idx, None)
+        if blk is not None:
+            self._cache[idx] = blk  # LRU touch
+            return blk
+        f = self._file()
+        f.seek(m["offsets"][idx])
+        raw = self._decompress(f.read(m["byte_counts"][idx]))
+        spp = m["spp"]
+        if m["tiled"]:
+            bh, bw = m["block_h"], m["block_w"]
+        else:
+            bh = min(m["block_h"], m["height"] - br * m["block_h"])
+            bw = m["width"]
+        arr = np.frombuffer(raw, m["dtype"])[: bh * bw * spp].reshape(bh, bw, spp)
+        if m["predictor"] == 2:
+            arr = np.cumsum(arr.astype(np.int64), axis=1).astype(np.uint8)
+        self._cache[idx] = arr
+        self._cache_bytes += arr.nbytes
+        while self._cache_bytes > self.max_cache_bytes and len(self._cache) > 1:
+            _, old = self._cache.popitem(last=False)
+            self._cache_bytes -= old.nbytes
+        return arr
+
+    def gather(self, rows: np.ndarray, cols: np.ndarray) -> np.ndarray:
+        """out[i, j] = raster[rows[i], cols[j]] — the outer-product gather
+        a tile render needs. Duplicate indices are fine (low-res source at
+        high zoom). Touches only the blocks the index sets intersect: a
+        z-high tile reads 1-4 blocks, a decimating low-zoom tile reads one
+        block per DISTINCT sampled block row x col, never the full image.
+        """
+        m = self.m
+        rows = np.asarray(rows, np.int64)
+        cols = np.asarray(cols, np.int64)
+        rb = rows // m["block_h"]
+        cb = cols // m["block_w"]
+        out = np.empty((rows.size, cols.size, m["spp"]), m["dtype"])
+        for b_r in np.unique(rb):
+            ri = np.nonzero(rb == b_r)[0]
+            rloc = rows[ri] - b_r * m["block_h"]
+            for b_c in np.unique(cb):
+                ci = np.nonzero(cb == b_c)[0]
+                cloc = cols[ci] - b_c * m["block_w"]
+                block = self._block(int(b_r), int(b_c))
+                out[np.ix_(ri, ci)] = block[np.ix_(rloc, cloc)]
+        return out
+
+
+def read_geotiff(path: str) -> tuple[np.ndarray, dict]:
+    """GeoTIFF -> (HxWxC image, {"west","north","sx","sy","epsg"}) —
+    whole-image convenience built on the block reader (small rasters,
+    fixtures, the broadcast fast path)."""
+    meta = read_geotiff_meta(path)
+    rd = GeoTiffBlockReader(meta, max_cache_bytes=1 << 18)
+    try:
+        img = rd.gather(np.arange(meta["height"]), np.arange(meta["width"]))
+    finally:
+        rd.close()
+    geo = {k: meta[k] for k in ("west", "north", "sx", "sy", "epsg")}
     return img, geo
+
+
+def _tile_candidates(
+    meta: dict, min_zoom: int, max_zoom: int, cutline_bbox=None
+) -> list[tuple[int, int, int, int]]:
+    """Candidate (z, x, y, locality) tiles intersecting the raster bbox
+    (and the cutline bbox when given). Driver-side enumeration is tiny —
+    bbox area / tile area, never pixel-sized. ``locality`` is the raster
+    BLOCK index under the tile's center: range-partitioning on it lands
+    tiles that read the same blocks in the same task, so the per-task
+    block cache actually hits."""
+    w, h = meta["width"], meta["height"]
+    west, north, sx, sy = meta["west"], meta["north"], meta["sx"], meta["sy"]
+    east = west + w * sx
+    south = north - h * sy
+    bw, bh, across = meta["block_w"], meta["block_h"], meta["blocks_across"]
+    if cutline_bbox is not None:
+        west = max(west, cutline_bbox[0])
+        east = min(east, cutline_bbox[2])
+        south = max(south, cutline_bbox[1])
+        north2 = min(north, cutline_bbox[3])
+    else:
+        north2 = north
+    cands = []
+    for z in range(min_zoom, max_zoom + 1):
+        zn = 1 << z
+        fx = lambda lon: int(np.clip(np.floor((lon / 360.0 + 0.5) * zn), 0, zn - 1))
+        lat_clip = np.clip([south, north2], -85.05112878, 85.05112878)
+        fy = lambda lat: int(np.clip(np.floor(
+            (0.5 - 0.5 * np.log(np.tan(lat * np.pi / 360.0 + np.pi / 4.0)) / np.pi) * zn
+        ), 0, zn - 1))
+        for ty in range(fy(lat_clip[1]), fy(lat_clip[0]) + 1):
+            for tx in range(fx(west), fx(min(east, 179.999999)) + 1):
+                # tile center -> raster pixel -> block index (locality key)
+                clon = ((tx + 0.5) / zn - 0.5) * 360.0
+                cyy = (ty + 0.5) / zn
+                clat = (np.arctan(np.exp(np.pi * (1.0 - 2.0 * cyy))) / np.pi - 0.25) * 360.0
+                pc = int(np.clip((clon - meta["west"]) / sx, 0, w - 1))
+                pr = int(np.clip((meta["north"] - clat) / sy, 0, h - 1))
+                locality = (pr // bh) * across + (pc // bw)
+                cands.append((z, tx, ty, locality))
+    return cands
+
+
+def _cutline_edges(cutline):
+    """Cutline argument (Polygon | list of rings | None) -> (edges, bbox)
+    for the vectorized ray cast (spatial/pip.py), mirroring the reference's
+    cutline mask (read/from_gdal/cutline.rs)."""
+    if cutline is None:
+        return None, None
+    from versatiles_rs_spark.spatial.pip import Polygon
+
+    if not isinstance(cutline, Polygon):
+        cutline = Polygon(0, "cutline", "cutline", [list(map(tuple, r)) for r in cutline])
+    return cutline.edges(), cutline.bbox()
+
+
+def _raster_pyramid(
+    spark: SparkSession,
+    path: str,
+    min_zoom: int,
+    max_zoom: int,
+    tile_size: int,
+    encode_tile,
+    *,
+    resampling: str = "nearest",
+    cutline=None,
+    nodata: float | None = None,
+    mode: str = "auto",
+    broadcast_threshold: int = 32 << 20,
+) -> DataFrame:
+    """Shared pyramid renderer behind from_gdal_raster / from_gdal_dem.
+
+    Two physical strategies, auto-selected on the UNCOMPRESSED raster byte
+    size (parity: the reference pools per-tile GDAL window reads,
+    from_gdal/gdal_pool.rs + raster/mod.rs — a planet DEM never fits one
+    broadcast):
+
+    - **broadcast**: small rasters ride a broadcast variable; each task
+      slices it (zero file IO per task).
+    - **windowed**: executors ranged-read only the strips/tiles their
+      output tiles sample, through a per-task ``GeoTiffBlockReader`` with
+      a byte-bounded LRU; candidates are range-partitioned on the block
+      under the tile center so cache hits are structural, not lucky. The
+      driver handles ONLY the IFD — no pixel bytes ever cross it.
+
+    ``encode_tile(pix, valid, meta) -> bytes`` turns the sampled grid
+    (tile_size x tile_size x spp float64) + validity mask into a PNG.
+    Options (reference read/from_gdal/raster/args.rs parity): nearest or
+    bilinear ``resampling``; ``cutline`` polygon masking (even-odd ray
+    cast in lon/lat, cutline.rs); ``nodata`` -> invalid (masked to alpha
+    0 / elevation 0), with nodata-aware bilinear weights so sentinel
+    values never bleed into interpolated edges.
+    """
+    from versatiles_rs_spark.operators.convert import TILE_SCHEMA
+    from versatiles_rs_spark.tile_math.coords import tile_geo_bbox_np
+
+    meta = read_geotiff_meta(path)
+    if nodata is None:
+        nodata = meta["nodata"]
+    raster_bytes = meta["width"] * meta["height"] * meta["spp"] * meta["dtype"].itemsize
+    if mode == "auto":
+        mode = "broadcast" if raster_bytes <= broadcast_threshold else "windowed"
+    if mode not in ("broadcast", "windowed"):
+        raise ValueError(f"unknown mode {mode!r}")
+
+    edges, cl_bbox = _cutline_edges(cutline)
+    cands = _tile_candidates(meta, min_zoom, max_zoom, cl_bbox)
+    if not cands:
+        return spark.createDataFrame([], TILE_SCHEMA)
+    npart = max(1, min(len(cands), spark.sparkContext.defaultParallelism * 2))
+    cdf = (
+        spark.createDataFrame(pd.DataFrame(cands, columns=["z", "x", "y", "locality"]))
+        .repartitionByRange(npart, "locality", "z", "x", "y")
+    )
+
+    if mode == "broadcast":
+        img, _ = read_geotiff(path)
+        bc = spark.sparkContext.broadcast(img)
+    else:
+        bc = None
+    bilinear = resampling == "bilinear"
+    if resampling not in ("nearest", "bilinear"):
+        raise ValueError(f"unknown resampling {resampling!r}")
+
+    def render(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if bc is not None:
+            src = bc.value
+            gather = lambda rr, cc: src[np.ix_(rr, cc)]
+            closer = lambda: None
+        else:
+            reader = GeoTiffBlockReader(meta)
+            gather = reader.gather
+            closer = reader.close
+        w, h = meta["width"], meta["height"]
+        west, north, sx, sy = meta["west"], meta["north"], meta["sx"], meta["sy"]
+        try:
+            for pdf in it:
+                rows = []
+                for z, x, y in zip(pdf["z"], pdf["x"], pdf["y"]):
+                    z, x, y = int(z), int(x), int(y)
+                    wb, sb, eb, nb = (
+                        a[0] for a in tile_geo_bbox_np(z, np.array([x]), np.array([y]))
+                    )
+                    lons = wb + (np.arange(tile_size) + 0.5) / tile_size * (eb - wb)
+                    # pixel rows are uniform in MERCATOR y, not degrees — the
+                    # linear-in-degrees shortcut distorts low zooms badly
+                    yy = (y + (np.arange(tile_size) + 0.5) / tile_size) / (1 << z)
+                    lats = (np.arctan(np.exp(np.pi * (1.0 - 2.0 * yy))) / np.pi - 0.25) * 360.0
+                    u = (lons - west) / sx  # continuous col, pixel i spans [i, i+1)
+                    v = (north - lats) / sy
+                    valid = (u[None, :] >= 0) & (u[None, :] < w) & \
+                            (v[:, None] >= 0) & (v[:, None] < h)
+                    if edges is not None:
+                        gl = np.broadcast_to(lons[None, :], (tile_size, tile_size)).ravel()
+                        ga = np.broadcast_to(lats[:, None], (tile_size, tile_size)).ravel()
+                        from versatiles_rs_spark.spatial.pip import pip_contains_np
+
+                        valid &= pip_contains_np(gl, ga, edges).reshape(tile_size, tile_size)
+                    if not valid.any():
+                        continue
+                    if not bilinear:
+                        cc = np.clip(np.floor(u).astype(np.int64), 0, w - 1)
+                        rr = np.clip(np.floor(v).astype(np.int64), 0, h - 1)
+                        pix = gather(rr, cc).astype(np.float64)
+                        if nodata is not None:
+                            valid &= ~(pix == nodata).all(axis=2)
+                    else:
+                        uc, vc = u - 0.5, v - 0.5
+                        i0 = np.floor(uc).astype(np.int64)
+                        j0 = np.floor(vc).astype(np.int64)
+                        fu = (uc - i0)[None, :, None]
+                        fv = (vc - j0)[:, None, None]
+                        i0c = np.clip(i0, 0, w - 1)
+                        i1c = np.clip(i0 + 1, 0, w - 1)
+                        j0c = np.clip(j0, 0, h - 1)
+                        j1c = np.clip(j0 + 1, 0, h - 1)
+                        q = [
+                            (gather(j0c, i0c).astype(np.float64), (1 - fv) * (1 - fu)),
+                            (gather(j0c, i1c).astype(np.float64), (1 - fv) * fu),
+                            (gather(j1c, i0c).astype(np.float64), fv * (1 - fu)),
+                            (gather(j1c, i1c).astype(np.float64), fv * fu),
+                        ]
+                        if nodata is None:
+                            pix = sum(a * wt for a, wt in q)
+                        else:
+                            # nodata-aware weights: renormalize over the
+                            # neighbors that hold real data
+                            num = np.zeros((tile_size, tile_size, meta["spp"]))
+                            den = np.zeros((tile_size, tile_size, 1))
+                            for a, wt in q:
+                                ok = ~(a == nodata).all(axis=2, keepdims=True)
+                                num += np.where(ok, a, 0.0) * (wt * ok)
+                                den += wt * ok
+                            pix = np.where(den > 0, num / np.maximum(den, 1e-12), nodata)
+                            valid &= den[:, :, 0] > 0
+                    blob = encode_tile(pix, valid, meta)
+                    rows.append((z, x, y, "png", "none", blob, 0))
+                if rows:
+                    yield pd.DataFrame(
+                        rows,
+                        columns=["z", "x", "y", "format", "compression", "tile", "n_features"],
+                    )
+        finally:
+            closer()
+
+    return cdf.drop("locality").mapInPandas(render, TILE_SCHEMA)
 
 
 def from_gdal_raster(
@@ -251,73 +575,43 @@ def from_gdal_raster(
     min_zoom: int = 0,
     max_zoom: int = 4,
     tile_size: int = 256,
+    *,
+    resampling: str = "nearest",
+    bands: list[int] | None = None,
+    nodata: float | None = None,
+    cutline=None,
+    mode: str = "auto",
+    broadcast_threshold: int = 32 << 20,
 ) -> DataFrame:
     """Georeferenced raster -> Web-Mercator PNG tile pyramid (from_gdal
-    analog). Nearest-neighbor resampling; out-of-coverage pixels are
-    transparent."""
-    from versatiles_rs_spark.operators.convert import TILE_SCHEMA
-    from versatiles_rs_spark.tile_math.coords import tile_geo_bbox_np
+    analog). Out-of-coverage / cutline-excluded / nodata pixels become
+    transparent. ``bands`` selects source bands (1-based, GDAL -b style);
+    ``resampling`` is nearest or bilinear; ``mode`` auto-switches between
+    broadcasting small rasters and per-task windowed ranged reads for
+    rasters past ``broadcast_threshold`` uncompressed bytes."""
+    sel = None if bands is None else [b - 1 for b in bands]
+    if sel is not None:
+        spp = read_geotiff_meta(path)["spp"]
+        for b in sel:
+            if b < 0 or b >= spp:
+                raise ValueError(f"band {b + 1} out of range (raster has {spp})")
 
-    img, geo = read_geotiff(path)
-    h, w = img.shape[:2]
-    west, north, sx, sy = geo["west"], geo["north"], geo["sx"], geo["sy"]
-    east = west + w * sx
-    south = north - h * sy
-    bc = spark.sparkContext.broadcast((img, west, north, sx, sy))
-
-    # candidate tiles intersecting the raster bbox per zoom (driver-side
-    # enumeration is tiny: it is bbox area / tile area, not the image)
-    cands = []
-    for z in range(min_zoom, max_zoom + 1):
-        zn = 1 << z
-        fx = lambda lon: int(np.clip(np.floor((lon / 360.0 + 0.5) * zn), 0, zn - 1))
-        lat_clip = np.clip([south, north], -85.05112878, 85.05112878)
-        fy = lambda lat: int(np.clip(np.floor(
-            (0.5 - 0.5 * np.log(np.tan(lat * np.pi / 360.0 + np.pi / 4.0)) / np.pi) * zn
-        ), 0, zn - 1))
-        for ty in range(fy(lat_clip[1]), fy(lat_clip[0]) + 1):
-            for tx in range(fx(west), fx(min(east, 179.999999)) + 1):
-                cands.append((z, tx, ty))
-    cdf = spark.createDataFrame(pd.DataFrame(cands, columns=["z", "x", "y"])).repartition(
-        max(1, min(len(cands), spark.sparkContext.defaultParallelism * 2))
-    )
-
-    def render(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def encode(pix: np.ndarray, valid: np.ndarray, meta: dict) -> bytes:
         from versatiles_rs_spark.functions.raster import png_encode
 
-        src, wst, nth, psx, psy = bc.value
-        sh, sw = src.shape[:2]
-        for pdf in it:
-            rows = []
-            for _, r in pdf.iterrows():
-                z, x, y = int(r["z"]), int(r["x"]), int(r["y"])
-                wb, sb, eb, nb = (
-                    a[0] for a in tile_geo_bbox_np(z, np.array([x]), np.array([y]))
-                )
-                lons = wb + (np.arange(tile_size) + 0.5) / tile_size * (eb - wb)
-                # pixel rows are uniform in MERCATOR y, not degrees — the
-                # linear-in-degrees shortcut distorts low zooms badly
-                yy = (y + (np.arange(tile_size) + 0.5) / tile_size) / (1 << z)
-                lats = (np.arctan(np.exp(np.pi * (1.0 - 2.0 * yy))) / np.pi - 0.25) * 360.0
-                cols = np.floor((lons - wst) / psx).astype(np.int64)
-                rws = np.floor((nth - lats) / psy).astype(np.int64)
-                valid = (cols[None, :] >= 0) & (cols[None, :] < sw) & \
-                        (rws[:, None] >= 0) & (rws[:, None] < sh)
-                if not valid.any():
-                    continue
-                cc = np.clip(cols, 0, sw - 1)
-                rr = np.clip(rws, 0, sh - 1)
-                pix = src[rr[:, None], cc[None, :]]
-                out = np.zeros((tile_size, tile_size, 4), np.uint8)
-                out[:, :, :3] = pix[:, :, :3] if pix.shape[2] >= 3 else pix[:, :, :1]
-                out[:, :, 3] = np.where(valid, 255, 0)
-                rows.append((z, x, y, "png", "none", png_encode(out), 0))
-            if rows:
-                yield pd.DataFrame(
-                    rows, columns=["z", "x", "y", "format", "compression", "tile", "n_features"]
-                )
+        if sel is not None:
+            pix = pix[:, :, sel]
+        out = np.zeros((pix.shape[0], pix.shape[1], 4), np.uint8)
+        rgb = np.clip(np.rint(pix), 0, 255).astype(np.uint8)
+        out[:, :, :3] = rgb[:, :, :3] if rgb.shape[2] >= 3 else rgb[:, :, :1]
+        out[:, :, 3] = np.where(valid, 255, 0)
+        return png_encode(out)
 
-    return cdf.mapInPandas(render, TILE_SCHEMA)
+    return _raster_pyramid(
+        spark, path, min_zoom, max_zoom, tile_size, encode,
+        resampling=resampling, cutline=cutline, nodata=nodata,
+        mode=mode, broadcast_threshold=broadcast_threshold,
+    )
 
 
 def from_gdal_dem(
@@ -327,71 +621,32 @@ def from_gdal_dem(
     max_zoom: int = 4,
     tile_size: int = 256,
     encoding: str = "terrarium",
+    *,
+    resampling: str = "nearest",
+    nodata: float | None = None,
+    cutline=None,
+    mode: str = "auto",
+    broadcast_threshold: int = 32 << 20,
 ) -> DataFrame:
     """Elevation raster (int16/float32 single band) -> terrarium/mapbox
-    DEM PNG pyramid (from_gdal/dem analog). Same broadcast + vectorized
-    sampling as from_gdal_raster; out-of-coverage pixels get elevation 0."""
-    from versatiles_rs_spark.functions.raster import dem_encode, png_encode
-    from versatiles_rs_spark.operators.convert import TILE_SCHEMA
-    from versatiles_rs_spark.tile_math.coords import tile_geo_bbox_np
-
-    img, geo = read_geotiff(path)
-    if img.shape[2] != 1:
+    DEM PNG pyramid (from_gdal/dem analog). Same windowed/broadcast
+    strategies as from_gdal_raster; out-of-coverage / nodata pixels get
+    elevation 0."""
+    meta = read_geotiff_meta(path)
+    if meta["spp"] != 1:
         raise ValueError("from_gdal_dem expects a single-band elevation raster")
-    elev = img[:, :, 0].astype(np.float64)
-    h, w = elev.shape
-    west, north, sx, sy = geo["west"], geo["north"], geo["sx"], geo["sy"]
-    east = west + w * sx
-    south = north - h * sy
-    bc = spark.sparkContext.broadcast((elev, west, north, sx, sy))
 
-    cands = []
-    for z in range(min_zoom, max_zoom + 1):
-        zn = 1 << z
-        fx = lambda lon: int(np.clip(np.floor((lon / 360.0 + 0.5) * zn), 0, zn - 1))
-        lat_clip = np.clip([south, north], -85.05112878, 85.05112878)
-        fy = lambda lat: int(np.clip(np.floor(
-            (0.5 - 0.5 * np.log(np.tan(lat * np.pi / 360.0 + np.pi / 4.0)) / np.pi) * zn
-        ), 0, zn - 1))
-        for ty in range(fy(lat_clip[1]), fy(lat_clip[0]) + 1):
-            for tx in range(fx(west), fx(min(east, 179.999999)) + 1):
-                cands.append((z, tx, ty))
-    cdf = spark.createDataFrame(pd.DataFrame(cands, columns=["z", "x", "y"])).repartition(
-        max(1, min(len(cands), spark.sparkContext.defaultParallelism * 2))
+    def encode(pix: np.ndarray, valid: np.ndarray, _meta: dict) -> bytes:
+        from versatiles_rs_spark.functions.raster import dem_encode, png_encode
+
+        elev = np.where(valid, pix[:, :, 0], 0.0)
+        return png_encode(dem_encode(elev, encoding))
+
+    return _raster_pyramid(
+        spark, path, min_zoom, max_zoom, tile_size, encode,
+        resampling=resampling, cutline=cutline, nodata=nodata,
+        mode=mode, broadcast_threshold=broadcast_threshold,
     )
-
-    def render(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        src, wst, nth, psx, psy = bc.value
-        sh, sw = src.shape
-        for pdf in it:
-            rows = []
-            for _, r in pdf.iterrows():
-                z, x, y = int(r["z"]), int(r["x"]), int(r["y"])
-                wb, sb, eb, nb = (
-                    a[0] for a in tile_geo_bbox_np(z, np.array([x]), np.array([y]))
-                )
-                lons = wb + (np.arange(tile_size) + 0.5) / tile_size * (eb - wb)
-                # pixel rows are uniform in MERCATOR y, not degrees — the
-                # linear-in-degrees shortcut distorts low zooms badly
-                yy = (y + (np.arange(tile_size) + 0.5) / tile_size) / (1 << z)
-                lats = (np.arctan(np.exp(np.pi * (1.0 - 2.0 * yy))) / np.pi - 0.25) * 360.0
-                cols = np.floor((lons - wst) / psx).astype(np.int64)
-                rws = np.floor((nth - lats) / psy).astype(np.int64)
-                valid = (cols[None, :] >= 0) & (cols[None, :] < sw) & \
-                        (rws[:, None] >= 0) & (rws[:, None] < sh)
-                if not valid.any():
-                    continue
-                cc = np.clip(cols, 0, sw - 1)
-                rr = np.clip(rws, 0, sh - 1)
-                tile_elev = np.where(valid, src[rr[:, None], cc[None, :]], 0.0)
-                blob = png_encode(dem_encode(tile_elev, encoding))
-                rows.append((z, x, y, "png", "none", blob, 0))
-            if rows:
-                yield pd.DataFrame(
-                    rows, columns=["z", "x", "y", "format", "compression", "tile", "n_features"]
-                )
-
-    return cdf.mapInPandas(render, TILE_SCHEMA)
 
 
 def write_geotiff_gray8(
