@@ -65,3 +65,48 @@ def test_pagerank_matches_numpy_reference(spark):
         r = 0.15 / 3 + 0.85 * (p @ r + (dang @ r) / 3)
     for i, h in enumerate(hosts):
         assert got[h] == pytest.approx(r[i], abs=1e-12)
+
+
+def test_pagerank_many_iterations_bounded_plan(spark):
+    """25 power iterations keep a bounded plan (localCheckpoint every k)
+    and still sum to 1."""
+    import pandas as pd
+
+    from versatiles_rs_spark.pages.links import pagerank_hosts
+
+    edges = spark.createDataFrame(
+        pd.DataFrame(
+            {"src": ["a", "b", "c", "d", "a"],
+             "dst": ["b", "c", "a", "a", "c"],
+             "weight": [1, 2, 1, 1, 3]}
+        )
+    )
+    pr = pagerank_hosts(edges, n_iter=25, checkpoint_every=5)
+    plan25 = pr._jdf.queryExecution().toString()
+    plan10 = pagerank_hosts(edges, n_iter=10, checkpoint_every=5)._jdf.queryExecution().toString()
+    # bounded by the CHECKPOINT WINDOW, not the total iteration count:
+    # 25 iterations must not cost a bigger plan than 10 (both end on a
+    # 5-iteration window after their last checkpoint). Without
+    # checkpointing the plan doubles per iteration (2^25 vs 2^10).
+    assert len(plan25) < 1.5 * len(plan10), (len(plan25), len(plan10))
+    rows = pr.collect()
+    assert abs(sum(r["rank"] for r in rows) - 1.0) < 1e-6
+
+
+def test_pagerank_checkpointing_preserves_values(spark):
+    """Checkpoint cadence must not change the numbers: 6 iterations with
+    checkpoint_every=2 equals checkpoint_every=100 (never fires) exactly."""
+    import pandas as pd
+
+    from versatiles_rs_spark.pages.links import pagerank_hosts
+
+    edges = spark.createDataFrame(
+        pd.DataFrame(
+            {"src": ["a", "b", "c"], "dst": ["b", "c", "a"], "weight": [1, 1, 2]}
+        )
+    )
+    a = {r["host"]: r["rank"] for r in pagerank_hosts(edges, 6, checkpoint_every=2).collect()}
+    b = {r["host"]: r["rank"] for r in pagerank_hosts(edges, 6, checkpoint_every=100).collect()}
+    assert a.keys() == b.keys()
+    for h in a:
+        assert abs(a[h] - b[h]) < 1e-12

@@ -29,9 +29,18 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    checkpoint_every: int = 5,
 ) -> DataFrame:
     """(node, cluster) for every node in ``edges``; cluster = the min node
-    id in its component (the canonical representative)."""
+    id in its component (the canonical representative).
+
+    Iterative-lineage hygiene (GraphX-style): every ``checkpoint_every``
+    iterations the label table is ``localCheckpoint``-ed, truncating the
+    logical plan — without it the plan tree doubles per iteration and a
+    deep-diameter graph (20+ iterations) blows analysis/serialization
+    long before data size matters. Superseded label tables are unpersisted
+    as soon as the next iteration's change count has been computed.
+    """
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
@@ -41,20 +50,20 @@ def connected_components(
     labels = sym.select(F.col("u").alias("node")).distinct().withColumn(
         "comp", F.col("node")
     )
-    for _ in range(max_iter):
+    for i in range(max_iter):
         neigh = (
             sym.join(labels.withColumnRenamed("node", "u"), "u")
             .groupBy(F.col("v").alias("node"))
             .agg(F.min("comp").alias("n_comp"))
         )
-        new = (
-            labels.join(neigh, "node", "left")
-            .select(
-                "node",
-                F.least(F.col("comp"), F.coalesce(F.col("n_comp"), F.col("comp"))).alias("comp"),
-            )
-            .cache()
+        new = labels.join(neigh, "node", "left").select(
+            "node",
+            F.least(F.col("comp"), F.coalesce(F.col("n_comp"), F.col("comp"))).alias("comp"),
         )
+        if (i + 1) % checkpoint_every == 0:
+            new = new.localCheckpoint(eager=True)  # truncate plan lineage
+        else:
+            new = new.cache()
         changed = (
             new.join(labels.withColumnRenamed("comp", "old"), "node")
             .where(F.col("comp") != F.col("old"))

@@ -51,6 +51,7 @@ def pagerank_hosts(
     edges: DataFrame,
     n_iter: int = 3,
     damping: float = 0.85,
+    checkpoint_every: int = 5,
 ) -> DataFrame:
     """Weighted PageRank over the host graph, ``n_iter`` power iterations.
 
@@ -59,6 +60,11 @@ def pagerank_hosts(
     node's out-flow is split by edge weight. Every step is a DataFrame
     join/agg — the rank table is one row per host, broadcastable for any
     realistic host count even at crawl scale.
+
+    Iterative-lineage hygiene: every ``checkpoint_every`` iterations the
+    rank table is ``localCheckpoint``-ed so the unevaluated plan does not
+    accumulate across all ``n_iter`` iterations (fine at 3, fatal at 30).
+    The previous checkpoint is unpersisted once superseded.
     """
     nodes = (
         edges.select(F.col("src").alias("host"))
@@ -74,7 +80,8 @@ def pagerank_hosts(
     share.count()
 
     ranks = nodes.select("host", F.lit(1.0 / n).alias("rank"))
-    for _ in range(n_iter):
+    prev_ckpt = None
+    for i in range(n_iter):
         flow = (
             share.join(ranks.withColumnRenamed("host", "src"), "src")
             .groupBy("dst")
@@ -102,4 +109,9 @@ def pagerank_hosts(
                 ).alias("rank"),
             )
         )
+        if (i + 1) % checkpoint_every == 0 and (i + 1) < n_iter:
+            ranks = ranks.localCheckpoint(eager=True)  # truncate plan lineage
+            if prev_ckpt is not None:
+                prev_ckpt.unpersist()
+            prev_ckpt = ranks
     return ranks
