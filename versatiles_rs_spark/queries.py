@@ -2309,6 +2309,78 @@ GROUP BY f.doc_id
 """
 
 
+_BPE_TOPK = 20
+_BPE_MERGES = 12
+
+
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed BPE trainer's pair-counting core (pages/bpe.py):
+    corpus -> word counts -> adjacent character-pair counts, top-k with a
+    deterministic (count DESC, left ASC, right ASC) total order. This is
+    iteration 0 of training, the one step SQL can express — so the oracle
+    checks the exact aggregation the whole trainer loops on."""
+    from versatiles_rs_spark.pages.bpe import _initial_symbols, _pair_counts, word_counts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    wc = word_counts(docs)
+    return (
+        _pair_counts(_initial_symbols(wc).where(F.size("syms") > 1))
+        .orderBy(F.desc("pair_count"), F.asc("left"), F.asc("right"))
+        .limit(_BPE_TOPK)
+        .select(
+            F.col("left").alias("l_sym"),
+            F.col("right").alias("r_sym"),
+            F.col("pair_count").cast("bigint").alias("pair_count"),
+        )
+    )
+
+
+O_BPE_PAIR_COUNTS = f"""
+WITH words AS (
+  SELECT unnest(regexp_extract_all(text, '{_BPE_RX}')) AS word FROM documents
+), wc AS (
+  SELECT word, COUNT(*) AS freq FROM words GROUP BY word
+), prs AS (
+  SELECT unnest(list_zip(regexp_extract_all(word, '.'),
+                         regexp_extract_all(word, '.')[2:])) AS p, freq
+  FROM wc WHERE length(word) > 1
+)
+SELECT p[1] AS l_sym, p[2] AS r_sym, CAST(SUM(freq) AS BIGINT) AS pair_count
+FROM prs WHERE p[2] IS NOT NULL
+GROUP BY 1, 2
+ORDER BY pair_count DESC, l_sym ASC, r_sym ASC
+LIMIT {_BPE_TOPK}
+"""
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full sequential BPE training (pages/bpe.py train_bpe) on the
+    documents corpus: the learned merge list in rank order. Classic BPE's
+    argmax-then-rewrite loop is not SQL-expressible, so this entry has no
+    DuckDB oracle (rows-only driver check); the merge-for-merge equality
+    against an independent single-node reference implementation is
+    covered by tests/test_bpe.py."""
+    from versatiles_rs_spark.pages.bpe import train_bpe, word_counts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = train_bpe(word_counts(docs), n_merges=_BPE_MERGES)
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("rank", LongType()),
+            StructField("l_sym", StringType()),
+            StructField("r_sym", StringType()),
+            StructField("merged", StringType()),
+            StructField("pair_count", LongType()),
+        ]
+    )
+    return spark.createDataFrame(
+        [(m["rank"], m["left"], m["right"], m["merged"], m["pair_count"]) for m in merges],
+        schema,
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2373,6 +2445,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_graph": q_knn_graph,
     "tile_diff": q_tile_diff,
     "dedup_clusters": q_dedup_clusters,
+    "bpe_pair_counts": q_bpe_pair_counts,
+    "bpe_merges": q_bpe_merges,
 }
 
 ORACLES: dict[str, str] = {
@@ -2435,4 +2509,8 @@ ORACLES: dict[str, str] = {
     "word_pmi": O_WORD_PMI,
     "quality_deciles": O_QUALITY_DECILES,
     "knn_graph": O_KNN_GRAPH,
+    "bpe_pair_counts": O_BPE_PAIR_COUNTS,
+    # bpe_merges: intentionally no oracle — sequential argmax/rewrite is
+    # not SQL-expressible; validated merge-for-merge vs an independent
+    # reference in tests/test_bpe.py (driver records rows-only).
 }
