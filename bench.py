@@ -474,8 +474,159 @@ vCPUs (see the before/after table above).
     }))
 
 
+def _cluster_session(master: str, total_cores: int):
+    """Session for split-JVM runs: local-cluster[n,cores,mem] launches n
+    REAL executor JVMs, each with its own Python worker pool and private
+    Arrow IPC — the closest a single box gets to a multi-executor cluster.
+    Package code reaches executors via PYTHONPATH (same files, same box)."""
+    from versatiles_rs_spark.session import get_spark
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    return get_spark(
+        app_name=f"bench-{master}",
+        master=master,
+        shuffle_partitions=max(2 * total_cores, 8),
+        extra_conf={
+            "spark.executorEnv.PYTHONPATH": repo,
+            "spark.executor.memory": "3g",
+        },
+    )
+
+
+def run_cluster_scaling() -> None:
+    """Split-JVM two-cluster-size evidence (VERDICT r3 #6): the same jobs
+    at FOUR configurations, fully interleaved —
+
+    - local[8] / local[32]: the single-JVM baseline (N JVM threads + N
+      Python workers share one process's vCPU allocation),
+    - local-cluster[1,8,4096] / local-cluster[4,8,4096]: 1 executor vs 4
+      executors of 8 cores each — separate executor JVMs, each with a
+      PRIVATE Python worker pool and private Arrow IPC. This is the
+      closest available realization of BASELINE.json's "N and 4N
+      executors" criterion in a one-box sandbox.
+
+    Appends a section to BENCH/BASELINE.md and prints one JSON line.
+    """
+    passes = int(os.environ.get("SPARK_GRAFT_SCALING_PASSES", "3"))
+    replicate = int(os.environ.get("SPARK_GRAFT_SCALING_REPLICATE", "96"))
+
+    configs = [
+        ("local[8]", 8, lambda: _session(8)),
+        ("local[32]", 32, lambda: _session(32)),
+        ("local-cluster[1,8,4096]", 8, lambda: _cluster_session("local-cluster[1,8,4096]", 8)),
+        ("local-cluster[4,8,4096]", 32, lambda: _cluster_session("local-cluster[4,8,4096]", 32)),
+    ]
+    samples: dict[str, dict[str, list[float]]] = {
+        name: {"convert": [], "pip": []} for name, _, _ in configs
+    }
+    tiles_count: dict[str, int] = {}
+    for _pass in range(passes):
+        for name, _cores, make in configs:
+            spark = make()
+            job_convert_pyramid(spark, SF_DIR)  # warm-up (JIT, worker spawn)
+            job_pip_join(spark, SF_DIR)
+            t0 = time.time()
+            out = job_convert_pyramid(spark, SF_DIR, replicate=replicate)
+            samples[name]["convert"].append(time.time() - t0)
+            tiles_count[name] = out["tiles"]
+            t0 = time.time()
+            job_pip_join(spark, SF_DIR, replicate=replicate * 2, dense=True)
+            samples[name]["pip"].append(time.time() - t0)
+            spark.stop()
+
+    best = {
+        name: {job: min(vals) for job, vals in jobs.items()}
+        for name, jobs in samples.items()
+    }
+
+    def eff(job: str, small: str, big: str) -> float:
+        return (best[small][job] / best[big][job]) / 4.0
+
+    def pair_effs(job: str, small: str, big: str) -> list[float]:
+        return [
+            (samples[small][job][i] / samples[big][job][i]) / 4.0
+            for i in range(passes)
+        ]
+
+    lc1, lc4 = "local-cluster[1,8,4096]", "local-cluster[4,8,4096]"
+    summary = {
+        # the headline criterion: 1 executor -> 4 executors, split JVMs
+        "cluster_eff_convert": round(eff("convert", lc1, lc4), 3),
+        "cluster_eff_pip": round(eff("pip", lc1, lc4), 3),
+        "cluster_convert_pass_effs": [round(x, 3) for x in pair_effs("convert", lc1, lc4)],
+        "cluster_pip_pass_effs": [round(x, 3) for x in pair_effs("pip", lc1, lc4)],
+        # single-JVM baseline measured in the same passes
+        "local_eff_convert": round(eff("convert", "local[8]", "local[32]"), 3),
+        "local_eff_pip": round(eff("pip", "local[8]", "local[32]"), 3),
+        # equal-total-core cross-check: does splitting JVMs help at 32?
+        "equal32_convert_local_over_cluster": round(
+            best["local[32]"]["convert"] / best[lc4]["convert"], 3
+        ),
+        "equal32_pip_local_over_cluster": round(
+            best["local[32]"]["pip"] / best[lc4]["pip"], 3
+        ),
+        "samples": {k: {kk: [round(x, 2) for x in vv] for kk, vv in v.items()}
+                    for k, v in samples.items()},
+    }
+
+    def _fmt(vals):
+        return ", ".join(f"{v:.2f}" for v in vals)
+
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "a") as f:
+        f.write(f"""
+
+## Split-JVM evidence: local-cluster executors (round-4 protocol)
+
+Same jobs, same input (events x{replicate} / x{replicate * 2} dense pip), {passes}
+fully interleaved passes over FOUR configurations. `local-cluster[n,8,4096]`
+launches n separate executor JVMs on this box, each with a PRIVATE Python
+worker pool and private Arrow IPC — the closest one-box realization of the
+BASELINE.json "N and 4N executors" criterion, and the direct test of the
+round-3 claim that single-JVM local mode's shared IPC is the non-scaling
+term.
+
+### convert_pyramid
+
+| configuration | executors x cores | per-pass wall sec | best | tiles/sec |
+|---|---|---|---|---|
+| local[8] | 1 JVM, 8 threads | {_fmt(samples["local[8]"]["convert"])} | {best["local[8]"]["convert"]:.2f} | {tiles_count["local[8]"] / best["local[8]"]["convert"]:.0f} |
+| local[32] | 1 JVM, 32 threads | {_fmt(samples["local[32]"]["convert"])} | {best["local[32]"]["convert"]:.2f} | {tiles_count["local[32]"] / best["local[32]"]["convert"]:.0f} |
+| local-cluster[1,8] | 1 executor x 8 | {_fmt(samples[lc1]["convert"])} | {best[lc1]["convert"]:.2f} | {tiles_count[lc1] / best[lc1]["convert"]:.0f} |
+| local-cluster[4,8] | 4 executors x 8 | {_fmt(samples[lc4]["convert"])} | {best[lc4]["convert"]:.2f} | {tiles_count[lc4] / best[lc4]["convert"]:.0f} |
+
+**1 -> 4 executors (split JVMs): raw efficiency {summary["cluster_eff_convert"]:.3f}**
+(per-pass paired: {_fmt(pair_effs("convert", lc1, lc4))});
+single-JVM baseline local[8]->local[32] in the same passes: {summary["local_eff_convert"]:.3f}.
+At equal total cores (32), local[32] / local-cluster[4,8] wall ratio:
+{summary["equal32_convert_local_over_cluster"]:.2f} (>1 means split JVMs are faster).
+
+### pip_join (dense polygons)
+
+| configuration | per-pass wall sec | best |
+|---|---|---|
+| local[8] | {_fmt(samples["local[8]"]["pip"])} | {best["local[8]"]["pip"]:.2f} |
+| local[32] | {_fmt(samples["local[32]"]["pip"])} | {best["local[32]"]["pip"]:.2f} |
+| local-cluster[1,8] | {_fmt(samples[lc1]["pip"])} | {best[lc1]["pip"]:.2f} |
+| local-cluster[4,8] | {_fmt(samples[lc4]["pip"])} | {best[lc4]["pip"]:.2f} |
+
+**1 -> 4 executors (split JVMs): raw efficiency {summary["cluster_eff_pip"]:.3f}**
+(per-pass paired: {_fmt(pair_effs("pip", lc1, lc4))});
+single-JVM baseline in the same passes: {summary["local_eff_pip"]:.3f};
+equal-core wall ratio local[32]/local-cluster[4,8]: {summary["equal32_pip_local_over_cluster"]:.2f}.
+
+Caveat: all four configurations still time-share the same oversubscribed
+vCPUs — split JVMs remove the shared-IPC and shared-worker-pool terms but
+not the hardware ceiling (see the before/after multiprocessing table
+above), so these ratios read against that ceiling like everything else.
+""")
+    print(json.dumps(summary))
+
+
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--cluster-scaling" in sys.argv:
+        run_cluster_scaling()
+    elif "--scaling" in sys.argv:
         run_scaling()
     else:
         print(json.dumps(run_bench()))
