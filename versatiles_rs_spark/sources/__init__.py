@@ -77,6 +77,51 @@ def write_container(tiles, path: str, metadata: dict | None = None) -> dict:
     return {"tiles": -1, "format": "parquet"}
 
 
+def container_tilejson(path: str) -> dict:
+    """Container-dispatched TileJSON metadata — the per-source
+    ``/tiles/{id}/tiles.json`` payload of the reference server
+    (versatiles/src/server/sources). mbtiles merges its metadata table;
+    pmtiles merges the header-derived fields with the JSON metadata blob;
+    versatiles returns the embedded (compressed) TileJSON."""
+    low = path.lower()
+    if low.endswith(".mbtiles"):
+        from versatiles_rs_spark.sources.mbtiles import mbtiles_tilejson
+
+        return mbtiles_tilejson(path)
+    if low.endswith(".pmtiles"):
+        import json as _json
+
+        from versatiles_rs_spark.sources.pmtiles import (
+            _internal_decompress,
+            read_pmtiles_header,
+        )
+
+        head = read_pmtiles_header(path)
+        tj: dict = {"tilejson": "3.0.0"}
+        moff, mlen = head["meta"]
+        if mlen:
+            with open(path, "rb") as f:
+                f.seek(moff)
+                blob = _internal_decompress(f.read(mlen), head["internal_compression"])
+            try:
+                tj.update(_json.loads(blob.decode("utf-8")))
+            except ValueError:
+                pass
+        tj.setdefault("format", head["tile_type"])
+        tj.setdefault("minzoom", int(head["zoom_min"]))
+        tj.setdefault("maxzoom", int(head["zoom_max"]))
+        tj.setdefault("bounds", head["bbox"])
+        return tj
+    if low.endswith(".versatiles"):
+        from versatiles_rs_spark.sources.versatiles_file import read_versatiles_header
+
+        head = read_versatiles_header(path)
+        tj = dict(head.get("tilejson") or {"tilejson": "3.0.0"})
+        tj.setdefault("format", head.get("format"))
+        return tj
+    raise ValueError(f"TileJSON needs a binary container, got {path!r}")
+
+
 def lookup_tile(path: str, z: int, x: int, y: int,
                 accepted: list[str] | None = None):
     """Container-dispatched point lookup — the `versatiles serve` tile
