@@ -359,3 +359,92 @@ def test_vpl_gdal_options_wired(spark, tmp_path):
         f'resampling=bilinear mode=windowed nodata="7" cutline="{cut}"',
     )
     assert out.count() == 1
+
+
+def test_overview_split_zoom_math(tmp_path):
+    from versatiles_rs_spark.sources.geotiff import (
+        _overview_split_zoom,
+        read_geotiff_meta,
+        write_geotiff_gray8,
+    )
+
+    # 256-px world raster: sx = 360/256 -> span = sx*256*2 = 720 deg ->
+    # z where tiles stop decimating = 0
+    img = np.zeros((128, 256), np.uint8)
+    p = str(tmp_path / "w.tif")
+    write_geotiff_gray8(p, img, -180.0, 90.0, 360 / 256, 180 / 128)
+    meta = read_geotiff_meta(p)
+    assert _overview_split_zoom(meta, 256, 0, 8) == 0
+    # 4096-px world raster: sx = 360/4096 -> non-decimating from z3 up
+    meta2 = dict(meta, sx=360 / 4096)
+    assert _overview_split_zoom(meta2, 256, 0, 8) == 3
+    # clamped into [min_zoom, max_zoom]
+    assert _overview_split_zoom(meta2, 256, 5, 8) == 5
+    assert _overview_split_zoom(meta2, 256, 0, 2) == 2
+
+
+def test_overview_mode_constant_raster_byte_identical(spark, tmp_path):
+    """On a constant raster, 2x2 averaging == direct rendering, so the
+    overview-composed pyramid is byte-identical to the direct one."""
+    from versatiles_rs_spark.sources.geotiff import write_geotiff_gray8
+
+    img = np.full((512, 1024), 160, np.uint8)
+    p = str(tmp_path / "const_big.tif")
+    write_geotiff_gray8(p, img, -180.0, 90.0, 360 / 1024, 180 / 512,
+                        compression="deflate", tiled=True, tile_size=64)
+    direct = {(r["z"], r["x"], r["y"]): bytes(r["tile"])
+              for r in from_gdal_raster(spark, p, 0, 3).collect()}
+    ov = {(r["z"], r["x"], r["y"]): bytes(r["tile"])
+          for r in from_gdal_raster(spark, p, 0, 3, low_zoom="overview").collect()}
+    assert direct.keys() == ov.keys()
+    assert direct == ov
+
+
+def test_overview_mode_gradient_close_to_direct(spark, tmp_path):
+    """On a gradient, overview halving approximates the direct render
+    (mean abs diff small); zooms >= split are bit-identical because they
+    ARE direct renders."""
+    from versatiles_rs_spark.functions.raster import png_decode
+    from versatiles_rs_spark.sources.geotiff import (
+        _overview_split_zoom,
+        read_geotiff_meta,
+        write_geotiff_gray8,
+    )
+
+    img = np.tile(np.linspace(0, 255, 1024).astype(np.uint8), (512, 1))
+    p = str(tmp_path / "grad_big.tif")
+    write_geotiff_gray8(p, img, -180.0, 90.0, 360 / 1024, 180 / 512,
+                        compression="deflate", tiled=True, tile_size=64)
+    meta = read_geotiff_meta(p)
+    split = _overview_split_zoom(meta, 256, 0, 3)
+    assert 0 < split <= 3
+    direct = {(r["z"], r["x"], r["y"]): bytes(r["tile"])
+              for r in from_gdal_raster(spark, p, 0, 3).collect()}
+    ov = {(r["z"], r["x"], r["y"]): bytes(r["tile"])
+          for r in from_gdal_raster(spark, p, 0, 3, low_zoom="overview").collect()}
+    assert direct.keys() == ov.keys()
+    for k in direct:
+        if k[0] >= split:
+            assert ov[k] == direct[k], k
+    a = png_decode(ov[(0, 0, 0)]).astype(np.int64)
+    b = png_decode(direct[(0, 0, 0)]).astype(np.int64)
+    np.testing.assert_array_equal(a[:, :, 3], b[:, :, 3])  # same coverage
+    covered = a[:, :, 3] == 255
+    diff = np.abs(a[:, :, 0] - b[:, :, 0])[covered]
+    assert diff.mean() < 3.0 and diff.max() <= 16
+
+
+def test_dem_overview_mode_full_pyramid(spark, tmp_path):
+    from versatiles_rs_spark.functions.raster import dem_decode, png_decode
+    from versatiles_rs_spark.sources.geotiff import from_gdal_dem, write_geotiff_gray16
+
+    yy, xx = np.mgrid[0:512, 0:1024]
+    elev = (200 + (xx // 8)).astype(np.int16)
+    p = str(tmp_path / "dem_big.tif")
+    write_geotiff_gray16(p, elev, west=-180.0, north=90.0, sx=360 / 1024, sy=180 / 512)
+    ov = {(r["z"], r["x"], r["y"]): bytes(r["tile"])
+          for r in from_gdal_dem(spark, p, 0, 3, low_zoom="overview").collect()}
+    assert (0, 0, 0) in ov and len([k for k in ov if k[0] == 3]) == 64
+    dec = dem_decode(png_decode(ov[(0, 0, 0)]), "terrarium")
+    # equator band of the composed z0 tile still reads plausible elevation
+    assert 190 < float(dec[128, 128]) < 330

@@ -577,6 +577,7 @@ def _gdal_common_props(node: VplNode) -> dict:
     out: dict = {
         "resampling": str(node.props.get("resampling", "nearest")),
         "mode": str(node.props.get("mode", "auto")),
+        "low_zoom": str(node.props.get("low_zoom", "direct")),
     }
     if "nodata" in node.props:
         out["nodata"] = float(node.props["nodata"])

@@ -28,6 +28,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 12: 8}
 
@@ -417,6 +418,21 @@ def _cutline_edges(cutline):
     return cutline.edges(), cutline.bbox()
 
 
+def _overview_split_zoom(meta: dict, tile_size: int, min_zoom: int, max_zoom: int) -> int:
+    """Lowest zoom whose tiles sample the raster WITHOUT heavy decimation
+    (tile ground-pixel <= 2x raster pixel). Below it a direct render's
+    per-tile sample grid spreads across up to the whole raster — one task
+    touching every block — so overview mode direct-renders only z >=
+    split and halves downward (the same reason GDAL reads overviews)."""
+    import math
+
+    span_deg = meta["sx"] * tile_size * 2.0
+    if span_deg <= 0:
+        return min_zoom
+    z = math.ceil(math.log2(max(360.0 / span_deg, 1.0)))
+    return max(min_zoom, min(max_zoom, z))
+
+
 def _raster_pyramid(
     spark: SparkSession,
     path: str,
@@ -430,6 +446,8 @@ def _raster_pyramid(
     nodata: float | None = None,
     mode: str = "auto",
     broadcast_threshold: int = 32 << 20,
+    low_zoom: str = "direct",
+    overview_step=None,
 ) -> DataFrame:
     """Shared pyramid renderer behind from_gdal_raster / from_gdal_dem.
 
@@ -453,11 +471,37 @@ def _raster_pyramid(
     cast in lon/lat, cutline.rs); ``nodata`` -> invalid (masked to alpha
     0 / elevation 0), with nodata-aware bilinear weights so sentinel
     values never bleed into interpolated edges.
+
+    ``low_zoom="overview"`` bounds per-task IO on arbitrarily large
+    rasters: zooms >= the non-decimating split zoom render directly
+    (small windows, few blocks each); every lower zoom is composed by
+    2x2 halving (``overview_step``) from the level above — so no task
+    ever reads more than a handful of source blocks, where a direct z0
+    render of a planet raster would pull every block through one task.
     """
     from versatiles_rs_spark.operators.convert import TILE_SCHEMA
     from versatiles_rs_spark.tile_math.coords import tile_geo_bbox_np
 
     meta = read_geotiff_meta(path)
+    if low_zoom not in ("direct", "overview"):
+        raise ValueError(f"unknown low_zoom {low_zoom!r}")
+    if low_zoom == "overview":
+        split = _overview_split_zoom(meta, tile_size, min_zoom, max_zoom)
+        if split > min_zoom:
+            if overview_step is None:
+                raise ValueError("low_zoom='overview' needs an overview_step")
+            deep = _raster_pyramid(
+                spark, path, split, max_zoom, tile_size, encode_tile,
+                resampling=resampling, cutline=cutline, nodata=nodata,
+                mode=mode, broadcast_threshold=broadcast_threshold,
+                low_zoom="direct",
+            )
+            out = deep
+            level = deep.where(F.col("z") == split).cache()
+            for _z in range(split, min_zoom, -1):
+                level = overview_step(level).cache()
+                out = out.unionByName(level)
+            return out
     if nodata is None:
         nodata = meta["nodata"]
     raster_bytes = meta["width"] * meta["height"] * meta["spp"] * meta["dtype"].itemsize
@@ -582,13 +626,17 @@ def from_gdal_raster(
     cutline=None,
     mode: str = "auto",
     broadcast_threshold: int = 32 << 20,
+    low_zoom: str = "direct",
 ) -> DataFrame:
     """Georeferenced raster -> Web-Mercator PNG tile pyramid (from_gdal
     analog). Out-of-coverage / cutline-excluded / nodata pixels become
     transparent. ``bands`` selects source bands (1-based, GDAL -b style);
     ``resampling`` is nearest or bilinear; ``mode`` auto-switches between
     broadcasting small rasters and per-task windowed ranged reads for
-    rasters past ``broadcast_threshold`` uncompressed bytes."""
+    rasters past ``broadcast_threshold`` uncompressed bytes;
+    ``low_zoom="overview"`` composes sub-split zooms by 2x2 halving
+    instead of direct decimating renders (bounded per-task block IO on
+    planet-scale rasters)."""
     sel = None if bands is None else [b - 1 for b in bands]
     if sel is not None:
         spp = read_geotiff_meta(path)["spp"]
@@ -607,10 +655,16 @@ def from_gdal_raster(
         out[:, :, 3] = np.where(valid, 255, 0)
         return png_encode(out)
 
+    def overview_step(tiles: DataFrame) -> DataFrame:
+        from versatiles_rs_spark.operators.overview import raster_overview_step
+
+        return raster_overview_step(tiles, size=tile_size, channels=4)
+
     return _raster_pyramid(
         spark, path, min_zoom, max_zoom, tile_size, encode,
         resampling=resampling, cutline=cutline, nodata=nodata,
         mode=mode, broadcast_threshold=broadcast_threshold,
+        low_zoom=low_zoom, overview_step=overview_step,
     )
 
 
@@ -627,11 +681,13 @@ def from_gdal_dem(
     cutline=None,
     mode: str = "auto",
     broadcast_threshold: int = 32 << 20,
+    low_zoom: str = "direct",
 ) -> DataFrame:
     """Elevation raster (int16/float32 single band) -> terrarium/mapbox
     DEM PNG pyramid (from_gdal/dem analog). Same windowed/broadcast
     strategies as from_gdal_raster; out-of-coverage / nodata pixels get
-    elevation 0."""
+    elevation 0. ``low_zoom="overview"`` composes sub-split zooms via
+    dem_overview_step (raw 24-bit averaging, dem_overview.rs)."""
     meta = read_geotiff_meta(path)
     if meta["spp"] != 1:
         raise ValueError("from_gdal_dem expects a single-band elevation raster")
@@ -642,10 +698,16 @@ def from_gdal_dem(
         elev = np.where(valid, pix[:, :, 0], 0.0)
         return png_encode(dem_encode(elev, encoding))
 
+    def overview_step(tiles: DataFrame) -> DataFrame:
+        from versatiles_rs_spark.operators.overview import dem_overview_step
+
+        return dem_overview_step(tiles, size=tile_size)
+
     return _raster_pyramid(
         spark, path, min_zoom, max_zoom, tile_size, encode,
         resampling=resampling, cutline=cutline, nodata=nodata,
         mode=mode, broadcast_threshold=broadcast_threshold,
+        low_zoom=low_zoom, overview_step=overview_step,
     )
 
 
