@@ -38,6 +38,21 @@ def main() -> int:
     ap.add_argument("--compression", default="optimize")
     ap.add_argument("--block-bits", type=int, default=6)
     ap.add_argument(
+        "--bbox", default=None, metavar="lon_min,lat_min,lon_max,lat_max",
+        help="keep only tiles intersecting this box (convert.rs --bbox)",
+    )
+    ap.add_argument(
+        "--bbox-border", type=int, default=0,
+        help="extra tiles around the bbox per zoom (convert.rs --bbox-border)",
+    )
+    ap.add_argument("--flip-y", action="store_true", help="TMS vertical flip of output coords")
+    ap.add_argument("--swap-xy", action="store_true", help="swap output rows and columns")
+    ap.add_argument(
+        "--tile-format", default=None, metavar="format[,quality]",
+        help="re-encode raster tiles, e.g. 'jpg,80' (convert.rs --tile-format; "
+        "raster containers only)",
+    )
+    ap.add_argument(
         "--export",
         default=None,
         help="optional servable container artifact written AFTER the resumable "
@@ -56,10 +71,20 @@ def main() -> int:
     import glob
     import os
 
-    is_warc = ".warc" in os.path.basename(args.input) or (
-        os.path.isdir(args.input) and bool(glob.glob(os.path.join(args.input, "*.warc*")))
+    is_container = args.input.lower().endswith(
+        (".mbtiles", ".pmtiles", ".versatiles", ".tar", ".tar.gz", ".tgz", ".tar.br")
     )
-    if is_warc:
+    is_warc = not is_container and (
+        ".warc" in os.path.basename(args.input)
+        or (os.path.isdir(args.input) and bool(glob.glob(os.path.join(args.input, "*.warc*"))))
+    )
+    if is_container:
+        # container -> container conversion (the reference convert's primary
+        # mode): the tile table IS the intermediate; the pages path is skipped
+        from versatiles_rs_spark.sources import read_container
+
+        src = None
+    elif is_warc:
         # raw Common-Crawl archives: one task per .warc.gz, straight into
         # the same pages path (url, warc_ts, html)
         from versatiles_rs_spark.sources.warc import read_warc
@@ -67,6 +92,14 @@ def main() -> int:
         src = read_warc(spark, args.input)
     else:
         src = spark.read.parquet(args.input)
+    if is_container:
+        from pyspark.sql import functions as F
+
+        tiles = read_container(spark, args.input).filter(
+            (F.col("z") >= args.min_zoom) & (F.col("z") <= args.max_zoom)
+        )
+        return _finish(spark, args, tiles)
+
     cols = {f.name for f in src.schema.fields}
     if {"url", "html"} <= cols:
         from pyspark.sql import functions as F
@@ -99,6 +132,36 @@ def main() -> int:
         layer_name=args.layer,
         compression=args.compression,
     )
+    return _finish(spark, args, tiles)
+
+
+def _finish(spark, args, tiles) -> int:
+    """Shared tail: optional bbox / flip / swap / tile-format transforms,
+    resumable write, optional container export."""
+    from versatiles_rs_spark.lineage import convert_resumable, lineage_table
+    from versatiles_rs_spark.operators.convert import (
+        filter_tiles_bbox,
+        flip_tiles_y,
+        swap_tiles_xy,
+    )
+
+    if args.bbox:
+        box = tuple(float(v) for v in args.bbox.split(","))
+        if len(box) != 4:
+            raise SystemExit("--bbox needs lon_min,lat_min,lon_max,lat_max")
+        tiles = filter_tiles_bbox(tiles, box, border=args.bbox_border)
+    if args.flip_y:
+        tiles = flip_tiles_y(tiles)
+    if args.swap_xy:
+        tiles = swap_tiles_xy(tiles)
+    if args.tile_format:
+        from versatiles_rs_spark.operators.raster_ops import raster_image_format
+
+        parts = args.tile_format.split(",")
+        tiles = raster_image_format(
+            tiles, fmt=parts[0].lower(),
+            quality=int(parts[1]) if len(parts) > 1 else 85,
+        )
     records = convert_resumable(tiles, args.output, args.min_zoom, args.max_zoom, args.block_bits)
     summary = {
         "batches_run": len(records),

@@ -219,3 +219,50 @@ def test_multi_fast_path_byte_identical():
     g1 = encode_tile({"pages": [MvtFeature(GEOM_POINT, [[(int(gx[3]), int(gy[3]))]],
                                            {"lang": langs[3]}, fid=int(ids[3]))]})
     assert one == g1
+
+
+def test_filter_tiles_bbox_matches_geometric_intersection(spark):
+    """border=0 must equal the geometric tile-bounds intersection test."""
+    from pyspark.sql import functions as F
+
+    from versatiles_rs_spark.operators.convert import filter_tiles_bbox
+    from versatiles_rs_spark.tile_math.coords import tile_bounds_cols
+
+    full = []
+    for z in range(0, 5):
+        for x in range(1 << z):
+            for y in range(1 << z):
+                full.append((z, x, y))
+    df = spark.createDataFrame(full, "z int, x long, y long")
+    box = (-90.0, -45.0, 90.0, 45.0)
+    got = {(r["z"], r["x"], r["y"]) for r in filter_tiles_bbox(df, box).collect()}
+    tw, ts, te, tn = tile_bounds_cols(F.col("z"), F.col("x"), F.col("y"))
+    want = {
+        (r["z"], r["x"], r["y"])
+        for r in df.filter(
+            (te > box[0]) & (tw < box[2]) & (tn > box[1]) & (ts < box[3])
+        ).collect()
+    }
+    assert got == want
+    # border=1 adds exactly the surrounding ring (clamped at grid edges)
+    got_b = {(r["z"], r["x"], r["y"]) for r in filter_tiles_bbox(df, box, border=1).collect()}
+    assert got < got_b
+    for z, x, y in got:
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                nx, ny = x + dx, y + dy
+                if 0 <= nx < (1 << z) and 0 <= ny < (1 << z):
+                    assert (z, nx, ny) in got_b
+
+
+def test_flip_y_and_swap_xy(spark):
+    from versatiles_rs_spark.operators.convert import flip_tiles_y, swap_tiles_xy
+
+    df = spark.createDataFrame([(2, 1, 0), (2, 3, 2)], "z int, x long, y long")
+    flipped = {(r["z"], r["x"], r["y"]) for r in flip_tiles_y(df).collect()}
+    assert flipped == {(2, 1, 3), (2, 3, 1)}
+    swapped = {(r["z"], r["x"], r["y"]) for r in swap_tiles_xy(df).collect()}
+    assert swapped == {(2, 0, 1), (2, 2, 3)}
+    # involutions
+    assert {(r["z"], r["x"], r["y"]) for r in flip_tiles_y(flip_tiles_y(df)).collect()} == \
+        {(2, 1, 0), (2, 3, 2)}

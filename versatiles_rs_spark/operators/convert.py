@@ -416,6 +416,61 @@ def with_hilbert_key(tiles: DataFrame) -> DataFrame:
     return tiles.mapInPandas(add_key, schema=out_schema)
 
 
+def filter_tiles_bbox(
+    tiles: DataFrame,
+    bbox: tuple[float, float, float, float],
+    border: int = 0,
+) -> DataFrame:
+    """Keep only tiles intersecting a geographic bbox, optionally widened
+    by ``border`` tiles per zoom (the reference convert's --bbox /
+    --bbox-border, versatiles/src/tools/convert.rs:73-85). Pure Column
+    math: the bbox corners' fractional tile positions are constants, so
+    per row this is one multiply by 2^z + floor + range check — fully
+    codegen, applied before any shuffle the caller adds."""
+    import math
+
+    w, s, e, n = bbox
+
+    def _fx(lon: float) -> float:
+        return min(max(lon / 360.0 + 0.5, 0.0), 1.0)
+
+    def _fy(lat: float) -> float:
+        lat = min(max(lat, -85.05112878), 85.05112878)
+        return 0.5 - math.log(math.tan(lat * math.pi / 360.0 + math.pi / 4.0)) / (2.0 * math.pi)
+
+    zn = F.pow(F.lit(2.0), F.col("z").cast("double"))
+    zmax = (zn - 1).cast("long")
+    b = F.lit(int(border))
+
+    def _clamp(c):
+        return F.greatest(F.lit(0).cast("long"), F.least(zmax, c.cast("long")))
+
+    x_min = _clamp(F.floor(F.lit(_fx(w)) * zn) - b)
+    x_max = _clamp(F.floor(F.lit(_fx(e) - 1e-12) * zn) + b)
+    y_min = _clamp(F.floor(F.lit(_fy(n)) * zn) - b)
+    y_max = _clamp(F.floor(F.lit(_fy(s) - 1e-12) * zn) + b)
+    return tiles.filter(
+        (F.col("x") >= x_min) & (F.col("x") <= x_max)
+        & (F.col("y") >= y_min) & (F.col("y") <= y_max)
+    )
+
+
+def flip_tiles_y(tiles: DataFrame) -> DataFrame:
+    """TMS vertical flip of the tile table: y' = 2^z - 1 - y
+    (tile_coord.rs flip_y; convert.rs --flip-y)."""
+    from versatiles_rs_spark.tile_math.coords import flip_y_col
+
+    return tiles.withColumn("y", flip_y_col(F.col("z"), F.col("y")))
+
+
+def swap_tiles_xy(tiles: DataFrame) -> DataFrame:
+    """Swap tile rows and columns (tile_coord.rs swap_xy; convert.rs
+    --swap-xy)."""
+    return tiles.withColumn("_t", F.col("x")).withColumn("x", F.col("y")).withColumn(
+        "y", F.col("_t")
+    ).drop("_t")
+
+
 def write_tiles(tiles: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Sink: parquet partitioned by z, hilbert-clustered within partitions —
     the Iceberg-table equivalent of the versatiles block layout
