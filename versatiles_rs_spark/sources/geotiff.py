@@ -220,10 +220,12 @@ def read_geotiff_meta(path: str) -> dict:
         for i in range(4, len(gk), 4):
             if gk[i] == 2048:  # GeographicTypeGeoKey
                 epsg = gk[i + 3]
+            elif gk[i] == 3072 and epsg is None:  # ProjectedCRSGeoKey
+                epsg = gk[i + 3]
     if not geo.get("sx"):
         raise ValueError("TIFF has no GeoTIFF geotransform")
-    if epsg not in (None, 4326):
-        raise ValueError(f"only EPSG:4326 rasters supported, got {epsg}")
+    if epsg not in (None, 4326, 3857):
+        raise ValueError(f"only EPSG:4326/3857 rasters supported, got {epsg}")
     nodata = None
     if 42113 in tags:  # GDAL_NODATA: ASCII decimal
         raw = tags[42113][0]
@@ -363,6 +365,47 @@ def read_geotiff(path: str) -> tuple[np.ndarray, dict]:
     return img, geo
 
 
+_R = 6378137.0  # WGS84 web-mercator radius (EPSG:3857 meters)
+
+
+def _merc_y_to_lat(my: float) -> float:
+    import math
+
+    return math.degrees(2.0 * math.atan(math.exp(my / _R)) - math.pi / 2.0)
+
+
+def _raster_geo_bounds(meta: dict) -> tuple[float, float, float, float]:
+    """(west, south, east, north) in DEGREES regardless of the raster CRS
+    (4326 transforms are already degrees; 3857 transforms are meters)."""
+    import math
+
+    w, h = meta["width"], meta["height"]
+    if meta["epsg"] == 3857:
+        west = math.degrees(meta["west"] / _R)
+        east = math.degrees((meta["west"] + w * meta["sx"]) / _R)
+        north = _merc_y_to_lat(meta["north"])
+        south = _merc_y_to_lat(meta["north"] - h * meta["sy"])
+        return west, south, east, north
+    return (
+        meta["west"],
+        meta["north"] - h * meta["sy"],
+        meta["west"] + w * meta["sx"],
+        meta["north"],
+    )
+
+
+def _pixel_of(meta: dict, lon: float, lat: float) -> tuple[float, float]:
+    """Fractional (col, row) of a lon/lat point in the raster grid."""
+    import math
+
+    if meta["epsg"] == 3857:
+        mx = math.radians(lon) * _R
+        lat = min(max(lat, -89.9), 89.9)
+        my = _R * math.log(math.tan(math.pi / 4.0 + math.radians(lat) / 2.0))
+        return (mx - meta["west"]) / meta["sx"], (meta["north"] - my) / meta["sy"]
+    return (lon - meta["west"]) / meta["sx"], (meta["north"] - lat) / meta["sy"]
+
+
 def _tile_candidates(
     meta: dict, min_zoom: int, max_zoom: int, cutline_bbox=None
 ) -> list[tuple[int, int, int, int]]:
@@ -373,9 +416,7 @@ def _tile_candidates(
     tiles that read the same blocks in the same task, so the per-task
     block cache actually hits."""
     w, h = meta["width"], meta["height"]
-    west, north, sx, sy = meta["west"], meta["north"], meta["sx"], meta["sy"]
-    east = west + w * sx
-    south = north - h * sy
+    west, south, east, north = _raster_geo_bounds(meta)
     bw, bh, across = meta["block_w"], meta["block_h"], meta["blocks_across"]
     if cutline_bbox is not None:
         west = max(west, cutline_bbox[0])
@@ -398,8 +439,9 @@ def _tile_candidates(
                 clon = ((tx + 0.5) / zn - 0.5) * 360.0
                 cyy = (ty + 0.5) / zn
                 clat = (np.arctan(np.exp(np.pi * (1.0 - 2.0 * cyy))) / np.pi - 0.25) * 360.0
-                pc = int(np.clip((clon - meta["west"]) / sx, 0, w - 1))
-                pr = int(np.clip((meta["north"] - clat) / sy, 0, h - 1))
+                pcf, prf = _pixel_of(meta, clon, clat)
+                pc = int(np.clip(pcf, 0, w - 1))
+                pr = int(np.clip(prf, 0, h - 1))
                 locality = (pr // bh) * across + (pc // bw)
                 cands.append((z, tx, ty, locality))
     return cands
@@ -426,7 +468,8 @@ def _overview_split_zoom(meta: dict, tile_size: int, min_zoom: int, max_zoom: in
     split and halves downward (the same reason GDAL reads overviews)."""
     import math
 
-    span_deg = meta["sx"] * tile_size * 2.0
+    sx_deg = math.degrees(meta["sx"] / _R) if meta["epsg"] == 3857 else meta["sx"]
+    span_deg = sx_deg * tile_size * 2.0
     if span_deg <= 0:
         return min_zoom
     z = math.ceil(math.log2(max(360.0 / span_deg, 1.0)))
@@ -540,6 +583,7 @@ def _raster_pyramid(
             closer = reader.close
         w, h = meta["width"], meta["height"]
         west, north, sx, sy = meta["west"], meta["north"], meta["sx"], meta["sy"]
+        merc = meta["epsg"] == 3857
         try:
             for pdf in it:
                 rows = []
@@ -553,8 +597,16 @@ def _raster_pyramid(
                     # linear-in-degrees shortcut distorts low zooms badly
                     yy = (y + (np.arange(tile_size) + 0.5) / tile_size) / (1 << z)
                     lats = (np.arctan(np.exp(np.pi * (1.0 - 2.0 * yy))) / np.pi - 0.25) * 360.0
-                    u = (lons - west) / sx  # continuous col, pixel i spans [i, i+1)
-                    v = (north - lats) / sy
+                    if merc:
+                        # EPSG:3857 raster: web-mercator tiles are UNIFORM in
+                        # the raster's own coordinate, so sampling is affine
+                        mx = np.radians(lons) * _R
+                        my = _R * (np.pi * (1.0 - 2.0 * yy))  # = R*ln(tan(pi/4+lat/2))
+                        u = (mx - west) / sx
+                        v = (north - my) / sy
+                    else:
+                        u = (lons - west) / sx  # continuous col, pixel i spans [i, i+1)
+                        v = (north - lats) / sy
                     valid = (u[None, :] >= 0) & (u[None, :] < w) & \
                             (v[:, None] >= 0) & (v[:, None] < h)
                     if edges is not None:
@@ -722,10 +774,12 @@ def write_geotiff_gray8(
     tiled: bool = False,
     tile_size: int = 16,
     predictor: int = 1,
+    epsg: int = 4326,
 ) -> None:
     """8-bit single-band GeoTIFF writer covering every layout/codec the
-    reader supports (strips or tiles x none/deflate/lzw x predictor 1/2) —
-    exercises read_geotiff's full matrix in tests and doubles as a sink."""
+    reader supports (strips or tiles x none/deflate/lzw x predictor 1/2;
+    EPSG:4326 degree or EPSG:3857 meter transforms) — exercises
+    read_geotiff's full matrix in tests and doubles as a sink."""
     import struct as _s
 
     comp_tag = {"none": 1, "lzw": 5, "deflate": 8}[compression]
@@ -768,7 +822,10 @@ def write_geotiff_gray8(
 
     scale_off = ext_put("3d", sx, sy, 0.0)
     tie_off = ext_put("6d", 0.0, 0.0, 0.0, west, north, 0.0)
-    geokey_off = ext_put("16H", 1, 1, 0, 3, 1024, 0, 1, 2, 1025, 0, 1, 1, 2048, 0, 1, 4326)
+    if epsg == 3857:  # ModelTypeProjected + ProjectedCRSGeoKey
+        geokey_off = ext_put("16H", 1, 1, 0, 3, 1024, 0, 1, 1, 1025, 0, 1, 1, 3072, 0, 1, 3857)
+    else:  # ModelTypeGeographic + GeographicTypeGeoKey
+        geokey_off = ext_put("16H", 1, 1, 0, 3, 1024, 0, 1, 2, 1025, 0, 1, 1, 2048, 0, 1, epsg)
 
     nb = len(blocks)
     if nb > 1:
