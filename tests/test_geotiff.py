@@ -523,3 +523,45 @@ def test_epsg3857_windowed_and_overview(spark, tmp_path):
     ov = {(r["z"], r["x"], r["y"]): bytes(r["tile"])
           for r in from_gdal_raster(spark, p, 0, 2, low_zoom="overview").collect()}
     assert ov.keys() == a.keys()
+
+
+def test_cubic_resampling(spark, tmp_path):
+    """Catmull-Rom cubic: exact on constants and on LINEAR ramps (the
+    kernel reproduces polynomials up to degree 3), smoother than nearest
+    on steps, and clipped to [0,255] despite overshoot."""
+    from versatiles_rs_spark.functions.raster import png_decode
+    from versatiles_rs_spark.sources.geotiff import write_geotiff_gray8
+
+    const = np.full((64, 128), 77, np.uint8)
+    pc = str(tmp_path / "cc.tif")
+    write_geotiff_gray8(pc, const, -180.0, 90.0, 360 / 128, 180 / 64)
+    near = {(r["z"], r["x"], r["y"]): bytes(r["tile"])
+            for r in from_gdal_raster(spark, pc, 0, 0).collect()}
+    cub = {(r["z"], r["x"], r["y"]): bytes(r["tile"])
+           for r in from_gdal_raster(spark, pc, 0, 0, resampling="cubic").collect()}
+    assert near == cub  # constant: all kernels agree
+
+    # linear ramp: cubic interpolates it exactly (within rounding), while
+    # nearest staircases; compare against the analytic ramp
+    ramp = np.tile(np.arange(128, dtype=np.uint8) * 2, (64, 1))
+    pr = str(tmp_path / "cr.tif")
+    write_geotiff_gray8(pr, ramp, -180.0, 90.0, 360 / 128, 180 / 64)
+    z0 = png_decode({(r["z"], r["x"], r["y"]): bytes(r["tile"])
+                     for r in from_gdal_raster(spark, pr, 0, 0, resampling="cubic").collect()}[(0, 0, 0)])
+    j = np.arange(256)
+    src_col = (j + 0.5) * 128 / 256 - 0.5  # fractional source column
+    want = np.clip(src_col, 0, 127) * 2
+    mid = z0[128, :, 0].astype(float)
+    # interior columns (away from the clamped borders) track the ramp closely
+    assert np.abs(mid[4:252] - want[4:252]).max() <= 1.5
+
+    # step edge: cubic overshoots the step but output stays in [0,255]
+    step = np.zeros((64, 128), np.uint8)
+    step[:, 64:] = 255
+    ps = str(tmp_path / "cs.tif")
+    write_geotiff_gray8(ps, step, -180.0, 90.0, 360 / 128, 180 / 64)
+    zs = png_decode({(r["z"], r["x"], r["y"]): bytes(r["tile"])
+                     for r in from_gdal_raster(spark, ps, 0, 0, resampling="cubic").collect()}[(0, 0, 0)])
+    vals = zs[128, :, 0]
+    assert vals.min() >= 0 and vals.max() <= 255
+    assert len(np.unique(vals)) > 2  # smooth transition exists

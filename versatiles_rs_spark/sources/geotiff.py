@@ -460,6 +460,34 @@ def _cutline_edges(cutline):
     return cutline.edges(), cutline.bbox()
 
 
+def _cubic_kernel(x: np.ndarray) -> np.ndarray:
+    """Catmull-Rom cubic (a = -0.5 — GDAL's 'cubic'), |x| in [0, 2)."""
+    ax = np.abs(x)
+    a = -0.5
+    near = (a + 2.0) * ax**3 - (a + 3.0) * ax**2 + 1.0
+    far = a * ax**3 - 5.0 * a * ax**2 + 8.0 * a * ax - 4.0 * a
+    return np.where(ax <= 1.0, near, np.where(ax < 2.0, far, 0.0))
+
+
+def _axis_taps(coord: np.ndarray, size: int, resampling: str):
+    """Separable-kernel taps for one axis: (clipped index vectors,
+    weight vectors) over pixel-CENTER coordinates (pixel i's center sits
+    at i + 0.5)."""
+    c = coord - 0.5
+    i0 = np.floor(c).astype(np.int64)
+    f = c - i0
+    if resampling == "bilinear":
+        offs = (0, 1)
+        wts = (1.0 - f, f)
+    elif resampling == "cubic":
+        offs = (-1, 0, 1, 2)
+        wts = tuple(_cubic_kernel(f - o) for o in offs)
+    else:
+        raise ValueError(f"unknown resampling {resampling!r}")
+    idxs = tuple(np.clip(i0 + o, 0, size - 1) for o in offs)
+    return idxs, wts
+
+
 def _overview_split_zoom(meta: dict, tile_size: int, min_zoom: int, max_zoom: int) -> int:
     """Lowest zoom whose tiles sample the raster WITHOUT heavy decimation
     (tile ground-pixel <= 2x raster pixel). Below it a direct render's
@@ -568,8 +596,7 @@ def _raster_pyramid(
         bc = spark.sparkContext.broadcast(img)
     else:
         bc = None
-    bilinear = resampling == "bilinear"
-    if resampling not in ("nearest", "bilinear"):
+    if resampling not in ("nearest", "bilinear", "cubic"):
         raise ValueError(f"unknown resampling {resampling!r}")
 
     def render(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -617,41 +644,38 @@ def _raster_pyramid(
                         valid &= pip_contains_np(gl, ga, edges).reshape(tile_size, tile_size)
                     if not valid.any():
                         continue
-                    if not bilinear:
+                    if resampling == "nearest":
                         cc = np.clip(np.floor(u).astype(np.int64), 0, w - 1)
                         rr = np.clip(np.floor(v).astype(np.int64), 0, h - 1)
                         pix = gather(rr, cc).astype(np.float64)
                         if nodata is not None:
                             valid &= ~(pix == nodata).all(axis=2)
                     else:
-                        uc, vc = u - 0.5, v - 0.5
-                        i0 = np.floor(uc).astype(np.int64)
-                        j0 = np.floor(vc).astype(np.int64)
-                        fu = (uc - i0)[None, :, None]
-                        fv = (vc - j0)[:, None, None]
-                        i0c = np.clip(i0, 0, w - 1)
-                        i1c = np.clip(i0 + 1, 0, w - 1)
-                        j0c = np.clip(j0, 0, h - 1)
-                        j1c = np.clip(j0 + 1, 0, h - 1)
+                        # separable kernel taps (bilinear: 2x2, cubic: 4x4
+                        # Catmull-Rom) over pixel-center coordinates
+                        ci, cw = _axis_taps(u, w, resampling)
+                        rj, rw = _axis_taps(v, h, resampling)
                         q = [
-                            (gather(j0c, i0c).astype(np.float64), (1 - fv) * (1 - fu)),
-                            (gather(j0c, i1c).astype(np.float64), (1 - fv) * fu),
-                            (gather(j1c, i0c).astype(np.float64), fv * (1 - fu)),
-                            (gather(j1c, i1c).astype(np.float64), fv * fu),
+                            (gather(rj[a], ci[b]).astype(np.float64),
+                             rw[a][:, None, None] * cw[b][None, :, None])
+                            for a in range(len(rj))
+                            for b in range(len(ci))
                         ]
                         if nodata is None:
-                            pix = sum(a * wt for a, wt in q)
+                            pix = sum(arr * wt for arr, wt in q)
                         else:
                             # nodata-aware weights: renormalize over the
-                            # neighbors that hold real data
+                            # taps that hold real data
                             num = np.zeros((tile_size, tile_size, meta["spp"]))
                             den = np.zeros((tile_size, tile_size, 1))
-                            for a, wt in q:
-                                ok = ~(a == nodata).all(axis=2, keepdims=True)
-                                num += np.where(ok, a, 0.0) * (wt * ok)
+                            for arr, wt in q:
+                                ok = ~(arr == nodata).all(axis=2, keepdims=True)
+                                num += np.where(ok, arr, 0.0) * (wt * ok)
                                 den += wt * ok
-                            pix = np.where(den > 0, num / np.maximum(den, 1e-12), nodata)
-                            valid &= den[:, :, 0] > 0
+                            pix = np.where(
+                                np.abs(den) > 1e-9, num / np.where(np.abs(den) > 1e-9, den, 1.0), nodata
+                            )
+                            valid &= np.abs(den[:, :, 0]) > 1e-9
                     blob = encode_tile(pix, valid, meta)
                     rows.append((z, x, y, "png", "none", blob, 0))
                 if rows:
