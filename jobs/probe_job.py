@@ -19,10 +19,23 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--container", required=True)
     ap.add_argument("--deep", action="store_true", help="decode tiles for per-layer byte breakdown")
+    ap.add_argument(
+        "--sample", type=float, default=None, metavar="PERCENT",
+        help="decode only ~PERCENT%% of tiles for --deep, chosen by "
+        "deterministic window sampling (probe -ddd --sample / "
+        "tile_sampling.rs: contiguous square windows so container reads "
+        "coalesce into ranged requests)",
+    )
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
+    if args.sample is not None and not (0.0 < args.sample <= 100.0):
+        ap.error(f"--sample must be in (0, 100], got {args.sample}")
 
-    from versatiles_rs_spark.operators.probe import layer_breakdown, zoom_stats
+    from versatiles_rs_spark.operators.probe import (
+        layer_breakdown,
+        sample_windows,
+        zoom_stats,
+    )
     from versatiles_rs_spark.session import get_spark
     from versatiles_rs_spark.sources import read_container
 
@@ -38,8 +51,12 @@ def main() -> int:
     }
     if args.deep:
         zmax = max(out["zooms"])
+        deep_tiles = tiles.where(f"z = {zmax}")
+        if args.sample is not None:
+            deep_tiles = sample_windows(deep_tiles, keep_ratio=args.sample / 100.0)
+            out["sample_percent"] = args.sample
         out["layer_breakdown"] = [
-            r.asDict() for r in layer_breakdown(tiles.where(f"z = {zmax}")).collect()
+            r.asDict() for r in layer_breakdown(deep_tiles).collect()
         ]
     print(json.dumps(out, default=str))
     spark.stop()

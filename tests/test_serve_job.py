@@ -245,3 +245,44 @@ def test_static_source_traversal_guard_direct(tmp_path):
     assert src.get("/ok.txt") == b"fine"
     assert src.get("/../secret.txt") is None
     assert src.get("/%2e%2e/secret.txt") is None  # literal name, no decode
+
+
+def test_probe_sample_flag(tmp_path, spark):
+    """probe --deep --sample decodes a deterministic window subset
+    (tile_sampling.rs analog): same result twice, strictly fewer features
+    than the full deep scan, and (0,100] validation."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from versatiles_rs_spark.operators.convert import convert_pages_to_tiles
+    from versatiles_rs_spark.queries import _docs_geo
+
+    tiles = convert_pages_to_tiles(_docs_geo(spark, "/root/testdata/sf0.001"), 0, 4, keep_ratio=1.0)
+    src = str(tmp_path / "p.mbtiles")
+    write_container(tiles, src)
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+
+    def probe(extra):
+        out = subprocess.run(
+            [sys.executable, "/root/repo/jobs/probe_job.py", "--container", src,
+             "--master", "local[4]", *extra],
+            capture_output=True, text=True, timeout=300, env=env,
+        )
+        assert out.returncode == 0, out.stderr[-1500:]
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    full = probe(["--deep"])
+    s1 = probe(["--deep", "--sample", "20"])
+    s2 = probe(["--deep", "--sample", "20"])
+    n_full = sum(r["n_features"] for r in full["layer_breakdown"])
+    n_s = sum(r["n_features"] for r in s1["layer_breakdown"])
+    assert s1["layer_breakdown"] == s2["layer_breakdown"]  # deterministic
+    assert 0 < n_s < n_full
+    bad = subprocess.run(
+        [sys.executable, "/root/repo/jobs/probe_job.py", "--container", src,
+         "--deep", "--sample", "0"],
+        capture_output=True, text=True, timeout=60, env=env,
+    )
+    assert bad.returncode != 0

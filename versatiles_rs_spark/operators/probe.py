@@ -55,11 +55,21 @@ def sample_windows(tiles: DataFrame, window_size: int = 8, keep_ratio: float = 0
     """Windowed sampling for probe depths (tools/tile_sampling.rs:1-6):
     keep contiguous ``window_size`` x ``window_size`` squares of tiles so
     remote range requests coalesce; windows chosen by a stable hash of the
-    window coordinate (deterministic sample)."""
+    window coordinate (deterministic sample). Parity with the reference's
+    "always at least 1" rule: the min-hash window of every zoom survives
+    even when the ratio rounds the level to zero windows."""
+    from pyspark.sql.window import Window
+
     wx = F.shiftright(F.col("x"), int(window_size).bit_length() - 1)
     wy = F.shiftright(F.col("y"), int(window_size).bit_length() - 1)
     u = (F.abs(F.hash(F.col("z"), wx, wy)) % F.lit(1_000_000)).cast("double") / F.lit(1_000_000.0)
-    return tiles.filter(u < F.lit(keep_ratio))
+    zmin = F.min(u).over(Window.partitionBy("z"))
+    return (
+        tiles.withColumn("_u", u)
+        .withColumn("_zmin", zmin)
+        .filter((F.col("_u") < F.lit(keep_ratio)) | (F.col("_u") == F.col("_zmin")))
+        .drop("_u", "_zmin")
+    )
 
 
 _VALIDATE_SCHEMA = StructType(
