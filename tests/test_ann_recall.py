@@ -77,3 +77,30 @@ def test_ivfpq_recall(vecs):
         ann_ivfpq_topk(df, QUERY_IDS, k=K, n_cells=12, nprobe=6, m_sub=8,
                        n_codes=32, refine=4 * K), v)
     assert r >= 0.6, r
+
+
+def test_knn_graph_recall_on_clustered_data(vecs):
+    """The r3-documented knn_graph caveat was 'the uniform fixture forces
+    nprobe=n_cells'. On CLUSTERED data the intended shape holds: probing
+    HALF the cells recovers >= 0.9 of every vector's exact top-k edges
+    (averaged), while candidate generation stays the cell-local equi-join."""
+    from versatiles_rs_spark.dedup.pq import knn_graph
+
+    df, v = vecs
+    k = 5
+    out = knn_graph(df, k=k, n_cells=12, nprobe=6)
+    got: dict[int, set[int]] = {}
+    for r in out.collect():
+        got.setdefault(r["qid"], set()).add(r["vid"])
+    assert len(got) == N  # every vector got neighbors
+    q = (np.sign(v) * np.floor(np.abs(v) * 1e6 + 0.5)).astype(np.int64)
+    rng = np.random.default_rng(7)
+    probe_ids = rng.choice(N, size=150, replace=False)
+    total = 0.0
+    for qid in probe_ids:
+        dots = q @ q[qid]
+        dots[qid] = -(2**62)
+        order = np.lexsort((np.arange(N), -dots))[:k]
+        exact = set(int(i) for i in order)
+        total += len(got[qid] & exact) / k
+    assert total / len(probe_ids) >= 0.9, total / len(probe_ids)
