@@ -172,3 +172,37 @@ def test_translucent_nonpng_stack_raises_clear_error(spark):
     with pytest.raises(Exception) as ei:
         mosaic_assemble_tiles([a, b]).collect()
     assert "non-png contributions" in str(ei.value)
+
+
+def test_mosaic_job_cli(tmp_path, spark):
+    """The CLI quartet's fourth member drives mosaic_assemble end-to-end:
+    two raster containers in, one merged container out, opaque top
+    forwarded byte-identically."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from versatiles_rs_spark.sources import read_container, write_container
+
+    top_blob = _rgb(10, 20, 30)
+    a = _tiles(spark, [(1, 0, 0, "png", "none", top_blob, 0)])
+    b = _tiles(spark, [(1, 0, 0, "png", "none", _rgb(99, 99, 99), 0),
+                       (1, 1, 0, "png", "none", _rgb(50, 50, 50), 0)])
+    pa, pb = str(tmp_path / "a.mbtiles"), str(tmp_path / "b.mbtiles")
+    write_container(a, pa)
+    write_container(b, pb)
+    out_path = str(tmp_path / "m.versatiles")
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    res = subprocess.run(
+        [sys.executable, "/root/repo/jobs/mosaic_job.py",
+         "--input", pa, "--input", pb, "--output", out_path, "--master", "local[4]"],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert res.returncode == 0, res.stderr[-1500:]
+    summary = json.loads(res.stdout.strip().splitlines()[-1])
+    assert summary["output"] == out_path
+    rows = {(r["z"], r["x"], r["y"]): bytes(r["tile"])
+            for r in read_container(spark, out_path).collect()}
+    assert set(rows) == {(1, 0, 0), (1, 1, 0)}
+    assert rows[(1, 0, 0)] == top_blob  # opaque top wins, bytes untouched
