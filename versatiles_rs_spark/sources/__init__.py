@@ -100,7 +100,9 @@ def container_tilejson(path: str) -> dict:
         tj: dict = {"tilejson": "3.0.0"}
         moff, mlen = head["meta"]
         if mlen:
-            with open(path, "rb") as f:
+            from versatiles_rs_spark.sources.ranged_io import open_ranged
+
+            with open_ranged(path) as f:
                 f.seek(moff)
                 blob = _internal_decompress(f.read(mlen), head["internal_compression"])
             try:

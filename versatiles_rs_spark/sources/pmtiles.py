@@ -38,6 +38,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from versatiles_rs_spark.sources.ranged_io import is_url, open_ranged
+
 _MAGIC = b"PMTiles"
 _HDR = 127
 _ROOT_BUDGET = 16384 - _HDR
@@ -119,7 +121,7 @@ def _parse_dir(buf: bytes) -> list[tuple[int, int, int, int]]:
 
 
 def read_pmtiles_header(path: str) -> dict:
-    with open(path, "rb") as f:
+    with open_ranged(path) as f:
         buf = f.read(_HDR)
     if buf[:7] != _MAGIC or buf[7] != 3:
         raise ValueError("not a PMTiles v3 file")
@@ -158,10 +160,10 @@ def read_pmtiles(spark: SparkSession, path: str) -> DataFrame:
     from versatiles_rs_spark.operators.convert import TILE_SCHEMA
     from versatiles_rs_spark.tile_math.hilbert import hilbert_to_coord_np
 
-    path = os.path.abspath(path)
+    path = path if is_url(path) else os.path.abspath(path)
     head = read_pmtiles_header(path)
     ic = head["internal_compression"]
-    with open(path, "rb") as f:
+    with open_ranged(path) as f:
         f.seek(head["root"][0])
         root = _parse_dir(_internal_decompress(f.read(head["root"][1]), ic))
         entries: list[tuple[int, int, int, int]] = []
@@ -188,7 +190,7 @@ def read_pmtiles(spark: SparkSession, path: str) -> DataFrame:
     edf = spark.createDataFrame(pdf).repartition(n_slices, "slice")
 
     def scan(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        with open(path, "rb") as f:
+        with open_ranged(path) as f:
             for b in it:
                 if b.empty:
                     continue
@@ -230,7 +232,7 @@ def lookup_tile(path: str, z: int, x: int, y: int,
         i = bisect.bisect_right(keys, target) - 1
         return entries[i] if i >= 0 else None
 
-    with open(path, "rb") as f:
+    with open_ranged(path) as f:
         f.seek(head["root"][0])
         root = _parse_dir(_internal_decompress(f.read(head["root"][1]), ic))
         hit = find(root, tid)

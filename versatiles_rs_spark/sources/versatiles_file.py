@@ -48,6 +48,8 @@ from pyspark.sql import functions as F
 
 from versatiles_rs_spark.functions.compression import BROTLI, compress, decompress
 
+from versatiles_rs_spark.sources.ranged_io import is_url, open_ranged
+
 _MAGIC = b"versatiles_v02"
 _HEADER_LEN = 66
 _BBOX_SCALE = 10_000_000.0
@@ -120,7 +122,7 @@ def _parse_block_index(raw: bytes) -> list[_Block]:
 
 
 def read_versatiles_header(path: str) -> dict:
-    with open(path, "rb") as f:
+    with open_ranged(path) as f:
         head = _parse_header(f.read(_HEADER_LEN))
         moff, mlen = head["meta_range"]
         if mlen:
@@ -135,13 +137,13 @@ def read_versatiles(spark: SparkSession, path: str) -> DataFrame:
     """.versatiles -> tile table DataFrame; one executor task per block."""
     from versatiles_rs_spark.operators.convert import TILE_SCHEMA
 
-    path = os.path.abspath(path)
+    path = path if is_url(path) else os.path.abspath(path)
     head = read_versatiles_header(path)
     fmt, comp = head["format"], head["compression"]
     boff, blen = head["blocks_range"]
     if blen == 0:
         return spark.createDataFrame([], TILE_SCHEMA)
-    with open(path, "rb") as f:
+    with open_ranged(path) as f:
         f.seek(boff)
         blocks = _parse_block_index(decompress(f.read(blen), BROTLI))
     rows = [
@@ -157,7 +159,7 @@ def read_versatiles(spark: SparkSession, path: str) -> DataFrame:
     ).repartition(max(1, min(len(rows), spark.sparkContext.defaultParallelism * 2)))
 
     def scan(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        with open(path, "rb") as f:
+        with open_ranged(path) as f:
             for pdf in it:
                 for _, r in pdf.iterrows():
                     f.seek(int(r["index_offset"]))
@@ -202,7 +204,7 @@ def lookup_tile(path: str, z: int, x: int, y: int,
     boff, blen = head["blocks_range"]
     if blen == 0:
         return None
-    with open(path, "rb") as f:
+    with open_ranged(path) as f:
         f.seek(boff)
         blocks = _parse_block_index(decompress(f.read(blen), BROTLI))
         bx, by = x >> 8, y >> 8
