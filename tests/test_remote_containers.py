@@ -127,3 +127,50 @@ def test_serve_job_over_remote_source(remote):
             assert gzip.decompress(r.read()) == gzip.decompress(blob)
     finally:
         srv.shutdown()
+
+
+def test_ranged_file_edge_cases(tmp_path):
+    """HttpRangedFile against a server that IGNORES Range (200 + full
+    body): reads still return the right slices; past-EOF reads behave
+    like files (empty)."""
+    import functools
+    import http.server as hs
+    import threading
+
+    from versatiles_rs_spark.sources.ranged_io import HttpRangedFile, open_ranged
+
+    (tmp_path / "blob.bin").write_bytes(bytes(range(256)) * 4)
+
+    class NoRange(hs.SimpleHTTPRequestHandler):
+        def do_GET(self):
+            p = self.translate_path(self.path)
+            with open(p, "rb") as f:
+                data = f.read()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def log_message(self, *a):
+            pass
+
+    srv = hs.ThreadingHTTPServer(
+        ("127.0.0.1", 0), functools.partial(NoRange, directory=str(tmp_path))
+    )
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}/blob.bin"
+        f = HttpRangedFile(url)
+        f.seek(10)
+        assert f.read(4) == bytes([10, 11, 12, 13])
+        assert f.tell() == 14
+        f.seek(1020)
+        assert f.read() == bytes([252, 253, 254, 255])
+        f.seek(5000)
+        assert f.read(4) == b""  # past EOF
+        # open_ranged dispatch: local path -> plain file
+        with open_ranged(str(tmp_path / "blob.bin")) as lf:
+            lf.seek(10)
+            assert lf.read(4) == bytes([10, 11, 12, 13])
+    finally:
+        srv.shutdown()
