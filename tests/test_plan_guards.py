@@ -80,3 +80,46 @@ def test_paragraph_dedup_two_shuffles(spark, sf_dir):
 
     plan = _plan(QUERIES["paragraph_dedup"](spark, sf_dir))
     assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 3
+
+
+def test_bpe_pair_counts_one_shuffle_with_partial_agg(spark, sf_dir):
+    """The trainer's looped aggregation: map-side combine (partial then
+    final HashAggregate) around exactly the word-count + pair-count
+    exchanges — no extra shuffle, no Python beyond nothing (pure Column)."""
+    from versatiles_rs_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["bpe_pair_counts"](spark, sf_dir))
+    assert "Python" not in plan
+    # two aggregations (word counts, pair counts) -> at most 3 hash
+    # exchanges incl. the TakeOrdered/limit machinery
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 3
+    assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_filter_tiles_bbox_adds_no_exchange(spark):
+    """The bbox filter is row-local Column math: applied to a plain scan
+    it must introduce zero exchanges."""
+    from versatiles_rs_spark.operators.convert import filter_tiles_bbox
+
+    df = spark.range(1000).selectExpr(
+        "CAST(id % 5 AS INT) z", "id % 32 AS x", "(id * 7) % 32 AS y"
+    )
+    plan = _plan(filter_tiles_bbox(df, (-90.0, -45.0, 90.0, 45.0), border=1))
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_windowed_gdal_single_range_exchange(spark, tmp_path):
+    """Windowed raster ingest: exactly ONE exchange (the locality range
+    partition) before the render stage; the driver plan carries only the
+    KB-sized candidate table."""
+    import numpy as np
+
+    import versatiles_rs_spark.sources.geotiff as gt
+
+    img = np.zeros((64, 128), np.uint8)
+    p = str(tmp_path / "pg.tif")
+    gt.write_geotiff_gray8(p, img, -180.0, 90.0, 360 / 128, 180 / 64)
+    plan = _plan(gt.from_gdal_raster(spark, p, 0, 2, mode="windowed"))
+    assert len(re.findall(r"Exchange", plan)) == 1
+    assert "rangepartitioning" in plan
