@@ -2382,6 +2382,280 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# 34. heuristic quality filters (C4 / Gopher) + normalization-before-dedup
+# ---------------------------------------------------------------------------
+
+def q_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line+page quality rules (Raffel et al. 2020 §2.2) over the
+    deterministic decorated page built from (doc_id, text) — terminal
+    punctuation, >= 3 words/line, javascript-line drop, '{' and
+    'lorem ipsum' page drops. Zero shuffles; the oracle renders the
+    IDENTICAL rule chain via pages.quality_filters.c4_filter_sql."""
+    from versatiles_rs_spark.pages.quality_filters import c4_filter
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return c4_filter(docs)
+
+
+def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher Table-A1 quality signals (Rae et al. 2021): word-count
+    bounds, mean word length, alpha-word / bullet-line / ellipsis-line
+    fractions (micro-quantized), stop-word floor. Zero shuffles."""
+    from versatiles_rs_spark.pages.quality_filters import gopher_filter
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return gopher_filter(docs)
+
+
+def q_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup AFTER canonical text normalization (lowercase, strip
+    punctuation, collapse whitespace): deterministic case/punct/space
+    noise is injected per doc_id, and n_variants > 1 groups prove the
+    normalizer merged raw-distinct rows. Same single-shuffle shape as
+    dedup_exact."""
+    from versatiles_rs_spark.pages.quality_filters import normalized_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return normalized_dedup(docs)
+
+
+def _o_c4_filter() -> str:
+    from versatiles_rs_spark.pages.quality_filters import c4_filter_sql
+
+    return c4_filter_sql()
+
+
+def _o_gopher_filter() -> str:
+    from versatiles_rs_spark.pages.quality_filters import gopher_filter_sql
+
+    return gopher_filter_sql()
+
+
+def _o_normalized_dedup() -> str:
+    from versatiles_rs_spark.pages.quality_filters import normalized_dedup_sql
+
+    return normalized_dedup_sql()
+
+
+O_C4_FILTER = _o_c4_filter()
+O_GOPHER_FILTER = _o_gopher_filter()
+O_NORMALIZED_DEDUP = _o_normalized_dedup()
+
+
+# ---------------------------------------------------------------------------
+# 35. exact-substring duplication: dup n-grams (Lee et al.) + winnowing (MOSS)
+# ---------------------------------------------------------------------------
+
+def q_dup_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-duplicated word-5-gram coverage per document (Lee et al.,
+    ACL 2022): one explode + one map-side-combined gram-hash aggregate +
+    one equi-join against the (small) duplicate set."""
+    from versatiles_rs_spark.dedup.substrings import dup_ngram_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dup_ngram_stats(docs, n=5, min_count=2)
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS winnowing fingerprints (Schleimer et al., SIGMOD 2003):
+    k=3-word-gram Rabin-Karp hashes, window w=4 minima with the exact
+    rightmost-min tie rule (packed-key construction). Zero-shuffle
+    per-row array math."""
+    from versatiles_rs_spark.dedup.substrings import winnow_fingerprints
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return winnow_fingerprints(docs, k=3, w=4)
+
+
+def _o_dup_ngram_stats() -> str:
+    from versatiles_rs_spark.dedup.substrings import dup_ngram_stats_sql
+
+    return dup_ngram_stats_sql(n=5, min_count=2)
+
+
+def _o_winnow_fingerprints() -> str:
+    from versatiles_rs_spark.dedup.substrings import winnow_fingerprints_sql
+
+    return winnow_fingerprints_sql(k=3, w=4)
+
+
+O_DUP_NGRAM_STATS = _o_dup_ngram_stats()
+O_WINNOW_FINGERPRINTS = _o_winnow_fingerprints()
+
+
+# ---------------------------------------------------------------------------
+# 36. corpus curation funnel + relational k-means + SemDeDup
+# ---------------------------------------------------------------------------
+
+def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation funnel all -> C4 -> +Gopher -> +normalized
+    dedup with per-stage doc and token counts: one per-row flag
+    projection, one dedup window, one 4-group aggregate."""
+    from versatiles_rs_spark.pages.quality_filters import filter_funnel
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return filter_funnel(docs)
+
+
+def _o_filter_funnel() -> str:
+    from versatiles_rs_spark.pages.quality_filters import filter_funnel_sql
+
+    return filter_funnel_sql()
+
+
+O_FILTER_FUNNEL = _o_filter_funnel()
+
+
+_SEM_CLONE_MOD = 50
+_SEM_CLONE_OFFSET = 100000
+
+
+def _aug_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The clone-augmented embeddings table q_embedding_neardup
+    established: identical vectors at vec_id+100000 for vec_id%50==0
+    guarantee near-dup positives (the natural table's max cosine ~0.51)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    clones = emb.filter(f"vec_id % {_SEM_CLONE_MOD} = 0").select(
+        (F.col("vec_id") + _SEM_CLONE_OFFSET).alias("vec_id"), "embedding"
+    )
+    return emb.select("vec_id", "embedding").unionByName(clones)
+
+
+_AUG_SQL = f"""aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {_SEM_CLONE_OFFSET}, embedding FROM embeddings
+  WHERE vec_id % {_SEM_CLONE_MOD} = 0
+)"""
+
+
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means (k=8, 2 assign/update rounds) over the
+    clone-augmented embeddings: per-cluster membership counts + exact
+    integer centroid checksums. Assignment is a zero-shuffle map against
+    broadcast centroid literals; each update is one K*dim-group
+    aggregate; the oracle unrolls both iterations in SQL."""
+    from versatiles_rs_spark.dedup.kmeans import kmeans_summary, lloyd_kmeans
+
+    assigned, cents = lloyd_kmeans(_aug_embeddings(spark, sf_dir), k=8, iters=2)
+    return kmeans_summary(assigned, cents)
+
+
+def _o_kmeans_clusters() -> str:
+    from versatiles_rs_spark.dedup.kmeans import kmeans_summary_sql
+
+    sql = kmeans_summary_sql(k=8, iters=2, table="aug")
+    return sql.replace("WITH ", f"WITH {_AUG_SQL},\n", 1)
+
+
+O_KMEANS_CLUSTERS = _o_kmeans_clusters()
+
+
+def q_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means clustering then exact
+    quantized-dot near-dup pairs WITHIN clusters — cluster-keyed equi-join,
+    never corpus-quadratic. Clone augmentation guarantees positives; the
+    identical-vector clones must co-cluster by construction."""
+    from versatiles_rs_spark.dedup.kmeans import semdedup_pairs
+
+    return semdedup_pairs(_aug_embeddings(spark, sf_dir), k=8, iters=2)
+
+
+def _o_semdedup_pairs() -> str:
+    from versatiles_rs_spark.dedup.kmeans import semdedup_pairs_sql
+
+    sql = semdedup_pairs_sql(k=8, iters=2, table="aug")
+    return sql.replace("WITH ", f"WITH {_AUG_SQL},\n", 1)
+
+
+O_SEMDEDUP_PAIRS = _o_semdedup_pairs()
+
+
+# ---------------------------------------------------------------------------
+# 37. tile-pyramid integrity validation (the `validate` side of convert)
+# ---------------------------------------------------------------------------
+
+_PYR_ZMAX = 8
+# deterministic damage schedule: drop ~1/11 of the non-root pyramid so the
+# validator has real gaps to find
+_PYR_DAMAGE = "(z >= 1 AND (x * 73 + y * 37 + z) % 11 = 0)"
+
+
+def q_pyramid_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container validation: per-zoom tile counts + orphan tiles (present
+    at z with no parent at z-1) over a deterministically damaged pyramid
+    derived from the docs' max-zoom tiles. Models the reference's
+    container consistency checking (versatiles probe / tile_coord parent
+    math, tile_coord.rs:79-96): a healthy halved pyramid has zero
+    orphans, so every reported orphan is damage-schedule-caused.
+    Shape: one distinct, one broadcast-sized zoom explode, one self
+    equi-join on (z-1, x>>1, y>>1) — all key-partitioned."""
+    from versatiles_rs_spark.tile_math.coords import lonlat_to_tile_cols
+
+    geo = _docs_geo(spark, sf_dir)
+    x8, y8 = lonlat_to_tile_cols(F.col("lon"), F.col("lat"), _PYR_ZMAX)
+    t8 = geo.select(x8.alias("x8"), y8.alias("y8")).distinct()
+    zs = F.explode(F.sequence(F.lit(0), F.lit(_PYR_ZMAX))).alias("z")
+    present = (
+        t8.select("x8", "y8", zs)
+        .select(
+            F.col("z").cast("int").alias("z"),
+            F.expr(f"shiftright(x8, {_PYR_ZMAX} - z)").alias("x"),
+            F.expr(f"shiftright(y8, {_PYR_ZMAX} - z)").alias("y"),
+        )
+        .distinct()
+        .where(~F.expr(_PYR_DAMAGE))
+    )
+    parents = present.select(
+        (F.col("z") + 1).alias("z"),
+        F.col("x").alias("px"),
+        F.col("y").alias("py"),
+    )
+    joined = present.join(
+        parents,
+        on=[
+            present.z == parents.z,
+            F.shiftright(present.x, 1) == parents.px,
+            F.shiftright(present.y, 1) == parents.py,
+        ],
+        how="left",
+    )
+    return (
+        joined.groupBy(present.z.alias("z"))
+        .agg(
+            F.count("*").alias("n_tiles"),
+            F.sum(
+                F.when((present.z >= 1) & F.col("px").isNull(), 1).otherwise(0)
+            ).cast("bigint").alias("n_orphans"),
+        )
+    )
+
+
+O_PYRAMID_GAPS = f"""
+WITH pts AS (
+  SELECT {LON_SQL.format(id="doc_id")} AS lon, {LAT_SQL.format(id="doc_id")} AS lat
+  FROM documents
+), t8 AS (
+  SELECT DISTINCT {_tile_sql("x", str(_PYR_ZMAX))} AS x8, {_tile_sql("y", str(_PYR_ZMAX))} AS y8
+  FROM pts
+), zs AS (SELECT z FROM generate_series(0, {_PYR_ZMAX}) t(z)),
+present AS (
+  SELECT DISTINCT CAST(z AS INTEGER) AS z,
+         x8 >> ({_PYR_ZMAX} - z) AS x, y8 >> ({_PYR_ZMAX} - z) AS y
+  FROM t8 CROSS JOIN zs
+), damaged AS (
+  SELECT * FROM present WHERE NOT {_PYR_DAMAGE}
+)
+SELECT c.z, count(*) AS n_tiles,
+       CAST(sum(CASE WHEN c.z >= 1 AND p.x IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_orphans
+FROM damaged c LEFT JOIN damaged p
+  ON p.z = c.z - 1 AND p.x = c.x >> 1 AND p.y = c.y >> 1
+GROUP BY c.z
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2447,6 +2721,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": q_dedup_clusters,
     "bpe_pair_counts": q_bpe_pair_counts,
     "bpe_merges": q_bpe_merges,
+    "c4_filter": q_c4_filter,
+    "gopher_filter": q_gopher_filter,
+    "normalized_dedup": q_normalized_dedup,
+    "dup_ngram_stats": q_dup_ngram_stats,
+    "winnow_fingerprints": q_winnow_fingerprints,
+    "pyramid_gaps": q_pyramid_gaps,
+    "filter_funnel": q_filter_funnel,
+    "kmeans_clusters": q_kmeans_clusters,
+    "semdedup_pairs": q_semdedup_pairs,
 }
 
 ORACLES: dict[str, str] = {
@@ -2510,6 +2793,15 @@ ORACLES: dict[str, str] = {
     "quality_deciles": O_QUALITY_DECILES,
     "knn_graph": O_KNN_GRAPH,
     "bpe_pair_counts": O_BPE_PAIR_COUNTS,
+    "c4_filter": O_C4_FILTER,
+    "gopher_filter": O_GOPHER_FILTER,
+    "normalized_dedup": O_NORMALIZED_DEDUP,
+    "dup_ngram_stats": O_DUP_NGRAM_STATS,
+    "winnow_fingerprints": O_WINNOW_FINGERPRINTS,
+    "pyramid_gaps": O_PYRAMID_GAPS,
+    "filter_funnel": O_FILTER_FUNNEL,
+    "kmeans_clusters": O_KMEANS_CLUSTERS,
+    "semdedup_pairs": O_SEMDEDUP_PAIRS,
     # bpe_merges: intentionally no oracle — sequential argmax/rewrite is
     # not SQL-expressible; validated merge-for-merge vs an independent
     # reference in tests/test_bpe.py (driver records rows-only).
