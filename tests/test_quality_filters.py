@@ -251,3 +251,50 @@ def test_pyramid_gaps_reports_damage(spark, sf_dir):
     out = {r.z: r for r in q_pyramid_gaps(spark, sf_dir).collect()}
     assert out[0].n_orphans == 0  # roots have no parent to miss
     assert sum(r.n_orphans for r in out.values()) > 0  # damage is visible
+
+
+# -- cross-engine fuzz --------------------------------------------------
+
+def test_quality_rules_spark_duckdb_fuzz_parity(spark):
+    """Row-for-row parity of C4, Gopher, and the funnel on adversarial
+    random word-salads (repeats, stopwords, single-word docs, long docs):
+    the rule chains must agree on inputs far outside the driver corpus."""
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    from versatiles_rs_spark.pages.quality_filters import (
+        c4_filter_sql,
+        filter_funnel,
+        filter_funnel_sql,
+        gopher_filter_sql,
+    )
+
+    rng = random.Random(11)
+    vocab = ["the", "a", "spark", "tile", "w", "xyzzy", "zoom14", "-", "..."]
+    cases = []
+    for i in range(120):
+        n = rng.choice([1, 2, 3, 7, 8, 9, 15, 40, 80])
+        # negative ids too: WARC-derived doc_ids are raw xxhash64 values
+        did = i if i % 3 else i - 10**15
+        cases.append((did, " ".join(rng.choice(vocab) for _ in range(n))))
+    pdf = pd.DataFrame(cases, columns=["doc_id", "text"])
+    sdf = spark.createDataFrame(pdf)
+    con = duckdb.connect()
+    con.register("documents", pdf)
+
+    for op, sql in [
+        (c4_filter, c4_filter_sql()),
+        (gopher_filter, gopher_filter_sql()),
+        (filter_funnel, filter_funnel_sql()),
+    ]:
+        got = op(sdf).toPandas()
+        want = con.sql(sql).df()
+        got = got[sorted(got.columns)].astype(str).sort_values(
+            by=sorted(got.columns), ignore_index=True
+        )
+        want = want[sorted(want.columns)].astype(str).sort_values(
+            by=sorted(want.columns), ignore_index=True
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)

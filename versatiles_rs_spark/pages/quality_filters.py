@@ -70,9 +70,11 @@ def decorated_lines(doc_id: str = "doc_id", text: str = "text") -> str:
     nl = f"cast(ceil(size({ws}) / {LINE_WORDS}.0) as int)"
     body = f"array_join(slice({ws}, i * {LINE_WORDS} + 1, {LINE_WORDS}), ' ')"
     bullet = f"(CASE WHEN ({doc_id} * 7 + i) % {BULLET_MOD} = 0 THEN '- ' ELSE '' END)"
+    # (((x % m) + m) % m): portable positive mod — doc_id may be a negative
+    # xxhash64 (WARC-derived ids), and both engines' % keeps the sign
     suffix = (
         f"element_at(array({_suffix_array_sql()}), "
-        f"cast(({doc_id} + i) % {len(SUFFIXES)} as int) + 1)"
+        f"cast(((({doc_id} + i) % {len(SUFFIXES)}) + {len(SUFFIXES)}) % {len(SUFFIXES)} as int) + 1)"
     )
     base = f"transform(sequence(0, {nl} - 1), i -> {bullet} || {body} || {suffix})"
     # slice(arr, 1, 0/1) keeps the element type concrete (array() would be
@@ -94,7 +96,10 @@ def decorated_lines_sql(doc_id: str = "doc_id", text: str = "text") -> str:
     nl = f"CAST(ceil(len({ws}) / {LINE_WORDS}.0) AS INT)"
     body = f"array_to_string({ws}[i * {LINE_WORDS} + 1 : i * {LINE_WORDS} + {LINE_WORDS}], ' ')"
     bullet = f"(CASE WHEN ({doc_id} * 7 + i) % {BULLET_MOD} = 0 THEN '- ' ELSE '' END)"
-    suffix = f"[{_suffix_array_sql()}][CAST(({doc_id} + i) % {len(SUFFIXES)} AS INT) + 1]"
+    suffix = (
+        f"[{_suffix_array_sql()}]"
+        f"[CAST(((({doc_id} + i) % {len(SUFFIXES)}) + {len(SUFFIXES)}) % {len(SUFFIXES)} AS INT) + 1]"
+    )
     base = f"list_transform(range(0, {nl}), i -> {bullet} || {body} || {suffix})"
     lorem = (
         f"(CASE WHEN {doc_id} % {LOREM_MOD} = 0 THEN ['{LOREM_LINE}'] "
