@@ -91,6 +91,14 @@ def main() -> int:
     ap.add_argument("--skip-c4", action="store_true")
     ap.add_argument("--skip-gopher", action="store_true")
     ap.add_argument("--skip-dedup", action="store_true")
+    ap.add_argument(
+        "--resumable", type=int, default=0, metavar="N_BUCKETS",
+        help="commit the curated corpus through the lineage protocol in "
+        "N_BUCKETS key-hash batches; a re-submitted job skips committed "
+        "buckets (kill-resume, time travel, metadata pruning). Each bucket "
+        "re-evaluates the filter plan — at scale, trade bucket count "
+        "(resume granularity) against scan amplification.",
+    )
     ap.add_argument("--master", default=None)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     args = ap.parse_args()
@@ -133,14 +141,15 @@ def main() -> int:
             "_surv", F.col("_c4") & F.col("_g") & (F.col("doc_id") == keeper)
         )
 
-    obs = Observation("funnel")
-    d = d.observe(
-        obs,
+    funnel_aggs = [
         F.count(F.lit(1)).alias("n_all"),
         F.sum(F.col("_c4").cast("long")).alias("n_c4"),
         F.sum((F.col("_c4") & F.col("_g")).cast("long")).alias("n_c4_gopher"),
         F.sum(F.col("_surv").cast("long")).alias("n_deduped"),
-    )
+    ]
+    if not args.resumable:
+        obs = Observation("funnel")
+        d = d.observe(obs, *funnel_aggs)
     survivors = d.where("_surv").drop("_c4", "_g", "_nh", "_surv")
     if args.sample < 1.0:
         survivors = stratified_sample(
@@ -150,11 +159,24 @@ def main() -> int:
             stratum_col="stratum",
             key_col="doc_id",
         ).drop("stratum")
-    survivors.write.mode("overwrite").parquet(args.output)
 
-    out_n = spark.read.parquet(args.output).count()
-    metrics = dict(obs.get)
-    metrics["n_written"] = int(out_n)
+    if args.resumable:
+        from versatiles_rs_spark.lineage import keyed_resumable, read_manifest
+
+        records = keyed_resumable(survivors, args.output, n_buckets=args.resumable)
+        manifest = read_manifest(args.output)
+        # observe() reports only the first action's run, so under the
+        # multi-batch protocol the funnel counts come from one dedicated agg
+        metrics = {k: int(v) for k, v in d.agg(*funnel_aggs).first().asDict().items()}
+        metrics["batches_run"] = len(records)
+        metrics["n_written"] = int(
+            sum(b["row_count"] for b in manifest["batches"].values())
+        )
+    else:
+        survivors.write.mode("overwrite").parquet(args.output)
+        out_n = spark.read.parquet(args.output).count()
+        metrics = dict(obs.get)
+        metrics["n_written"] = int(out_n)
     print(json.dumps({"metric": "curate", **{k: int(v) for k, v in metrics.items()}}))
     with open(f"{args.output.rstrip('/')}/_funnel_metrics.json", "w") as fh:
         json.dump(metrics, fh)

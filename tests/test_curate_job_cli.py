@@ -67,6 +67,56 @@ def test_curate_sample_and_skips(tmp_path, spark):
     assert a == b and m2["n_written"] == m["n_written"]
 
 
+def test_curate_resumable_lineage(tmp_path, spark):
+    from versatiles_rs_spark.lineage import read_tiles
+
+    out_dir = str(tmp_path / "curated_r")
+    m = _run([
+        "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--output", out_dir, "--resumable", "4", "--master", "local[4]",
+    ])
+    assert m["batches_run"] == 4
+    assert m["n_written"] == m["n_deduped"] > 0
+    # committed-files read equals the manifest's row accounting
+    got = read_tiles(spark, out_dir)
+    assert got.count() == m["n_written"]
+    # re-submission commits nothing and changes nothing
+    m2 = _run([
+        "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--output", out_dir, "--resumable", "4", "--master", "local[4]",
+    ])
+    assert m2["batches_run"] == 0
+    assert m2["n_written"] == m["n_written"]
+
+
+def test_keyed_resumable_partial_and_guard(tmp_path, spark):
+    from versatiles_rs_spark.lineage import (
+        KeyBatch,
+        keyed_resumable,
+        read_tiles,
+        write_key_batch,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    table = str(tmp_path / "tbl")
+    import os
+
+    os.makedirs(table)
+    # simulate a job killed after 2 of 4 bucket commits
+    for b in range(2):
+        write_key_batch(table, KeyBatch(b, 4), docs)
+    records = keyed_resumable(docs, table, n_buckets=4)
+    assert len(records) == 2  # only the missing buckets ran
+    assert read_tiles(spark, table).count() == docs.count()
+    # a second resume is a no-op
+    assert keyed_resumable(docs, table, n_buckets=4) == []
+    # resuming with a different bucket count is refused
+    import pytest
+
+    with pytest.raises(ValueError, match="different n_buckets"):
+        keyed_resumable(docs, table, n_buckets=8)
+
+
 def test_curate_warc_input(tmp_path, spark):
     from versatiles_rs_spark.pages.generator import synth_pages
     from versatiles_rs_spark.sources.warc import write_warc

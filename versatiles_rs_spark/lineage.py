@@ -172,20 +172,36 @@ def write_batch(table: str, batch: TileBatch, tiles: DataFrame) -> dict:
     data_dir = os.path.join(table, "data", f"batch={batch.batch_id}")
     part.write.mode("overwrite").parquet(data_dir)
     stats = obs.get
+    return _commit_batch(
+        table,
+        batch.batch_id,
+        data_dir,
+        stats,
+        extra_lineage={"z": batch.z, "x_block": batch.x_block, "y_block": batch.y_block},
+    )
 
+
+def _commit_batch(
+    table: str,
+    batch_id: str,
+    data_dir: str,
+    stats: dict,
+    extra_lineage: dict | None = None,
+) -> dict:
+    """The shared commit tail: data files -> lineage record -> snapshot ->
+    atomic manifest swap (a kill at any point leaves the previous snapshot
+    intact). Used by the tile-batch writer and the key-batch writer."""
     files = _file_stats(data_dir)
     lineage = {
-        "batch_id": batch.batch_id,
-        "z": batch.z,
-        "x_block": batch.x_block,
-        "y_block": batch.y_block,
+        "batch_id": batch_id,
+        **(extra_lineage or {}),
         **{k: (int(v) if v is not None else None) for k, v in stats.items()},
         "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "n_files": len(files),
         "files": files,
     }
     os.makedirs(os.path.join(table, "_lineage"), exist_ok=True)
-    with open(os.path.join(table, "_lineage", f"batch={batch.batch_id}.json"), "w") as f:
+    with open(os.path.join(table, "_lineage", f"batch={batch_id}.json"), "w") as f:
         json.dump(lineage, f, indent=1, sort_keys=True)
 
     manifest = read_manifest(table)
@@ -195,7 +211,7 @@ def write_batch(table: str, batch: TileBatch, tiles: DataFrame) -> dict:
         "snapshot_id": sid,
         "parent_id": parent if parent > 0 else None,
         "operation": "append",
-        "batch_id": batch.batch_id,
+        "batch_id": batch_id,
         "committed_at": lineage["committed_at"],
         "summary": {
             "added_rows": lineage["row_count"],
@@ -211,7 +227,7 @@ def write_batch(table: str, batch: TileBatch, tiles: DataFrame) -> dict:
         json.dump(snapshot, f, indent=1, sort_keys=True)
     os.replace(snap_tmp, os.path.join(table, "_snapshots", f"v{sid}.json"))
 
-    manifest["batches"][batch.batch_id] = {
+    manifest["batches"][batch_id] = {
         "row_count": lineage["row_count"],
         "bytes": lineage["bytes"],
         "committed_at": lineage["committed_at"],
@@ -234,6 +250,75 @@ def convert_resumable(
     os.makedirs(table, exist_ok=True)
     todo = resume_plan(table, plan_batches(min_zoom, max_zoom, block_bits))
     return [write_batch(table, b, tiles) for b in todo]
+
+
+@dataclass(frozen=True)
+class KeyBatch:
+    """One resumable work unit of a keyed (non-tile) table: a stable hash
+    bucket of the key column — the doc-corpus analog of TileBatch."""
+
+    bucket: int
+    n_buckets: int
+
+    @property
+    def batch_id(self) -> str:
+        return f"k{self.bucket}of{self.n_buckets}"
+
+
+def plan_key_batches(n_buckets: int) -> list[KeyBatch]:
+    return [KeyBatch(b, n_buckets) for b in range(n_buckets)]
+
+
+def write_key_batch(
+    table: str,
+    batch: KeyBatch,
+    df: DataFrame,
+    key_col: str = "doc_id",
+    bytes_col: str = "text",
+) -> dict:
+    """Write one hash bucket of a keyed table with the same commit
+    protocol as write_batch: bucket = pmod(xxhash64(key), n) is stable
+    across runs, so a resumed job re-derives identical buckets."""
+    obs = Observation()
+    part = df.filter(
+        F.pmod(F.xxhash64(F.col(key_col)), F.lit(batch.n_buckets)) == batch.bucket
+    ).observe(
+        obs,
+        F.count(F.lit(1)).alias("row_count"),
+        F.coalesce(F.sum(F.length(bytes_col)), F.lit(0)).alias("bytes"),
+    )
+    data_dir = os.path.join(table, "data", f"batch={batch.batch_id}")
+    part.write.mode("overwrite").parquet(data_dir)
+    return _commit_batch(
+        table,
+        batch.batch_id,
+        data_dir,
+        obs.get,
+        extra_lineage={"bucket": batch.bucket, "n_buckets": batch.n_buckets},
+    )
+
+
+def keyed_resumable(
+    df: DataFrame,
+    table: str,
+    n_buckets: int = 16,
+    key_col: str = "doc_id",
+    bytes_col: str = "text",
+) -> list[dict]:
+    """Run (or resume) a keyed-table write bucket-by-bucket — the
+    curation-pipeline counterpart of convert_resumable. Refuses to resume
+    a table committed with a different bucket count (the bucket->batch
+    mapping would no longer line up and rows would duplicate)."""
+    os.makedirs(table, exist_ok=True)
+    done = set(read_manifest(table)["batches"])
+    stale = {b for b in done if b.startswith("k") and not b.endswith(f"of{n_buckets}")}
+    if stale:
+        raise ValueError(
+            f"{table} has batches {sorted(stale)} from a different n_buckets; "
+            f"resume must reuse the original bucket count"
+        )
+    todo = resume_plan(table, plan_key_batches(n_buckets))
+    return [write_key_batch(table, b, df, key_col, bytes_col) for b in todo]
 
 
 def plan_files(
