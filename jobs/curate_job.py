@@ -22,6 +22,9 @@ Scale shape: ONE corpus pass. Every filter flag is per-row column math
 (zero shuffles); the dedup adds the one window shuffle any dedup needs;
 funnel metrics are collected with DataFrame.observe DURING the output
 write (no second aggregation job) — the lineage-module metrics pattern.
+With --resumable N the output commits through the lineage protocol in
+key-hash batches instead (kill-resume + time travel), and the funnel
+metrics come from one dedicated aggregate.
 """
 
 from __future__ import annotations
@@ -29,55 +32,6 @@ from __future__ import annotations
 import argparse
 import json
 import sys
-
-
-def _load_corpus(spark, path: str):
-    """-> DataFrame(doc_id, text, lang, url?) regardless of input shape."""
-    from pyspark.sql import functions as F
-
-    if not path.endswith(".parquet") and any(
-        n.endswith((".warc", ".warc.gz")) for n in _listing(path)
-    ):
-        from versatiles_rs_spark.pages.extract import with_extracted_text
-        from versatiles_rs_spark.queries import _LANG_PRED_EXPR
-        from versatiles_rs_spark.sources.warc import read_warc
-
-        pages = with_extracted_text(read_warc(spark, path))
-        return pages.select(
-            F.xxhash64("url").alias("doc_id"),
-            F.col("extracted_text").alias("text"),
-            F.expr(_LANG_PRED_EXPR.replace("text", "extracted_text")).alias("lang"),
-            "url",
-        )
-    src = spark.read.parquet(path)
-    cols = {f.name for f in src.schema.fields}
-    if {"url", "html"} <= cols:
-        from versatiles_rs_spark.pages.extract import with_extracted_text
-
-        pages = with_extracted_text(src)
-        out = pages.select(
-            (F.xxhash64("url") if "doc_id" not in cols else F.col("doc_id")).alias("doc_id"),
-            F.col("extracted_text").alias("text"),
-            *(["lang"] if "lang" in cols else []),
-            "url",
-        )
-        if "lang" not in cols:
-            from versatiles_rs_spark.queries import _LANG_PRED_EXPR
-
-            out = out.withColumn("lang", F.expr(_LANG_PRED_EXPR))
-        return out
-    if "lang" not in cols:
-        src = src.withColumn("lang", F.lit("und"))
-    return src.select("doc_id", "text", "lang")
-
-
-def _listing(path: str) -> list[str]:
-    import os
-
-    try:
-        return os.listdir(path)
-    except (NotADirectoryError, FileNotFoundError):
-        return []
 
 
 def main() -> int:
@@ -103,14 +57,13 @@ def main() -> int:
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     args = ap.parse_args()
 
-    from pyspark.sql import Observation, Window
+    from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
-    from versatiles_rs_spark.pages.quality_filters import (
-        _c4_cols,
-        _gopher_cols,
-        _with_decorated,
-        normalize_text,
+    from versatiles_rs_spark.operators.curate import (
+        curation_flags,
+        curation_survivors,
+        load_corpus,
     )
     from versatiles_rs_spark.pages.sampling import stratified_sample
     from versatiles_rs_spark.session import get_spark
@@ -120,37 +73,17 @@ def main() -> int:
         master=args.master,
         shuffle_partitions=args.shuffle_partitions,
     )
-    corpus = _load_corpus(spark, args.input)
-
-    d = _with_decorated(corpus, "doc_id", "text")
-    c4 = F.lit(True) if args.skip_c4 else _c4_cols()["keep"]
-    gopher = F.lit(True) if args.skip_gopher else _gopher_cols()["keep"]
-    d = d.select(
-        *[c for c in corpus.columns],
-        c4.alias("_c4"),
-        gopher.alias("_g"),
-        F.md5(F.expr(normalize_text("text"))).alias("_nh"),
+    corpus = load_corpus(spark, args.input)
+    d, funnel_aggs = curation_flags(
+        corpus,
+        skip_c4=args.skip_c4,
+        skip_gopher=args.skip_gopher,
+        skip_dedup=args.skip_dedup,
     )
-    if args.skip_dedup:
-        d = d.withColumn("_surv", F.col("_c4") & F.col("_g"))
-    else:
-        keeper = F.min(F.when(F.col("_c4") & F.col("_g"), F.col("doc_id"))).over(
-            Window.partitionBy("_nh")
-        )
-        d = d.withColumn(
-            "_surv", F.col("_c4") & F.col("_g") & (F.col("doc_id") == keeper)
-        )
-
-    funnel_aggs = [
-        F.count(F.lit(1)).alias("n_all"),
-        F.sum(F.col("_c4").cast("long")).alias("n_c4"),
-        F.sum((F.col("_c4") & F.col("_g")).cast("long")).alias("n_c4_gopher"),
-        F.sum(F.col("_surv").cast("long")).alias("n_deduped"),
-    ]
     if not args.resumable:
         obs = Observation("funnel")
         d = d.observe(obs, *funnel_aggs)
-    survivors = d.where("_surv").drop("_c4", "_g", "_nh", "_surv")
+    survivors = curation_survivors(d)
     if args.sample < 1.0:
         survivors = stratified_sample(
             survivors.withColumn("stratum", F.col(args.stratify_by)),
@@ -179,7 +112,7 @@ def main() -> int:
         metrics["n_written"] = int(out_n)
     print(json.dumps({"metric": "curate", **{k: int(v) for k, v in metrics.items()}}))
     with open(f"{args.output.rstrip('/')}/_funnel_metrics.json", "w") as fh:
-        json.dump(metrics, fh)
+        json.dump({k: int(v) for k, v in metrics.items()}, fh)
     spark.stop()
     return 0
 
