@@ -76,3 +76,35 @@ def test_canonical_is_idempotent_and_codegen(spark):
     # of the codegen span, but the whole expression is still JVM-evaluated:
     # zero Python anywhere in the plan
     assert "Python" not in plan and "BatchEval" not in plan
+
+
+def test_registered_domain_psl_branches(spark):
+    """Every branch of the PSL algorithm: 2-label and 3-label public
+    suffixes, deep subdomains, plain TLD, single label, host == suffix.
+    Spark and DuckDB twins must agree case-for-case."""
+    import duckdb
+
+    from versatiles_rs_spark.pages.urls import registered_domain, registered_domain_sql
+
+    cases = [
+        ("www.example.co.uk", "example.co.uk"),
+        ("a.b.example.co.uk", "example.co.uk"),
+        ("myblog.blogspot.com", "myblog.blogspot.com"),
+        ("deep.myblog.blogspot.com", "myblog.blogspot.com"),
+        ("bucket.s3.amazonaws.com", "bucket.s3.amazonaws.com"),
+        ("x.bucket.s3.amazonaws.com", "bucket.s3.amazonaws.com"),
+        ("a.b.c.example.com", "example.com"),
+        ("example.com", "example.com"),
+        ("localhost", "localhost"),
+        ("co.uk", "co.uk"),  # host == suffix: pass through (documented)
+        ("user.github.io", "user.github.io"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame({"h": [c[0] for c in cases]}))
+    got = [r["d"] for r in df.select(registered_domain(F.col("h")).alias("d")).collect()]
+    assert got == [c[1] for c in cases]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(i INTEGER, h VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(c[0] for c in cases)))
+    want = [r[0] for r in con.sql(
+        f"SELECT {registered_domain_sql('h')} FROM t ORDER BY i").fetchall()]
+    assert got == want

@@ -111,3 +111,54 @@ def host_key(url: Column) -> Column:
 
 def host_key_sql(expr: str) -> str:
     return f"array_to_string(list_reverse(string_split({host_of_sql(expr)}, '.')), '.')"
+
+
+# Embedded subset of the Mozilla Public Suffix List: the multi-label
+# suffixes a crawl actually meets at volume. The real PSL is a data file
+# a deployment ships alongside the job (~10k entries — still a broadcast
+# literal by the same construction); the ALGORITHM (longest matching
+# suffix + one label) is what is implemented and tested here.
+PSL_MULTI = (
+    "co.uk", "org.uk", "gov.uk", "ac.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "or.jp", "ne.jp",
+    "com.br", "com.cn", "com.mx", "co.in", "co.kr", "co.za",
+    "github.io", "gitlab.io", "blogspot.com", "s3.amazonaws.com",
+)
+
+
+def registered_domain(host: Column) -> Column:
+    """Registered (PSL-aware) domain of a lowercased host:
+    foo.bar.co.uk -> bar.co.uk, a.b.example.com -> example.com.
+    Longest multi-label suffix wins; otherwise eTLD = last label.
+    Hosts without dots (localhost, IPs are out of scope) pass through."""
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    # last-2 and last-3 joined: candidates against the multi-label set
+    last2 = F.array_join(F.slice(parts, n - 1, 2), ".")
+    last3 = F.array_join(F.slice(parts, n - 2, 3), ".")
+    in2 = last2.isin(*PSL_MULTI)
+    in3 = last3.isin(*PSL_MULTI)
+    return (
+        F.when(n <= 1, host)
+        .when((n >= 4) & in3, F.array_join(F.slice(parts, n - 3, 4), "."))
+        .when((n >= 3) & in2, F.array_join(F.slice(parts, n - 2, 3), "."))
+        .otherwise(F.array_join(F.slice(parts, F.greatest(n - 1, F.lit(1)), 2), "."))
+    )
+
+
+def registered_domain_sql(expr: str) -> str:
+    """DuckDB twin of registered_domain over a lowercased-host expression."""
+    in_set = ", ".join(f"'{s}'" for s in PSL_MULTI)
+    parts = f"string_split({expr}, '.')"
+    n = f"len({parts})"
+    last2 = f"array_to_string({parts}[{n} - 1 : {n}], '.')"
+    last3 = f"array_to_string({parts}[{n} - 2 : {n}], '.')"
+    return (
+        f"CASE WHEN {n} <= 1 THEN {expr} "
+        f"WHEN {n} >= 4 AND {last3} IN ({in_set}) "
+        f"THEN array_to_string({parts}[{n} - 3 : {n}], '.') "
+        f"WHEN {n} >= 3 AND {last2} IN ({in_set}) "
+        f"THEN array_to_string({parts}[{n} - 2 : {n}], '.') "
+        f"ELSE array_to_string({parts}[greatest({n} - 1, 1) : {n}], '.') END"
+    )

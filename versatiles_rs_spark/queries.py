@@ -2572,6 +2572,103 @@ O_SEMDEDUP_PAIRS = _o_semdedup_pairs()
 
 
 # ---------------------------------------------------------------------------
+# 36b. registered domains (PSL algorithm) + crawl politeness scheduling
+# ---------------------------------------------------------------------------
+
+# deterministic host zoo exercising every branch of the PSL algorithm:
+# multi-label public suffixes (2- and 3-label), deep subdomains, plain TLDs
+_HOST_SPARK = (
+    "CASE cast(doc_id % 4 as int) "
+    "WHEN 0 THEN 'www.' || source || '.example.co.uk' "
+    "WHEN 1 THEN source || '.github.io' "
+    "WHEN 2 THEN 'a.b.' || source || '.com' "
+    "ELSE source || '.blogspot.com' END"
+)
+_HOST_DUCK = (
+    "CASE CAST(doc_id % 4 AS INT) "
+    "WHEN 0 THEN 'www.' || source || '.example.co.uk' "
+    "WHEN 1 THEN source || '.github.io' "
+    "WHEN 2 THEN 'a.b.' || source || '.com' "
+    "ELSE source || '.blogspot.com' END"
+)
+
+
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered-domain rollup (the crawl-dedup / politeness key): the
+    public-suffix algorithm (longest multi-label suffix + one label) as
+    pure Column math over a host zoo hitting every branch. One hash-agg."""
+    from versatiles_rs_spark.pages.urls import registered_domain
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    host = F.expr(_HOST_SPARK)
+    return (
+        docs.select(
+            registered_domain(host).alias("rdomain"), host.alias("host")
+        )
+        .groupBy("rdomain")
+        .agg(F.count("*").alias("n_docs"), F.countDistinct("host").alias("n_hosts"))
+    )
+
+
+def _o_domain_stats() -> str:
+    from versatiles_rs_spark.pages.urls import registered_domain_sql
+
+    rd = registered_domain_sql(f"({_HOST_DUCK})")
+    return f"""
+SELECT {rd} AS rdomain, count(*) AS n_docs,
+       count(DISTINCT ({_HOST_DUCK})) AS n_hosts
+FROM documents GROUP BY 1
+"""
+
+
+O_DOMAIN_STATS = _o_domain_stats()
+
+_CRAWL_RATE = 3  # fetches per politeness slot per registered domain
+
+
+def q_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier politeness scheduling: per registered domain,
+    deterministic fetch order (doc_id) bucketed into rate-limited slots —
+    one window shuffle on the domain key, the frontier-scheduler shape."""
+    from pyspark.sql import Window
+
+    from versatiles_rs_spark.pages.urls import registered_domain
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    host = F.expr(_HOST_SPARK)
+    d = docs.select("doc_id", registered_domain(host).alias("rdomain"))
+    rn = F.row_number().over(Window.partitionBy("rdomain").orderBy("doc_id"))
+    d = d.withColumn("slot", ((rn - 1) / _CRAWL_RATE).cast("bigint"))
+    return d.groupBy("rdomain").agg(
+        F.count("*").alias("n_docs"),
+        (F.max("slot") + 1).alias("n_slots"),
+        F.sum("slot").alias("slot_checksum"),
+    )
+
+
+def _o_crawl_schedule() -> str:
+    from versatiles_rs_spark.pages.urls import registered_domain_sql
+
+    rd = registered_domain_sql(f"({_HOST_DUCK})")
+    return f"""
+WITH d AS (
+  SELECT doc_id, {rd} AS rdomain FROM documents
+), s AS (
+  SELECT rdomain,
+         CAST((row_number() OVER (PARTITION BY rdomain ORDER BY doc_id) - 1)
+              // {_CRAWL_RATE} AS BIGINT) AS slot
+  FROM d
+)
+SELECT rdomain, count(*) AS n_docs, max(slot) + 1 AS n_slots,
+       CAST(sum(slot) AS BIGINT) AS slot_checksum
+FROM s GROUP BY 1
+"""
+
+
+O_CRAWL_SCHEDULE = _o_crawl_schedule()
+
+
+# ---------------------------------------------------------------------------
 # 37. tile-pyramid integrity validation (the `validate` side of convert)
 # ---------------------------------------------------------------------------
 
@@ -2730,6 +2827,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "filter_funnel": q_filter_funnel,
     "kmeans_clusters": q_kmeans_clusters,
     "semdedup_pairs": q_semdedup_pairs,
+    "domain_stats": q_domain_stats,
+    "crawl_schedule": q_crawl_schedule,
 }
 
 ORACLES: dict[str, str] = {
@@ -2802,6 +2901,8 @@ ORACLES: dict[str, str] = {
     "filter_funnel": O_FILTER_FUNNEL,
     "kmeans_clusters": O_KMEANS_CLUSTERS,
     "semdedup_pairs": O_SEMDEDUP_PAIRS,
+    "domain_stats": O_DOMAIN_STATS,
+    "crawl_schedule": O_CRAWL_SCHEDULE,
     # bpe_merges: intentionally no oracle — sequential argmax/rewrite is
     # not SQL-expressible; validated merge-for-merge vs an independent
     # reference in tests/test_bpe.py (driver records rows-only).
