@@ -623,9 +623,94 @@ above), so these ratios read against that ceiling like everything else.
     print(json.dumps(summary))
 
 
+def job_curate_funnel(spark, sf_dir, replicate: int = 1) -> dict:
+    """The curation funnel (C4+Gopher flags -> normalized-dedup window ->
+    4-group agg) as a timed job. 100% JVM Column math — the webtext-layer
+    counterpart of the pure-JVM tile_assign scaling control."""
+    from pyspark.sql import functions as F
+
+    from versatiles_rs_spark.operators.curate import curation_flags
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    if replicate > 1:
+        docs = docs.repartition(spark.sparkContext.defaultParallelism * 2)
+        r = F.explode(F.sequence(F.lit(0), F.lit(replicate - 1))).alias("r")
+        docs = docs.select("doc_id", "text", r).select(
+            (F.col("doc_id") * replicate + F.col("r")).alias("doc_id"), "text"
+        )
+    d, aggs = curation_flags(docs)
+    row = d.agg(*aggs).first().asDict()
+    return {k: int(v) for k, v in row.items()}
+
+
+def run_curate_scaling() -> None:
+    """local[8] vs local[32] for the curation funnel — appended to
+    BENCH/BASELINE.md. Same interleaved protocol as run_scaling (the
+    RATIO cancels minute-scale ambient drift); tile_assign rides in the
+    same passes as the established pure-JVM normalization control."""
+    passes = int(os.environ.get("SPARK_GRAFT_SCALING_PASSES", "3"))
+    replicate = int(os.environ.get("SPARK_GRAFT_SCALING_REPLICATE", "64"))
+    samples: dict[int, dict[str, list[float]]] = {
+        8: {"funnel": [], "jvm": []},
+        32: {"funnel": [], "jvm": []},
+    }
+    n_docs = {}
+    for _pass in range(passes):
+        for cpus in (8, 32):
+            spark = _session(cpus)
+            job_curate_funnel(spark, SF_DIR)  # warm-up
+            t0 = time.time()
+            out = job_curate_funnel(spark, SF_DIR, replicate=replicate)
+            samples[cpus]["funnel"].append(time.time() - t0)
+            n_docs[cpus] = out["n_all"]
+            t0 = time.time()
+            job_tile_assign(spark, SF_DIR, replicate=replicate * 4)
+            samples[cpus]["jvm"].append(time.time() - t0)
+            spark.stop()
+
+    def best(c, j):
+        return min(samples[c][j])
+
+    eff_funnel = (best(8, "funnel") / best(32, "funnel")) / 4.0
+    eff_jvm = (best(8, "jvm") / best(32, "jvm")) / 4.0
+    lines = [
+        "",
+        "## Curation-funnel scaling (round 4c, `bench.py --curate-scaling`)",
+        "",
+        f"{n_docs[32]} docs (x{replicate} replication of sf{SF} documents), "
+        f"{passes} interleaved passes, per-pass seconds (best-of bolded by min):",
+        "",
+        "| cores | funnel passes | jvm-control passes |",
+        "|---|---|---|",
+    ]
+    for cpus in (8, 32):
+        f = ", ".join(f"{v:.2f}" for v in samples[cpus]["funnel"])
+        j = ", ".join(f"{v:.2f}" for v in samples[cpus]["jvm"])
+        lines.append(f"| {cpus} | {f} | {j} |")
+    lines += [
+        "",
+        f"Raw 8->32 efficiency (best-of): funnel **{eff_funnel:.3f}**, "
+        f"pure-JVM tile_assign control **{eff_jvm:.3f}** (same passes). "
+        f"Funnel/control ratio **{eff_funnel / eff_jvm:.3f}** — the funnel is "
+        "all-JVM Column math (one dedup-window shuffle), so its scaling "
+        "tracks whatever this box's ambient ceiling allows the control; "
+        "see the main scaling section for the measured no-Spark ceilings.",
+    ]
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "BASELINE.md"), "a") as fh:
+        fh.write("\n".join(lines) + "\n")
+    print(json.dumps({
+        "metric": "curate_funnel_8to32_efficiency",
+        "value": round(eff_funnel, 3),
+        "jvm_control": round(eff_jvm, 3),
+        "passes": {str(c): [round(v, 2) for v in samples[c]["funnel"]] for c in (8, 32)},
+    }))
+
+
 if __name__ == "__main__":
     if "--cluster-scaling" in sys.argv:
         run_cluster_scaling()
+    elif "--curate-scaling" in sys.argv:
+        run_curate_scaling()
     elif "--scaling" in sys.argv:
         run_scaling()
     else:
