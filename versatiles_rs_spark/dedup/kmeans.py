@@ -92,7 +92,7 @@ def lloyd_kmeans(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> tuple[DataFrame, list[list[int]]]:
+) -> tuple[DataFrame, list[tuple[int, list[int]]]]:
     """Run `iters` assign/update rounds; returns (assignments, centroids)
     where assignments = (vec_id, qv, cid) under the FINAL update's
     centroids' predecessor assignment (i.e. the membership the last
