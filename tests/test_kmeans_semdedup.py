@@ -100,6 +100,21 @@ def test_semdedup_clones_cocluster_and_pair(spark, sf_dir):
         assert r["qdot"] >= 950_000_000_000
 
 
+def test_kmeans_k_exceeds_rows(spark):
+    """k > n: init takes what exists; every row is its own seed cluster."""
+    import pandas as pd
+
+    rows = pd.DataFrame({
+        "vec_id": [0, 1, 2],
+        "embedding": [[1.0, 0.0], [0.0, 1.0], [-1.0, 0.0]],
+    })
+    df = spark.createDataFrame(rows)
+    assigned, cents = lloyd_kmeans(df, k=8, iters=2)
+    got = {r["vec_id"]: r["cid"] for r in assigned.collect()}
+    assert got == {0: 0, 1: 1, 2: 2}
+    assert [c for c, _ in cents] == [0, 1, 2]
+
+
 def test_funnel_monotone_and_consistent(spark, docs, sf_dir):
     rows = {r["stage"]: r for r in filter_funnel(docs).collect()}
     assert set(rows) == {"all", "c4", "c4_gopher", "c4_gopher_dedup"}
