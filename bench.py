@@ -623,7 +623,8 @@ above), so these ratios read against that ceiling like everything else.
     print(json.dumps(summary))
 
 
-def job_curate_funnel(spark, sf_dir, replicate: int = 1, dedup: bool = True) -> dict:
+def job_curate_funnel(spark, sf_dir, replicate: int = 1, dedup: bool = True,
+                      normalizer: str = "column") -> dict:
     """The curation funnel (C4+Gopher flags -> normalized-dedup window ->
     4-group agg) as a timed job. 100% JVM Column math — the webtext-layer
     counterpart of the pure-JVM tile_assign scaling control. dedup=False
@@ -640,7 +641,7 @@ def job_curate_funnel(spark, sf_dir, replicate: int = 1, dedup: bool = True) -> 
             (F.col("doc_id") * replicate + F.col("r")).alias("doc_id"), "text"
         )
         docs = docs.repartition(spark.sparkContext.defaultParallelism * 2)
-    d, aggs = curation_flags(docs, skip_dedup=not dedup)
+    d, aggs = curation_flags(docs, skip_dedup=not dedup, normalizer=normalizer)
     row = d.agg(*aggs).first().asDict()
     return {k: int(v) for k, v in row.items()}
 
@@ -653,8 +654,8 @@ def run_curate_scaling() -> None:
     passes = int(os.environ.get("SPARK_GRAFT_SCALING_PASSES", "3"))
     replicate = int(os.environ.get("SPARK_GRAFT_SCALING_REPLICATE", "64"))
     samples: dict[int, dict[str, list[float]]] = {
-        8: {"funnel": [], "flags": [], "jvm": []},
-        32: {"funnel": [], "flags": [], "jvm": []},
+        8: {"funnel": [], "funnel_pd": [], "flags": [], "jvm": []},
+        32: {"funnel": [], "funnel_pd": [], "flags": [], "jvm": []},
     }
     n_docs = {}
     for _pass in range(passes):
@@ -666,6 +667,9 @@ def run_curate_scaling() -> None:
             samples[cpus]["funnel"].append(time.time() - t0)
             n_docs[cpus] = out["n_all"]
             t0 = time.time()
+            job_curate_funnel(spark, SF_DIR, replicate=replicate, normalizer="pandas")
+            samples[cpus]["funnel_pd"].append(time.time() - t0)
+            t0 = time.time()
             job_curate_funnel(spark, SF_DIR, replicate=replicate, dedup=False)
             samples[cpus]["flags"].append(time.time() - t0)
             t0 = time.time()
@@ -676,7 +680,8 @@ def run_curate_scaling() -> None:
     def best(c, j):
         return min(samples[c][j])
 
-    eff = {j: (best(8, j) / best(32, j)) / 4.0 for j in ("funnel", "flags", "jvm")}
+    eff = {j: (best(8, j) / best(32, j)) / 4.0
+           for j in ("funnel", "funnel_pd", "flags", "jvm")}
     lines = [
         "",
         "## Curation-funnel scaling (round 4c, `bench.py --curate-scaling`)",
@@ -684,20 +689,22 @@ def run_curate_scaling() -> None:
         f"{n_docs[32]} docs (x{replicate} replication of sf{SF} documents), "
         f"{passes} interleaved passes, per-pass seconds:",
         "",
-        "| cores | full funnel | flags-only (no dedup normalization) | jvm control |",
-        "|---|---|---|---|",
+        "| cores | full funnel (column norm) | full funnel (pandas norm) | flags-only | jvm control |",
+        "|---|---|---|---|---|",
     ]
     for cpus in (8, 32):
         row = " | ".join(
             ", ".join(f"{v:.2f}" for v in samples[cpus][j])
-            for j in ("funnel", "flags", "jvm")
+            for j in ("funnel", "funnel_pd", "flags", "jvm")
         )
         lines.append(f"| {cpus} | {row} |")
     lines += [
         "",
-        f"Raw 8->32 efficiency (best-of): full funnel **{eff['funnel']:.3f}**, "
-        f"flags-only **{eff['flags']:.3f}**, pure-JVM tile_assign control "
-        f"**{eff['jvm']:.3f}** (same passes).",
+        f"Raw 8->32 efficiency (best-of): full funnel **{eff['funnel']:.3f}** "
+        f"(column norm) / **{eff['funnel_pd']:.3f}** (pandas norm, absolute "
+        f"best-of {best(32, 'funnel_pd'):.2f} s vs {best(32, 'funnel'):.2f} s "
+        f"at 32 cores), flags-only **{eff['flags']:.3f}**, pure-JVM "
+        f"tile_assign control **{eff['jvm']:.3f}** (same passes).",
         "",
         "Decomposition (measured separately, this round): the C4/Gopher flag",
         "computation scales like the arithmetic control; the NON-scaling term",
@@ -711,14 +718,20 @@ def run_curate_scaling() -> None:
         "scales cleanly (0.3 s at 32 cores). Same environment-ceiling class",
         "as the Arrow-IPC term in the main section: per-row cost is ~30 us",
         "single-thread and the stage joins no shuffle, so dedicated-core",
-        "executors parallelize it trivially.",
+        "executors parallelize it trivially. The shipped mitigation is the",
+        "Arrow-batched normalizer twin (normalize_text_pandas, equality-",
+        "tested char-for-char): separate Python worker processes + pandas'",
+        "C regex engine sidestep the JVM allocator contention — the",
+        "funnel_pd series above measures the same funnel with it.",
     ]
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "BASELINE.md"), "a") as fh:
         fh.write("\n".join(lines) + "\n")
     print(json.dumps({
         "metric": "curate_funnel_8to32_efficiency",
-        "value": round(eff_funnel, 3),
-        "jvm_control": round(eff_jvm, 3),
+        "value": round(eff["funnel"], 3),
+        "pandas_norm": round(eff["funnel_pd"], 3),
+        "flags_only": round(eff["flags"], 3),
+        "jvm_control": round(eff["jvm"], 3),
         "passes": {str(c): [round(v, 2) for v in samples[c]["funnel"]] for c in (8, 32)},
     }))
 

@@ -45,6 +45,10 @@ def main() -> int:
     ap.add_argument("--skip-c4", action="store_true")
     ap.add_argument("--skip-gopher", action="store_true")
     ap.add_argument("--skip-dedup", action="store_true")
+    ap.add_argument("--normalizer", choices=["column", "pandas"], default="column",
+                    help="dedup normalization path: the oracle-shared JVM rule "
+                    "chain or the Arrow-batched twin (identical output, faster "
+                    "on string-bandwidth-bound hosts)")
     ap.add_argument(
         "--resumable", type=int, default=0, metavar="N_BUCKETS",
         help="commit the curated corpus through the lineage protocol in "
@@ -79,6 +83,7 @@ def main() -> int:
         skip_c4=args.skip_c4,
         skip_gopher=args.skip_gopher,
         skip_dedup=args.skip_dedup,
+        normalizer=args.normalizer,
     )
     if not args.resumable:
         obs = Observation("funnel")

@@ -45,6 +45,7 @@ def main() -> int:
     ap.add_argument("--skip-c4", action="store_true")
     ap.add_argument("--skip-gopher", action="store_true")
     ap.add_argument("--skip-dedup", action="store_true")
+    ap.add_argument("--normalizer", choices=["column", "pandas"], default="column")
     ap.add_argument("--master", default=None)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     args = ap.parse_args()
@@ -82,6 +83,7 @@ def main() -> int:
         skip_c4=args.skip_c4,
         skip_gopher=args.skip_gopher,
         skip_dedup=args.skip_dedup,
+        normalizer=args.normalizer,
     )
     survivors = curation_survivors(d)
     if args.sample < 1.0:

@@ -253,6 +253,43 @@ def test_pyramid_gaps_reports_damage(spark, sf_dir):
     assert sum(r.n_orphans for r in out.values()) > 0  # damage is visible
 
 
+# -- the Arrow-batched normalizer twin ----------------------------------
+
+def test_pandas_normalizer_equals_column_path(spark, docs):
+    """normalize_text_pandas must match the JVM Column chain character-
+    for-character — on the corpus AND on adversarial punctuation/space/
+    case mixes — and the pandas-normalizer curation path must select the
+    identical survivor set."""
+    import pandas as pd
+
+    from versatiles_rs_spark.operators.curate import curation_flags, curation_survivors
+    from versatiles_rs_spark.pages.quality_filters import (
+        normalize_text,
+        normalize_text_pandas,
+    )
+
+    npd = normalize_text_pandas()
+    j = docs.select(
+        F.expr(normalize_text("text")).alias("a"), npd(F.col("text")).alias("b")
+    )
+    assert j.where("a <> b").count() == 0
+
+    cases = ["  A!!b  c ", "UPPER lower", "a\tb", "..", "", "x  y   z!!", "123 abc-def"]
+    cdf = spark.createDataFrame(pd.DataFrame({"text": cases}))
+    got = cdf.select(
+        F.expr(normalize_text("text")).alias("a"), npd(F.col("text")).alias("b")
+    ).collect()
+    for r in got:
+        assert r["a"] == r["b"], (r["a"], r["b"])
+
+    base = docs.select("doc_id", "text")
+    s_col = curation_survivors(curation_flags(base)[0])
+    s_pd = curation_survivors(curation_flags(base, normalizer="pandas")[0])
+    a = {r["doc_id"] for r in s_col.collect()}
+    b = {r["doc_id"] for r in s_pd.collect()}
+    assert a == b
+
+
 # -- cross-engine fuzz --------------------------------------------------
 
 def test_quality_rules_spark_duckdb_fuzz_parity(spark):

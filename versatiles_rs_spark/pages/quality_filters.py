@@ -35,6 +35,7 @@ stages. `normalized_dedup` adds the one hash-aggregate any dedup needs.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -305,6 +306,26 @@ def normalize_text_sql(col: str) -> str:
         f"trim(regexp_replace(regexp_replace(lower({col}), '[^0-9a-z ]', '', 'g'),"
         f" ' +', ' ', 'g'))"
     )
+
+
+def normalize_text_pandas():
+    """Arrow-batched twin of normalize_text (pandas str ops, same two
+    regexes + trim) — the SCALE path. Measured on this box: the JVM
+    regexp_replace chain is memory-bandwidth-bound across threads (flat
+    wall time local[1]->local[32], see BENCH/BASELINE.md "Curation-funnel
+    scaling"), while separate Python worker processes with pandas' C
+    regex engine run the identical normalization ~7x faster at equal
+    cores. Equality with the Column path is pytest-asserted
+    character-for-character; oracle queries keep the Column form (the
+    cross-engine-shared rule chain)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        out = s.str.lower().str.replace(r"[^0-9a-z ]", "", regex=True)
+        return out.str.replace(r" +", " ", regex=True).str.strip()
+
+    return _norm
 
 
 def normalized_dedup(docs: DataFrame, doc_id: str = "doc_id", text: str = "text") -> DataFrame:
