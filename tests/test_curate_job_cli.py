@@ -89,6 +89,29 @@ def test_curate_resumable_lineage(tmp_path, spark):
     assert m2["n_written"] == m["n_written"]
 
 
+def test_curate_resumable_with_sample(tmp_path, spark):
+    """--resumable and --sample compose: the manifest accounts for the
+    SAMPLED survivors; the funnel metrics still report pre-sample dedup."""
+    out_dir = str(tmp_path / "curated_rs")
+    m = _run([
+        "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--output", out_dir, "--resumable", "2", "--sample", "0.5",
+        "--master", "local[4]",
+    ])
+    assert m["batches_run"] == 2
+    assert 0 < m["n_written"] < m["n_deduped"]
+    from versatiles_rs_spark.lineage import read_tiles
+
+    assert read_tiles(spark, out_dir).count() == m["n_written"]
+    # resume is still a no-op with the sample in place
+    m2 = _run([
+        "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--output", out_dir, "--resumable", "2", "--sample", "0.5",
+        "--master", "local[4]",
+    ])
+    assert m2["batches_run"] == 0 and m2["n_written"] == m["n_written"]
+
+
 def test_keyed_resumable_partial_and_guard(tmp_path, spark):
     from versatiles_rs_spark.lineage import (
         KeyBatch,

@@ -19,6 +19,31 @@ def _run(args):
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
+def test_pipeline_warc_input_with_sample(tmp_path, spark):
+    """The real crawl shape: WARC archives in, sampled curation, tiles out.
+    Geo must survive the curated table (extracted from the html meta)."""
+    from versatiles_rs_spark.lineage import read_tiles
+    from versatiles_rs_spark.pages.generator import synth_pages
+    from versatiles_rs_spark.sources.warc import write_warc
+
+    warc_dir = str(tmp_path / "crawl")
+    write_warc(synth_pages(spark, "/root/testdata/sf0.001").repartition(2), warc_dir)
+    wd = str(tmp_path / "run_w")
+    m = _run([
+        "--input", warc_dir, "--workdir", wd, "--min-zoom", "0", "--max-zoom", "3",
+        "--sample", "0.6", "--curate-buckets", "2", "--normalizer", "pandas",
+        "--master", "local[4]",
+    ])
+    f = m["funnel"]
+    assert f["n_all"] == 500
+    # the sample thins below the dedup survivors
+    assert 0 < m["n_curated"] < f["n_deduped"]
+    assert m["n_tiles"] > 0
+    curated = read_tiles(spark, f"{wd}/curated")
+    assert {"doc_id", "text", "lang", "url", "lon", "lat"} <= set(curated.columns)
+    assert curated.count() == m["n_curated"]
+
+
 def test_pipeline_end_to_end_and_resume(tmp_path, spark):
     wd = str(tmp_path / "run")
     args = [
