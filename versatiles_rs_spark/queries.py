@@ -2757,6 +2757,27 @@ GROUP BY c.z
 # ---------------------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "ann_ivfpq_topk": q_ann_ivfpq_topk,
+    "bpe_pair_counts": q_bpe_pair_counts,
+    "c4_filter": q_c4_filter,
+    "crawl_schedule": q_crawl_schedule,
+    "dedup_clusters": q_dedup_clusters,
+    "domain_stats": q_domain_stats,
+    "dup_ngram_stats": q_dup_ngram_stats,
+    "filter_funnel": q_filter_funnel,
+    "gopher_filter": q_gopher_filter,
+    "kmeans_clusters": q_kmeans_clusters,
+    "knn_graph": q_knn_graph,
+    "lm_perplexity": q_lm_perplexity,
+    "normalized_dedup": q_normalized_dedup,
+    "pyramid_gaps": q_pyramid_gaps,
+    "quality_deciles": q_quality_deciles,
+    "robots_filter": q_robots_filter,
+    "semdedup_pairs": q_semdedup_pairs,
+    "sessionize": q_sessionize,
+    "tile_anomaly": q_tile_anomaly,
+    "tile_diff": q_tile_diff,
+    "winnow_fingerprints": q_winnow_fingerprints,
     "tile_assign_counts": q_tile_assign_counts,
     "events_tile_counts": q_events_tile_counts,
     "zoom_stats": q_zoom_stats,
@@ -2807,28 +2828,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_topk": q_vocab_topk,
     "bm25_topk": q_bm25_topk,
     "word_pmi": q_word_pmi,
-    "quality_deciles": q_quality_deciles,
-    "sessionize": q_sessionize,
-    "robots_filter": q_robots_filter,
-    "tile_anomaly": q_tile_anomaly,
-    "lm_perplexity": q_lm_perplexity,
-    "ann_ivfpq_topk": q_ann_ivfpq_topk,
-    "knn_graph": q_knn_graph,
-    "tile_diff": q_tile_diff,
-    "dedup_clusters": q_dedup_clusters,
-    "bpe_pair_counts": q_bpe_pair_counts,
     "bpe_merges": q_bpe_merges,
-    "c4_filter": q_c4_filter,
-    "gopher_filter": q_gopher_filter,
-    "normalized_dedup": q_normalized_dedup,
-    "dup_ngram_stats": q_dup_ngram_stats,
-    "winnow_fingerprints": q_winnow_fingerprints,
-    "pyramid_gaps": q_pyramid_gaps,
-    "filter_funnel": q_filter_funnel,
-    "kmeans_clusters": q_kmeans_clusters,
-    "semdedup_pairs": q_semdedup_pairs,
-    "domain_stats": q_domain_stats,
-    "crawl_schedule": q_crawl_schedule,
 }
 
 ORACLES: dict[str, str] = {
