@@ -140,12 +140,21 @@ def job_zoom_stats(spark, sf_dir) -> dict:
     return {"rows": q_zoom_stats(spark, sf_dir).count()}
 
 
+def job_curate(spark, sf_dir) -> dict:
+    """Headline slot for the webtext curation layer: full funnel
+    (C4+Gopher flags -> normalized dedup -> 4-group agg) with the
+    Arrow/pandas normalizer twin — the production-fast path; the Column
+    normalizer remains the correctness spec (oracle `filter_funnel`)."""
+    return job_curate_funnel(spark, sf_dir, normalizer="pandas")
+
+
 JOBS = {
     "convert_pyramid": job_convert_pyramid,
     "pip_join": job_pip_join,
     "tile_assign": job_tile_assign,
     "ann_topk": job_ann_topk,
     "zoom_stats": job_zoom_stats,
+    "curate_funnel": job_curate,
 }
 
 
@@ -204,7 +213,7 @@ def run_bench() -> dict:
     total = round(sum(timings.values()), 3)
     tiles = extras["convert_pyramid"]["tiles"]
     return {
-        "metric": "headline_total_sec (convert z0-14 + pip join + assign + ann + stats)",
+        "metric": "headline_total_sec (convert z0-14 + pip join + assign + ann + stats + curate funnel)",
         "value": total,
         "unit": "sec",
         "queries": timings,
