@@ -49,6 +49,13 @@ def main() -> int:
                     help="dedup normalization path: the oracle-shared JVM rule "
                     "chain or the Arrow-batched twin (identical output, faster "
                     "on string-bandwidth-bound hosts)")
+    ap.add_argument("--neardup", choices=["none", "minhash"], default="none",
+                    help="near-duplicate stage after normalized dedup: "
+                    "MinHash-LSH banded pairs, exact-Jaccard verified, "
+                    "connected-component clusters, min-doc_id keeper (the "
+                    "oracle-checked filter_funnel_neardup semantics)")
+    ap.add_argument("--neardup-threshold", type=float, default=0.5,
+                    help="exact-Jaccard verify threshold for --neardup")
     ap.add_argument(
         "--resumable", type=int, default=0, metavar="N_BUCKETS",
         help="commit the curated corpus through the lineage protocol in "
@@ -89,6 +96,21 @@ def main() -> int:
         obs = Observation("funnel")
         d = d.observe(obs, *funnel_aggs)
     survivors = curation_survivors(d)
+    n_neardup_dropped = 0
+    if args.neardup != "none":
+        from pyspark.sql.functions import broadcast
+
+        from versatiles_rs_spark.pages.quality_filters import neardup_drop_ids
+
+        # computed ONCE and pinned: the drop set is O(duplicates), and
+        # localCheckpoint keeps the resumable path from re-running the
+        # LSH cascade per key-bucket batch
+        drops = neardup_drop_ids(
+            survivors.select("doc_id", "text"),
+            threshold=args.neardup_threshold,
+        ).localCheckpoint()
+        n_neardup_dropped = drops.count()
+        survivors = survivors.join(broadcast(drops), "doc_id", "left_anti")
     if args.sample < 1.0:
         survivors = stratified_sample(
             survivors.withColumn("stratum", F.col(args.stratify_by)),
@@ -115,6 +137,8 @@ def main() -> int:
         out_n = spark.read.parquet(args.output).count()
         metrics = dict(obs.get)
         metrics["n_written"] = int(out_n)
+    if args.neardup != "none":
+        metrics["n_neardup"] = int(metrics["n_deduped"]) - n_neardup_dropped
     print(json.dumps({"metric": "curate", **{k: int(v) for k, v in metrics.items()}}))
     with open(f"{args.output.rstrip('/')}/_funnel_metrics.json", "w") as fh:
         json.dump({k: int(v) for k, v in metrics.items()}, fh)

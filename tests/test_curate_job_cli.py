@@ -154,3 +154,50 @@ def test_curate_warc_input(tmp_path, spark):
     assert m["n_written"] == m["n_deduped"] > 0
     got = spark.read.parquet(out_dir)
     assert "url" in got.columns
+
+
+def test_curate_neardup_stage(tmp_path, spark):
+    """--neardup minhash inserts the LSH near-dup stage; counts agree
+    with the oracle-checked filter_funnel_neardup query's stage rows."""
+    out_dir = str(tmp_path / "curated_nd")
+    m = _run([
+        "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--output", out_dir, "--neardup", "minhash", "--master", "local[4]",
+    ])
+    assert m["n_all"] >= m["n_c4"] >= m["n_c4_gopher"] >= m["n_deduped"] \
+        >= m["n_neardup"]
+    assert m["n_written"] == m["n_neardup"] > 0
+    got = spark.read.parquet(out_dir)
+    assert got.count() == m["n_written"]
+
+    from versatiles_rs_spark.pages.quality_filters import filter_funnel
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    want = {r["stage"]: r["n_docs"]
+            for r in filter_funnel(docs, neardup_threshold=0.5).collect()}
+    assert m["n_deduped"] == want["c4_gopher_dedup"]
+    assert m["n_neardup"] == want["c4_gopher_neardup"]
+    # the stage dropped somebody on this corpus, or it proved a no-op —
+    # either way the survivor set matches the query's keeper rule
+    drop_expected = want["c4_gopher_dedup"] - want["c4_gopher_neardup"]
+    assert m["n_deduped"] - m["n_neardup"] == drop_expected
+
+
+def test_curate_neardup_resumable(tmp_path, spark):
+    """Near-dup stage composes with the lineage protocol: batches commit
+    the post-neardup survivor set; re-submission is a no-op."""
+    from versatiles_rs_spark.lineage import read_tiles
+
+    out_dir = str(tmp_path / "curated_ndr")
+    args = [
+        "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--output", out_dir, "--neardup", "minhash",
+        "--resumable", "3", "--master", "local[4]",
+    ]
+    m = _run(args)
+    assert m["batches_run"] == 3
+    assert m["n_written"] == m["n_neardup"] > 0
+    assert read_tiles(spark, out_dir).count() == m["n_written"]
+    m2 = _run(args)
+    assert m2["batches_run"] == 0
+    assert m2["n_written"] == m["n_written"]

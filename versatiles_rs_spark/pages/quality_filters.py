@@ -352,9 +352,15 @@ def normalized_dedup(docs: DataFrame, doc_id: str = "doc_id", text: str = "text"
 # -- the corpus curation funnel ----------------------------------------
 
 _FUNNEL_STAGES = ("all", "c4", "c4_gopher", "c4_gopher_dedup")
+_NEARDUP_STAGE = "c4_gopher_neardup"
 
 
-def filter_funnel(docs: DataFrame, doc_id: str = "doc_id", text: str = "text") -> DataFrame:
+def filter_funnel(
+    docs: DataFrame,
+    doc_id: str = "doc_id",
+    text: str = "text",
+    neardup_threshold: float | None = None,
+) -> DataFrame:
     """The end-to-end curation funnel: (stage_ord, stage, n_docs,
     n_tokens) for all -> C4 -> +Gopher -> +normalized-dedup, where dedup
     keeps the min-doc_id survivor per normalized-text group AMONG the
@@ -363,7 +369,14 @@ def filter_funnel(docs: DataFrame, doc_id: str = "doc_id", text: str = "text") -
     Shape: ONE per-row projection computing every flag (the same shared
     Column pieces as c4_filter / gopher_filter), one window over the
     normalized-text hash (the dedup shuffle any dedup needs), one tiny
-    4-group aggregate. No joins back to the corpus."""
+    4-group aggregate. No joins back to the corpus.
+
+    With ``neardup_threshold`` set, a 5th stage drops MinHash-LSH
+    near-duplicates among the stage-3 survivors: banded bucket join ->
+    exact-Jaccard verify -> connected components -> keep the min-doc_id
+    representative per cluster (dedup/minhash.py + dedup/clusters.py).
+    The drop set is O(duplicates) and broadcast back — the corpus is
+    never shuffled a second time."""
     from pyspark.sql import Window
 
     d = _with_decorated(docs, doc_id, text)
@@ -383,12 +396,32 @@ def filter_funnel(docs: DataFrame, doc_id: str = "doc_id", text: str = "text") -
     d = d.withColumn(
         "_surv3", F.col("_c4") & F.col("_g") & (F.col("_id") == keeper)
     )
-    stages = F.array(
+    stage_structs = [
         F.struct(F.lit(0).alias("o"), F.lit(_FUNNEL_STAGES[0]).alias("s"), F.lit(True).alias("inc")),
         F.struct(F.lit(1).alias("o"), F.lit(_FUNNEL_STAGES[1]).alias("s"), F.col("_c4").alias("inc")),
         F.struct(F.lit(2).alias("o"), F.lit(_FUNNEL_STAGES[2]).alias("s"), (F.col("_c4") & F.col("_g")).alias("inc")),
         F.struct(F.lit(3).alias("o"), F.lit(_FUNNEL_STAGES[3]).alias("s"), F.col("_surv3").alias("inc")),
-    )
+    ]
+    if neardup_threshold is not None:
+        from pyspark.sql.functions import broadcast
+
+        drops = neardup_drop_ids(
+            docs.join(
+                d.where("_surv3").select(F.col("_id").alias(doc_id)),
+                doc_id, "left_semi",
+            ),
+            threshold=neardup_threshold, doc_id=doc_id, text=text,
+        )
+        d = d.join(
+            broadcast(drops.select(F.col(doc_id).alias("_id"),
+                                   F.lit(True).alias("_nd"))),
+            "_id", "left",
+        )
+        stage_structs.append(
+            F.struct(F.lit(4).alias("o"), F.lit(_NEARDUP_STAGE).alias("s"),
+                     (F.col("_surv3") & F.col("_nd").isNull()).alias("inc"))
+        )
+    stages = F.array(*stage_structs)
     return (
         d.select("_tok", F.explode(stages).alias("st"))
         .where(F.col("st.inc"))
@@ -399,7 +432,36 @@ def filter_funnel(docs: DataFrame, doc_id: str = "doc_id", text: str = "text") -
     )
 
 
-def filter_funnel_sql(doc_id: str = "doc_id", text: str = "text", table: str = "documents") -> str:
+def neardup_drop_ids(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    doc_id: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """-> DataFrame(doc_id) of documents to DROP as near-duplicates:
+    MinHash-LSH banded pairs (exact-Jaccard verified at ``threshold``)
+    clustered by connected components; every non-representative (node !=
+    min of its cluster) is a drop. Output is O(duplicates) — safe to
+    broadcast or localCheckpoint before anti-joining the corpus."""
+    from versatiles_rs_spark.dedup import minhash_dedup_pairs
+    from versatiles_rs_spark.dedup.clusters import dedup_clusters
+
+    pairs = minhash_dedup_pairs(
+        docs, threshold=threshold, id_col=doc_id, text_col=text
+    )
+    return (
+        dedup_clusters(pairs)
+        .where(~F.col("keep"))
+        .select(F.col("node").alias(doc_id))
+    )
+
+
+def filter_funnel_sql(
+    doc_id: str = "doc_id",
+    text: str = "text",
+    table: str = "documents",
+    neardup_threshold: float | None = None,
+) -> str:
     c4_kept = _KEPT_PRED.format(size="len", split="string_split(l, ' ')")
     c4_keep = (
         f"(len(list_filter(lines, l -> {c4_kept})) >= {C4_MIN_KEPT_LINES}"
@@ -434,26 +496,61 @@ def filter_funnel_sql(doc_id: str = "doc_id", text: str = "text", table: str = "
         f"CASE WHEN length(trim({text})) = 0 THEN 0 "
         f"ELSE length(trim({text})) - length(replace(trim({text}), ' ', '')) + 1 END"
     )
+    stage_preds = {0: "TRUE", 1: "c4k", 2: "c4k AND gk", 3: "surv3"}
+    stage_names = list(_FUNNEL_STAGES)
+    neardup_ctes = ""
+    if neardup_threshold is not None:
+        stage_names.append(_NEARDUP_STAGE)
+        stage_preds[4] = "surv3 AND id NOT IN (SELECT node FROM ndrop)"
+        # brute-force exact 3-word-gram Jaccard among stage-3 survivors +
+        # recursive-CTE transitive closure — the oracle twin of
+        # neardup_drop_ids (mirrors dedup/ngram.py shingle_set: empty
+        # text -> empty set, < 3 tokens -> the whole text as one gram;
+        # jaccard(empty, empty) = 1)
+        neardup_ctes = f""", s3 AS (
+  SELECT id, txt FROM fl3 WHERE surv3
+), ntoks AS (
+  SELECT id, list_filter(string_split(txt, ' '), t -> t != '') AS tk FROM s3
+), nsets AS (
+  SELECT id, list_distinct(
+    CASE WHEN len(tk) = 0 THEN []
+         WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+         ELSE list_transform(range(1, len(tk) - 1),
+                             i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+    END) AS s
+  FROM ntoks
+), npairs AS (
+  SELECT a.id AS u, b.id AS v
+  FROM nsets a JOIN nsets b ON a.id < b.id
+  WHERE CASE WHEN len(a.s) = 0 AND len(b.s) = 0 THEN 1.0
+             ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                  / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+        END >= {neardup_threshold}
+), nedges AS (
+  SELECT u, v FROM npairs UNION SELECT v, u FROM npairs
+), ncc(node, lab) AS (
+  SELECT u, u FROM nedges
+  UNION
+  SELECT e.v, ncc.lab FROM ncc JOIN nedges e ON e.u = ncc.node
+), ndrop AS (
+  SELECT node FROM ncc GROUP BY node HAVING node != min(lab)
+)"""
     stage_rows = " UNION ALL ".join(
         f"SELECT {o} AS stage_ord, '{s}' AS stage, "
-        + {
-            0: "TRUE",
-            1: "c4k",
-            2: "c4k AND gk",
-            3: "surv3",
-        }[o]
+        + stage_preds[o]
         + " AS inc, tok FROM fl3"
-        for o, s in enumerate(_FUNNEL_STAGES)
+        for o, s in enumerate(stage_names)
     )
+    recursive = "RECURSIVE " if neardup_threshold is not None else ""
     return f"""
-WITH ls AS (
+WITH {recursive}ls AS (
   SELECT {doc_id}, {text}, {decorated_lines_sql(doc_id, text)} AS lines FROM {table}
 ), gws AS (
   SELECT {doc_id}, {text}, lines,
          flatten(list_transform(lines, l -> string_split(l, ' '))) AS gw
   FROM ls
 ), fl AS (
-  SELECT {doc_id} AS id, CAST({tokens} AS BIGINT) AS tok,
+  SELECT {doc_id} AS id, {text} AS txt, CAST({tokens} AS BIGINT) AS tok,
          {c4_keep} AS c4k, {g_keep} AS gk,
          md5({normalize_text_sql(text)}) AS nh
   FROM gws
@@ -461,7 +558,7 @@ WITH ls AS (
   SELECT *, (c4k AND gk AND id = min(CASE WHEN c4k AND gk THEN id END)
              OVER (PARTITION BY nh)) AS surv3
   FROM fl
-)
+){neardup_ctes}
 SELECT stage_ord, stage, count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS n_tokens
 FROM ({stage_rows}) WHERE inc GROUP BY 1, 2
 """

@@ -2506,6 +2506,32 @@ def _o_filter_funnel() -> str:
 O_FILTER_FUNNEL = _o_filter_funnel()
 
 
+_NEARDUP_FUNNEL_THRESHOLD = 0.5
+
+
+def q_filter_funnel_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation funnel extended with a 5th near-dup stage (the
+    `curate_job --neardup minhash` pipeline): stage-3 survivors go
+    through MinHash-LSH banded pairs -> exact-Jaccard verify ->
+    connected components, keeping the min-doc_id representative per
+    cluster. The oracle brute-forces the same pair graph among the
+    survivors and closes it with a recursive CTE, so banding recall,
+    the verify threshold, AND the cluster-keeper rule are all attested."""
+    from versatiles_rs_spark.pages.quality_filters import filter_funnel
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return filter_funnel(docs, neardup_threshold=_NEARDUP_FUNNEL_THRESHOLD)
+
+
+def _o_filter_funnel_neardup() -> str:
+    from versatiles_rs_spark.pages.quality_filters import filter_funnel_sql
+
+    return filter_funnel_sql(neardup_threshold=_NEARDUP_FUNNEL_THRESHOLD)
+
+
+O_FILTER_FUNNEL_NEARDUP = _o_filter_funnel_neardup()
+
+
 _SEM_CLONE_MOD = 50
 _SEM_CLONE_OFFSET = 100000
 
@@ -2757,6 +2783,7 @@ GROUP BY c.z
 # ---------------------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "filter_funnel_neardup": q_filter_funnel_neardup,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
     "bpe_pair_counts": q_bpe_pair_counts,
     "c4_filter": q_c4_filter,
@@ -2885,6 +2912,7 @@ ORACLES: dict[str, str] = {
     "robots_filter": O_ROBOTS_FILTER,
     "lm_perplexity": O_LM_PERPLEXITY,
     "ann_ivfpq_topk": O_ANN_LSH_TOPK,
+    "filter_funnel_neardup": O_FILTER_FUNNEL_NEARDUP,
     "tile_diff": O_TILE_DIFF,
     "dedup_clusters": O_DEDUP_CLUSTERS,
     "tile_anomaly": O_TILE_ANOMALY,
