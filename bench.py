@@ -140,6 +140,27 @@ def job_zoom_stats(spark, sf_dir) -> dict:
     return {"rows": q_zoom_stats(spark, sf_dir).count()}
 
 
+def job_geo_polygons(spark, sf_dir, replicate: int = 1) -> dict:
+    """Vector-geometry cascade at bench scale: synthesized admin-like
+    rings (spatial/admin_rings.py) -> candidate explode z0-8 with the
+    production Douglas-Peucker chain (simplify_px=1) -> clip/quantize/
+    MVT render. Complements convert_pyramid, which is points-only."""
+    from pyspark.sql import functions as F
+
+    from versatiles_rs_spark.operators.from_geo import (
+        candidate_tiles,
+        render_geo_tiles,
+    )
+    from versatiles_rs_spark.spatial.admin_rings import synth_admin_features
+
+    feats = synth_admin_features(spark, sf_dir, replicate=replicate)
+    tiles = render_geo_tiles(candidate_tiles(feats, 0, 8))
+    n, b, f = tiles.agg(
+        F.count("*"), F.sum(F.length("tile")), F.sum("n_features")
+    ).collect()[0]
+    return {"tiles": int(n), "bytes": int(b), "features": int(f)}
+
+
 def job_curate(spark, sf_dir) -> dict:
     """Headline slot for the webtext curation layer: full funnel
     (C4+Gopher flags -> normalized dedup -> 4-group agg) with the
@@ -155,6 +176,7 @@ JOBS = {
     "ann_topk": job_ann_topk,
     "zoom_stats": job_zoom_stats,
     "curate_funnel": job_curate,
+    "geo_polygons": job_geo_polygons,
 }
 
 
@@ -213,7 +235,7 @@ def run_bench() -> dict:
     total = round(sum(timings.values()), 3)
     tiles = extras["convert_pyramid"]["tiles"]
     return {
-        "metric": "headline_total_sec (convert z0-14 + pip join + assign + ann + stats + curate funnel)",
+        "metric": "headline_total_sec (convert z0-14 + pip join + assign + ann + stats + curate funnel + geo polygons)",
         "value": total,
         "unit": "sec",
         "queries": timings,

@@ -140,10 +140,10 @@ def candidate_tiles(features: DataFrame, min_zoom: int, max_zoom: int,
     def explode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
-            for _, r in pdf.iterrows():
-                gt = r["geom_type"]
+            for r in pdf.itertuples(index=False):
+                gt = r.geom_type
                 # simplify once at max zoom then chain downward
-                frac_max = _frac_coords(r["coords"], max_zoom)
+                frac_max = _frac_coords(r.coords, max_zoom)
                 prev = frac_max
                 for z in range(max_zoom, min_zoom - 1, -1):
                     scale = 2.0 ** (z - max_zoom)
@@ -164,9 +164,9 @@ def candidate_tiles(features: DataFrame, min_zoom: int, max_zoom: int,
                     for tx in range(x0, x1 + 1):
                         for ty in range(y0, y1 + 1):
                             rows.append(
-                                (z, tx, ty, int(r["feature_id"]), gt,
+                                (z, tx, ty, int(r.feature_id), gt,
                                  [[[float(px), float(py)] for px, py in ring] for ring in cur],
-                                 dict(r["props"]))
+                                 dict(r.props))
                             )
             if rows:
                 yield pd.DataFrame(
@@ -188,11 +188,11 @@ def render_geo_tiles(cands: DataFrame, layer_name: str = "features",
             sub = pdf.iloc[idx].sort_values("feature_id", kind="stable")
             feats = []
             lo, hi = -BUFFER_FRAC, 1.0 + BUFFER_FRAC
-            for _, r in sub.iterrows():
-                gt = r["geom_type"]
+            for r in sub.itertuples(index=False):
+                gt = r.geom_type
                 # shift to tile-local [0,1] space
                 local = [
-                    [(px - x, py - y) for px, py in ring] for ring in r["coords"]
+                    [(px - x, py - y) for px, py in ring] for ring in r.coords
                 ]
                 if gt == "Point":
                     (px, py), = local[0]
@@ -200,7 +200,7 @@ def render_geo_tiles(cands: DataFrame, layer_name: str = "features",
                         continue
                     gx = min(TILE_EXTENT - 1, int(px * TILE_EXTENT))
                     gy = min(TILE_EXTENT - 1, int(py * TILE_EXTENT))
-                    feats.append(MvtFeature(GEOM_POINT, [[(gx, gy)]], dict(r["props"]), int(r["feature_id"])))
+                    feats.append(MvtFeature(GEOM_POINT, [[(gx, gy)]], dict(r.props), int(r.feature_id)))
                 elif gt == "LineString":
                     out_rings = []
                     for ring in local:
@@ -209,7 +209,7 @@ def render_geo_tiles(cands: DataFrame, layer_name: str = "features",
                             if q:
                                 out_rings.append(q)
                     if out_rings:
-                        feats.append(MvtFeature(GEOM_LINESTRING, out_rings, dict(r["props"]), int(r["feature_id"])))
+                        feats.append(MvtFeature(GEOM_LINESTRING, out_rings, dict(r.props), int(r.feature_id)))
                 else:  # Polygon: first ring outer, rest holes (even-odd)
                     out_rings = []
                     for k, ring in enumerate(local):
@@ -231,7 +231,7 @@ def render_geo_tiles(cands: DataFrame, layer_name: str = "features",
                         q = q + [q[0]]
                         out_rings.append(q)
                     if out_rings:
-                        feats.append(MvtFeature(GEOM_POLYGON, out_rings, dict(r["props"]), int(r["feature_id"])))
+                        feats.append(MvtFeature(GEOM_POLYGON, out_rings, dict(r.props), int(r.feature_id)))
             if not feats:
                 continue
             blob = compress(encode_tile({layer_name: feats}), compression)

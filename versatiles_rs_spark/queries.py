@@ -2506,6 +2506,56 @@ def _o_filter_funnel() -> str:
 O_FILTER_FUNNEL = _o_filter_funnel()
 
 
+def q_polygon_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-geometry cascade over a deterministic admin-like polygon
+    corpus (spatial/admin_rings.py): candidate explode z0-8 -> clip ->
+    quantize -> MVT render, returning per-tile (n_features, sum_fid)
+    where BOTH counts come from DECODING the rendered MVT bytes (the
+    engine's own decoder recovering feature ids). The corpus is
+    constructed so the closed-form oracle decides every tile floor and
+    every quantize-drop exactly (1/96-offset grid, see
+    spatial/admin_rings.py), so equality attests the whole distributed
+    cascade end to end: explode ranges, the shuffle to (z,x,y),
+    clipping, quantization, and the encode/decode round trip."""
+    from versatiles_rs_spark.operators.from_geo import (
+        candidate_tiles,
+        render_geo_tiles,
+    )
+    from versatiles_rs_spark.spatial.admin_rings import synth_admin_features
+
+    import pandas as pd
+
+    feats = synth_admin_features(spark, sf_dir)
+    cands = candidate_tiles(feats, 0, 8, simplify_px=0.0)
+    tiles = render_geo_tiles(cands, compression="none")
+
+    def summarize(it):
+        from versatiles_rs_spark.functions.mvt import decode_tile
+
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                fs = decode_tile(bytes(r["tile"]))["features"]["features"]
+                rows.append((int(r["z"]), int(r["x"]), int(r["y"]),
+                             len(fs), sum(f.fid for f in fs)))
+            yield pd.DataFrame(
+                rows, columns=["z", "x", "y", "n_features", "sum_fid"]
+            )
+
+    return tiles.mapInPandas(
+        summarize, "z int, x long, y long, n_features long, sum_fid long"
+    )
+
+
+def _o_polygon_tiles() -> str:
+    from versatiles_rs_spark.spatial.admin_rings import admin_tiles_oracle_sql
+
+    return admin_tiles_oracle_sql()
+
+
+O_POLYGON_TILES = _o_polygon_tiles()
+
+
 _NEARDUP_FUNNEL_THRESHOLD = 0.5
 
 
@@ -2784,6 +2834,7 @@ GROUP BY c.z
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "filter_funnel_neardup": q_filter_funnel_neardup,
+    "polygon_tiles": q_polygon_tiles,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
     "bpe_pair_counts": q_bpe_pair_counts,
     "c4_filter": q_c4_filter,
@@ -2913,6 +2964,7 @@ ORACLES: dict[str, str] = {
     "lm_perplexity": O_LM_PERPLEXITY,
     "ann_ivfpq_topk": O_ANN_LSH_TOPK,
     "filter_funnel_neardup": O_FILTER_FUNNEL_NEARDUP,
+    "polygon_tiles": O_POLYGON_TILES,
     "tile_diff": O_TILE_DIFF,
     "dedup_clusters": O_DEDUP_CLUSTERS,
     "tile_anomaly": O_TILE_ANOMALY,
