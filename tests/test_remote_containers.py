@@ -174,3 +174,46 @@ def test_ranged_file_edge_cases(tmp_path):
             assert lf.read(4) == bytes([10, 11, 12, 13])
     finally:
         srv.shutdown()
+
+
+def test_remote_convert_serve_chain(remote, tmp_path):
+    """End-to-end remote story (round 5): convert_job ingests an http://
+    container (ranged reads), exports a local container, and serve_job
+    serves the exported tiles byte-compatibly with the remote originals."""
+    import gzip
+    import json
+    import subprocess
+    import sys
+    import urllib.request
+
+    base, local, _h = remote
+    out_tbl = str(tmp_path / "cc_tbl")
+    out_pm = str(tmp_path / "cc.pmtiles")
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    run = subprocess.run(
+        [sys.executable, "/root/repo/jobs/convert_job.py",
+         "--input", f"{base}/t.pmtiles", "--output", out_tbl,
+         "--min-zoom", "0", "--max-zoom", "3",
+         "--export", out_pm, "--master", "local[4]"],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert run.returncode == 0, run.stderr[-2000:]
+    json.loads(run.stdout.strip().splitlines()[-1])  # one JSON line
+
+    sys.path.insert(0, "/root/repo/jobs")
+    from serve_job import serve
+
+    srv = serve(out_pm, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = srv.server_address[1]
+        for (z, x, y), blob in sorted(local.items())[:5]:
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/tiles/{z}/{x}/{y}",
+                headers={"Accept-Encoding": "gzip"},
+            )
+            with urllib.request.urlopen(req, timeout=10) as r:
+                assert gzip.decompress(r.read()) == gzip.decompress(blob), (z, x, y)
+    finally:
+        srv.shutdown()
