@@ -1,0 +1,237 @@
+"""Spatial-domain queries: point-in-polygon, kNN, S2 and hex cell encodings.
+
+Split from the single-file registry in round 5; QUERIES/ORACLES stay in
+`versatiles_rs_spark.queries` (the package __init__), in driver-sweep order.
+"""
+
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from versatiles_rs_spark.queries._shared import (
+    LAT_SQL,
+    LON_SQL,
+    _docs_geo,
+)
+
+# ---------------------------------------------------------------------------
+# 11. spatial join: broadcast ray-cast point-in-polygon (raster_mask core)
+# ---------------------------------------------------------------------------
+
+def q_pip_join_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from versatiles_rs_spark.spatial import pip_join, sample_polygons
+
+    pts = _docs_geo(spark, sf_dir).select("doc_id", "lon", "lat")
+    return pip_join(pts, sample_polygons(), payload_cols=["doc_id"])
+
+
+def _pip_oracle_sql() -> str:
+    from versatiles_rs_spark.spatial.polygons import _RAW
+
+    edge_rows = []
+    name_rows = []
+    for fid, name, _, ring in _RAW:
+        name_rows.append(f"({fid}, '{name}')")
+        n = len(ring)
+        for i in range(n):
+            x1, y1 = ring[i]
+            x2, y2 = ring[(i + 1) % n]
+            edge_rows.append(f"({fid}, {x1!r}, {y1!r}, {x2!r}, {y2!r})")
+    edges = ",\n    ".join(edge_rows)
+    names = ", ".join(name_rows)
+    return f"""
+WITH pts AS (
+  SELECT doc_id, {LON_SQL.format(id="doc_id")} AS lon, {LAT_SQL.format(id="doc_id")} AS lat
+  FROM documents
+), edges(fid, x1, y1, x2, y2) AS (VALUES
+    {edges}
+), names(fid, poly_name) AS (VALUES {names}),
+crossings AS (
+  SELECT p.doc_id, e.fid,
+    count(*) FILTER (WHERE ((e.y1 > p.lat) <> (e.y2 > p.lat))
+      AND p.lon < (e.x2 - e.x1) * (p.lat - e.y1) / (e.y2 - e.y1) + e.x1) AS c
+  FROM pts p CROSS JOIN edges e
+  GROUP BY 1, 2
+)
+SELECT c.doc_id, CAST(c.fid AS INTEGER) AS feature_id, n.poly_name
+FROM crossings c JOIN names n ON n.fid = c.fid
+WHERE c.c % 2 = 1
+"""
+
+
+O_PIP_JOIN_DOCS = _pip_oracle_sql()
+
+
+def q_pip_join_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-cover two-stage spatial join (the 100 TB path) — must produce
+    exactly the broadcast join's rows, so it shares that oracle."""
+    from versatiles_rs_spark.spatial.cells import pip_join_cells
+    from versatiles_rs_spark.spatial import sample_polygons
+
+    pts = _docs_geo(spark, sf_dir).select("doc_id", "lon", "lat")
+    return pip_join_cells(pts, sample_polygons(), cell_zoom=6).select(
+        "doc_id", F.col("feature_id").cast("int").alias("feature_id"), "poly_name"
+    )
+
+
+
+# ---------------------------------------------------------------------------
+# 12. kNN via cell-ring expansion (north rule) — oracle: SQL brute force
+# ---------------------------------------------------------------------------
+
+KNN_QUERIES = [(0, 13.4, 52.5), (1, -100.0, 40.0), (2, 0.0, -84.0)]
+KNN_K = 5
+
+
+def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from versatiles_rs_spark.spatial.knn import knn_cell_ring
+
+    pts = _docs_geo(spark, sf_dir).select("doc_id", "lon", "lat")
+    return knn_cell_ring(pts, KNN_QUERIES, KNN_K, cell_zoom=5)
+
+
+def _knn_oracle_sql() -> str:
+    qvals = ", ".join(f"({qid}, {qlon!r}, {qlat!r})" for qid, qlon, qlat in KNN_QUERIES)
+    return f"""
+WITH pts AS (
+  SELECT doc_id, {LON_SQL.format(id="doc_id")} AS lon, {LAT_SQL.format(id="doc_id")} AS lat
+  FROM documents
+), qs(qid, qlon, qlat) AS (VALUES {qvals}),
+scored AS (
+  SELECT q.qid, p.doc_id AS pid,
+         (p.lon - q.qlon) * (p.lon - q.qlon) + (p.lat - q.qlat) * (p.lat - q.qlat) AS d2
+  FROM pts p CROSS JOIN qs q
+), ranked AS (
+  SELECT qid, pid, d2, row_number() OVER (PARTITION BY qid ORDER BY d2 ASC, pid ASC) AS rank
+  FROM scored
+)
+SELECT CAST(qid AS BIGINT) AS qid, pid, round(d2, 9) AS dist2, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {KNN_K}
+"""
+
+
+O_KNN = _knn_oracle_sql()
+
+
+
+# ---------------------------------------------------------------------------
+# 15c. S2 cell encoding (north rule: "encoded into H3/S2 cells and XYZ tile
+#      coordinates via batched pandas/Arrow UDFs")
+# ---------------------------------------------------------------------------
+
+_S2_LEVEL = 10
+
+
+def q_s2_face_ij(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 face/i/j encoding of the documents table through the REAL numpy
+    implementation (tile_math/s2.py, one Arrow-batched pass); the oracle
+    reimplements the cube-face + quadratic-ST math in pure SQL, so parity
+    attests the projection end to end. (The per-face Hilbert position is
+    not SQL-expressible; it is property-tested in tests/test_s2.py and its
+    ids feed the same cell-cover joins as the quadkey cells.)"""
+    from versatiles_rs_spark.tile_math.s2 import lonlat_to_face_uv, st_to_ij, uv_to_st
+
+    docs = _docs_geo(spark, sf_dir).select("doc_id", "lon", "lat")
+
+    def enc(it):
+        import pandas as pd
+
+        for pdf in it:
+            face, u, v = lonlat_to_face_uv(pdf["lon"].values, pdf["lat"].values)
+            i10 = st_to_ij(uv_to_st(u)) >> (2 * (30 - _S2_LEVEL) // 2)
+            j10 = st_to_ij(uv_to_st(v)) >> (2 * (30 - _S2_LEVEL) // 2)
+            yield pd.DataFrame({"face": face, "i10": i10, "j10": j10})
+
+    cells = docs.mapInPandas(enc, "face long, i10 long, j10 long")
+    return cells.groupBy("face").agg(
+        F.count("*").alias("n"),
+        F.sum("i10").alias("i_sum"),
+        F.sum("j10").alias("j_sum"),
+    )
+
+
+O_S2_FACE_IJ = f"""
+WITH pts AS (
+  SELECT doc_id, {LON_SQL.format(id="doc_id")} AS lon, {LAT_SQL.format(id="doc_id")} AS lat
+  FROM documents
+), xyz AS (
+  SELECT doc_id,
+         cos(radians(lat)) * cos(radians(lon)) AS x,
+         cos(radians(lat)) * sin(radians(lon)) AS y,
+         sin(radians(lat)) AS z
+  FROM pts
+), fuv AS (
+  SELECT doc_id,
+    CASE WHEN abs(x) >= abs(y) AND abs(x) >= abs(z) THEN CASE WHEN x < 0 THEN 3 ELSE 0 END
+         WHEN abs(y) >= abs(z) THEN CASE WHEN y < 0 THEN 4 ELSE 1 END
+         ELSE CASE WHEN z < 0 THEN 5 ELSE 2 END END AS face,
+    CASE WHEN abs(x) >= abs(y) AND abs(x) >= abs(z) THEN
+           CASE WHEN x < 0 THEN z / x ELSE y / x END
+         WHEN abs(y) >= abs(z) THEN
+           CASE WHEN y < 0 THEN z / y ELSE -x / y END
+         ELSE CASE WHEN z < 0 THEN -y / z ELSE -x / z END END AS u,
+    CASE WHEN abs(x) >= abs(y) AND abs(x) >= abs(z) THEN
+           CASE WHEN x < 0 THEN y / x ELSE z / x END
+         WHEN abs(y) >= abs(z) THEN
+           CASE WHEN y < 0 THEN -x / y ELSE z / y END
+         ELSE CASE WHEN z < 0 THEN -x / z ELSE -y / z END END AS v
+  FROM xyz
+), st AS (
+  SELECT face,
+    CASE WHEN u >= 0 THEN 0.5 * sqrt(1 + 3 * u) ELSE 1 - 0.5 * sqrt(1 - 3 * u) END AS s,
+    CASE WHEN v >= 0 THEN 0.5 * sqrt(1 + 3 * v) ELSE 1 - 0.5 * sqrt(1 - 3 * v) END AS t
+  FROM fuv
+)
+SELECT CAST(face AS BIGINT) AS face, count(*) AS n,
+  CAST(sum(CAST(least(greatest(floor(s * 1073741824), 0), 1073741823) AS BIGINT) // {1 << 20}) AS BIGINT) AS i_sum,
+  CAST(sum(CAST(least(greatest(floor(t * 1073741824), 0), 1073741823) AS BIGINT) // {1 << 20}) AS BIGINT) AS j_sum
+FROM st GROUP BY face
+"""
+
+
+_HEX_RADIUS_M = 150_000.0
+
+
+def q_hex_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3-style hexagonal binning (spatial/hexcells.py): axial hex cells on
+    the Mercator plane via cube rounding — pure Column math, zero UDF, the
+    third cell-key family next to quadkey and S2."""
+    from versatiles_rs_spark.spatial.hexcells import hex_cell_stats
+
+    return hex_cell_stats(_docs_geo(spark, sf_dir), _HEX_RADIUS_M)
+
+
+O_HEX_CELL_STATS = f"""
+WITH pts AS (
+  SELECT doc_id, {LON_SQL.format(id="doc_id")} AS lon, {LAT_SQL.format(id="doc_id")} AS lat
+  FROM documents
+), merc AS (
+  SELECT doc_id, radians(lon) * 6378137.0 AS mx,
+         ln(tan(radians(lat)/2 + pi()/4)) * 6378137.0 AS my
+  FROM pts
+), ax AS (
+  SELECT doc_id,
+         (2.0/3.0 * mx) / {_HEX_RADIUS_M} AS q,
+         (-1.0/3.0 * mx + sqrt(3.0)/3.0 * my) / {_HEX_RADIUS_M} AS r
+  FROM merc
+), rounded AS (
+  SELECT doc_id, q AS x, (-q - r) AS y, r AS z,
+         floor(q + 0.5) AS rx, floor((-q - r) + 0.5) AS ry, floor(r + 0.5) AS rz
+  FROM ax
+), fixed AS (
+  SELECT doc_id,
+    CASE WHEN abs(rx - x) > abs(ry - y) AND abs(rx - x) > abs(rz - z)
+         THEN -ry - rz ELSE rx END AS hq,
+    CASE WHEN abs(rx - x) > abs(ry - y) AND abs(rx - x) > abs(rz - z) THEN rz
+         WHEN abs(ry - y) > abs(rz - z) THEN rz
+         ELSE -rx - ry END AS hr
+  FROM rounded
+)
+SELECT CAST(hq AS BIGINT) AS hq, CAST(hr AS BIGINT) AS hr,
+       count(*) AS n, min(doc_id) AS min_id
+FROM fixed GROUP BY 1, 2
+"""
+
+
