@@ -144,6 +144,49 @@ def test_dup_ngram_short_doc_zero_grams(spark):
     assert out.n_grams == 0 and out.n_dup == 0 and out.dup_frac_u == 0
 
 
+# -- duplicated-span removal (Lee et al. edit step) ---------------------
+
+def test_dup_span_removal_deletes_covered_tokens(spark):
+    import hashlib
+
+    from versatiles_rs_spark.dedup.substrings import dup_span_removal
+
+    shared = "one two three four five"
+    rows = [
+        (0, shared + " tail0 x y z"),
+        (1, shared + " tail1 p q r"),
+        (2, "totally different words here now ok"),
+    ]
+    out = {r.doc_id: r for r in dup_span_removal(_mini_docs(spark, rows), n=5).collect()}
+    # docs 0/1: exactly the 5 shared tokens are covered and removed
+    for d, tail in [(0, "tail0 x y z"), (1, "tail1 p q r")]:
+        assert out[d].n_tokens == 9 and out[d].n_removed == 5
+        assert out[d].clean_md5 == hashlib.md5(tail.encode()).hexdigest()
+    assert out[2].n_removed == 0
+    assert out[2].clean_md5 == hashlib.md5(rows[2][1].encode()).hexdigest()
+
+
+def test_dup_span_removal_within_doc_repeat_wipes_doc(spark):
+    import hashlib
+
+    from versatiles_rs_spark.dedup.substrings import dup_span_removal
+
+    # "a b c d e" duplicated at starts 1 and 6 -> windows cover all 10 tokens
+    out = dup_span_removal(_mini_docs(spark, [(0, "a b c d e a b c d e")]), n=5).collect()[0]
+    assert out.n_tokens == 10 and out.n_removed == 10
+    assert out.clean_md5 == hashlib.md5(b"").hexdigest()
+
+
+def test_dup_span_removal_short_doc_untouched(spark):
+    import hashlib
+
+    from versatiles_rs_spark.dedup.substrings import dup_span_removal
+
+    out = dup_span_removal(_mini_docs(spark, [(0, "a b c")]), n=5).collect()[0]
+    assert out.n_removed == 0
+    assert out.clean_md5 == hashlib.md5(b"a b c").hexdigest()
+
+
 # -- winnowing ----------------------------------------------------------
 
 def _brute_winnow(words: list[str], k: int, w: int):

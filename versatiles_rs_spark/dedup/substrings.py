@@ -219,3 +219,105 @@ SELECT {doc_id},
               x -> {POS_M - 1} - x % {POS_M})), 0) AS BIGINT) AS fp_pos_sum
 FROM sels
 """
+
+
+# -- duplicated-span REMOVAL (Lee et al. 2022, the deletion step) -------
+
+def dup_span_removal(
+    docs: DataFrame,
+    n: int = 5,
+    min_count: int = 2,
+    doc_id: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Exact-substring deduplication's *edit* step (Lee et al., ACL 2022
+    §3: delete every duplicated substring occurrence, not just score it):
+    remove every token covered by at least one corpus-duplicated n-gram
+    and return (doc_id, n_tokens, n_removed, clean_md5) where clean_md5
+    fingerprints the cleaned text (kept tokens joined by ' ').
+
+    Scale shape (the same bounded passes as `dup_ngram_stats` plus one
+    doc-keyed join): one explode + map-side-combined hash agg builds the
+    duplicate-gram set; one equi-join of gram positions against that
+    (small) set, aggregated to a per-doc sorted start list — output is
+    O(duplicated positions), not corpus-sized; one left join back on
+    doc_id; the deletion itself is pure per-row array math (positions
+    covered by [s, s+n-1] windows filtered out in one codegen Project).
+    Nothing corpus-sized touches the driver."""
+    ws = f"split({text}, ' ')"
+    base = docs.select(
+        F.col(doc_id),
+        F.expr(ws).alias("_ws"),
+        F.expr(_gram_hashes_expr(n, text)).alias("_gh"),
+    )
+    ex = base.select(
+        doc_id, F.posexplode("_gh").alias("_p", "gh")
+    ).select(doc_id, (F.col("_p") + 1).cast("bigint").alias("s"), "gh")
+    dup_set = (
+        ex.groupBy("gh")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") >= min_count)
+        .select("gh")
+    )
+    starts = (
+        ex.join(dup_set, "gh")
+        .groupBy(doc_id)
+        .agg(F.sort_array(F.collect_list("s")).alias("_starts"))
+    )
+    st = "coalesce(_starts, slice(array(0L), 1, 0))"
+    kept = (
+        f"filter(sequence(1, size(_ws)), "
+        f"p -> NOT exists({st}, s -> s <= p AND p <= s + {n - 1}))"
+    )
+    return (
+        base.join(starts, doc_id, "left")
+        .withColumn("_kept", F.expr(kept))
+        .select(
+            F.col(doc_id),
+            F.expr("size(_ws)").cast("bigint").alias("n_tokens"),
+            F.expr("size(_ws) - size(_kept)").cast("bigint").alias("n_removed"),
+            F.expr(
+                "md5(array_join(transform(_kept, p -> element_at(_ws, p)), ' '))"
+            ).alias("clean_md5"),
+        )
+    )
+
+
+def dup_span_removal_sql(
+    n: int = 5,
+    min_count: int = 2,
+    doc_id: str = "doc_id",
+    text: str = "text",
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of `dup_span_removal` (identical md5 fingerprints)."""
+    n_g = f"greatest(len(ws) - {n - 1}, 0)"
+    return f"""
+WITH w AS (
+  SELECT {doc_id}, string_split({text}, ' ') AS ws FROM {table}
+), g AS (
+  SELECT {doc_id}, ws, unnest(range(1, {n_g} + 1)) AS s FROM w
+), gh AS (
+  SELECT {doc_id}, s,
+         md5(array_to_string(ws[s : s + {n - 1}], ' ')) AS gh
+  FROM g
+), c AS (
+  SELECT gh FROM gh GROUP BY gh HAVING count(*) >= {min_count}
+), st AS (
+  SELECT {doc_id}, list_sort(list(s)) AS dup_starts
+  FROM gh JOIN c USING (gh) GROUP BY {doc_id}
+), k AS (
+  SELECT w.{doc_id}, ws,
+         list_filter(range(1, len(ws) + 1),
+           p -> len(list_filter(coalesce(dup_starts, []::BIGINT[]),
+                  s -> s <= p AND p <= s + {n - 1})) = 0) AS kept
+  FROM w LEFT JOIN st USING ({doc_id})
+)
+SELECT {doc_id},
+       CAST(len(ws) AS BIGINT) AS n_tokens,
+       CAST(len(ws) - len(kept) AS BIGINT) AS n_removed,
+       md5(coalesce(
+         array_to_string(list_transform(kept, p -> ws[p]), ' '), ''
+       )) AS clean_md5
+FROM k
+"""

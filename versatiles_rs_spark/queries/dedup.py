@@ -668,6 +668,26 @@ O_DUP_NGRAM_STATS = _o_dup_ngram_stats()
 O_WINNOW_FINGERPRINTS = _o_winnow_fingerprints()
 
 
+def q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup's *edit* step (Lee et al., ACL 2022 §3):
+    delete every token covered by a corpus-duplicated word-5-gram and
+    fingerprint the cleaned text. Same bounded passes as dup_ngram_stats
+    plus one doc-keyed join; the deletion is per-row array math."""
+    from versatiles_rs_spark.dedup.substrings import dup_span_removal
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dup_span_removal(docs, n=5, min_count=2)
+
+
+def _o_dup_span_removal() -> str:
+    from versatiles_rs_spark.dedup.substrings import dup_span_removal_sql
+
+    return dup_span_removal_sql(n=5, min_count=2)
+
+
+O_DUP_SPAN_REMOVAL = _o_dup_span_removal()
+
+
 # ---------------------------------------------------------------------------
 # 36. corpus curation funnel + relational k-means + SemDeDup
 # ---------------------------------------------------------------------------
