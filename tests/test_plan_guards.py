@@ -123,3 +123,20 @@ def test_windowed_gdal_single_range_exchange(spark, tmp_path):
     plan = _plan(gt.from_gdal_raster(spark, p, 0, 2, mode="windowed"))
     assert len(re.findall(r"Exchange", plan)) == 1
     assert "rangepartitioning" in plan
+
+
+def test_bloom_probe_zero_shuffle_zero_python(spark, sf_dir):
+    """Crawl-frontier bloom probe: the bit table compiles to a literal
+    bitmap, so probing is ONE codegen Project — no exchange, no Python,
+    nothing corpus-sized near the driver."""
+    from versatiles_rs_spark.pages.bloom import URL_SPARK, bloom_bits, bloom_probe
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "url", F.expr(URL_SPARK)
+    )
+    bits = bloom_bits(docs.where("doc_id % 3 = 0"), "url", m=1024)
+    probed = bloom_probe(docs.where("doc_id % 3 != 0"), bits, "url", m=1024,
+                         keep=["doc_id", "url"])
+    plan = _plan(probed)
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "MapInPandas" not in plan

@@ -1020,3 +1020,31 @@ FROM s GROUP BY 1
 O_CRAWL_SCHEDULE = _o_crawl_schedule()
 
 
+
+
+# ---------------------------------------------------------------------------
+# 38. Bloom-filter URL-seen (crawl-frontier membership at 10^12 scale)
+# ---------------------------------------------------------------------------
+
+_BLOOM_QUERY_M = 1024  # small enough that the false-positive class is non-empty
+
+
+def q_url_seen_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter crawl-frontier dedup (pages/bloom.py): filter state is
+    a DISTINCT over hash positions (bounded by m, broadcastable at any
+    corpus size); the exact-verify join runs only over the maybe-seen
+    sliver. The oracle attests the no-false-negative theorem as data: the
+    (truly seen AND NOT maybe_seen) class never appears."""
+    from versatiles_rs_spark.pages.bloom import url_seen_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return url_seen_stats(docs, m=_BLOOM_QUERY_M)
+
+
+def _o_url_seen_bloom() -> str:
+    from versatiles_rs_spark.pages.bloom import url_seen_stats_sql
+
+    return url_seen_stats_sql(m=_BLOOM_QUERY_M)
+
+
+O_URL_SEEN_BLOOM = _o_url_seen_bloom()
