@@ -804,3 +804,123 @@ GROUP BY c.z
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# 38. incremental dirty-tile maintenance (delta convert — the daily-delta
+#     counterpart of the full rebuild; operators/incremental.py)
+# ---------------------------------------------------------------------------
+
+_INC_ZMAX = 6
+# deterministic corpus delta: delete %17, move %13 (position re-derived
+# from doc_id*31+7 — provably never equal to the original, see
+# tests/test_incremental.py), add a clone at doc_id+1000000 for %19
+_INC_MOVED = "doc_id % 13 = 0"
+_INC_DELETED = "doc_id % 17 = 0"
+_INC_ADDED = "doc_id % 19 = 0"
+
+
+def _inc_old_new(spark: SparkSession, sf_dir: str):
+    from versatiles_rs_spark.pages.generator import lat_expr, lon_expr
+
+    old = _docs_geo(spark, sf_dir).select("doc_id", "lon", "lat")
+    moved_id = F.col("doc_id") * 31 + 7
+    surv = old.where(f"NOT ({_INC_DELETED})").select(
+        "doc_id",
+        F.when(F.expr(_INC_MOVED), lon_expr(moved_id)).otherwise(F.col("lon")).alias("lon"),
+        F.when(F.expr(_INC_MOVED), lat_expr(moved_id)).otherwise(F.col("lat")).alias("lat"),
+    )
+    added_id = F.col("doc_id") + 1000000
+    added = old.where(_INC_ADDED).select(
+        added_id.alias("doc_id"),
+        lon_expr(added_id).alias("lon"),
+        lat_expr(added_id).alias("lat"),
+    )
+    return old, surv.unionByName(added)
+
+
+def q_incremental_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-zoom accounting of the incremental re-render: base tiles, dirty
+    tiles (delta footprint, old+new positions), kept (anti-join) and
+    re-rendered (semi-join) — n_after = n_kept + n_rerendered is the new
+    pyramid's size. The dirty set is |delta|*zooms-bounded and broadcast;
+    render work is delta-proportional (byte-identity of the patched
+    pyramid vs a full rebuild is pinned in tests/test_incremental.py)."""
+    from versatiles_rs_spark.operators.convert import assign_tiles
+    from versatiles_rs_spark.operators.incremental import dirty_tiles, doc_delta
+
+    old, new = _inc_old_new(spark, sf_dir)
+    dirty = dirty_tiles(doc_delta(old, new), 0, _INC_ZMAX)
+    old_tiles = assign_tiles(old, 0, _INC_ZMAX).select("z", "x", "y").distinct()
+    new_tiles = assign_tiles(new, 0, _INC_ZMAX).select("z", "x", "y").distinct()
+    kept = old_tiles.join(dirty, ["z", "x", "y"], "left_anti")
+    rerendered = new_tiles.join(dirty, ["z", "x", "y"], "left_semi")
+    tagged = (
+        old_tiles.withColumn("src", F.lit("base"))
+        .unionByName(dirty.withColumn("src", F.lit("dirty")))
+        .unionByName(kept.withColumn("src", F.lit("kept")))
+        .unionByName(rerendered.withColumn("src", F.lit("rr")))
+    )
+    agg = tagged.groupBy(F.col("z").cast("int").alias("z")).agg(
+        F.sum(F.when(F.col("src") == "base", 1).otherwise(0)).alias("n_base"),
+        F.sum(F.when(F.col("src") == "dirty", 1).otherwise(0)).alias("n_dirty"),
+        F.sum(F.when(F.col("src") == "kept", 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(F.col("src") == "rr", 1).otherwise(0)).alias("n_rerendered"),
+    )
+    return agg.withColumn("n_after", F.col("n_kept") + F.col("n_rerendered"))
+
+
+def _o_incremental_tiles() -> str:
+    lon_m = LON_SQL.format(id="(doc_id * 31 + 7)")
+    lat_m = LAT_SQL.format(id="(doc_id * 31 + 7)")
+    lon_a = LON_SQL.format(id="(doc_id + 1000000)")
+    lat_a = LAT_SQL.format(id="(doc_id + 1000000)")
+    tx, ty = _tile_sql("x", "z"), _tile_sql("y", "z")
+    return f"""
+WITH oldd AS (
+  SELECT doc_id, {LON_SQL.format(id="doc_id")} AS lon,
+         {LAT_SQL.format(id="doc_id")} AS lat
+  FROM documents
+), newd AS (
+  SELECT doc_id,
+         CASE WHEN {_INC_MOVED} THEN {lon_m} ELSE lon END AS lon,
+         CASE WHEN {_INC_MOVED} THEN {lat_m} ELSE lat END AS lat
+  FROM oldd WHERE NOT ({_INC_DELETED})
+  UNION ALL
+  SELECT doc_id + 1000000, {lon_a}, {lat_a} FROM documents WHERE {_INC_ADDED}
+), delta AS (
+  SELECT lon, lat FROM oldd WHERE ({_INC_DELETED}) OR ({_INC_MOVED})
+  UNION ALL
+  SELECT lon, lat FROM newd WHERE ({_INC_MOVED}) AND doc_id < 1000000
+  UNION ALL
+  SELECT lon, lat FROM newd WHERE doc_id >= 1000000
+), zs AS (
+  SELECT unnest(range(0, {_INC_ZMAX} + 1)) AS z
+), old_tiles AS (
+  SELECT DISTINCT z, {tx} AS x, {ty} AS y FROM oldd CROSS JOIN zs
+), new_tiles AS (
+  SELECT DISTINCT z, {tx} AS x, {ty} AS y FROM newd CROSS JOIN zs
+), dirty AS (
+  SELECT DISTINCT z, {tx} AS x, {ty} AS y FROM delta CROSS JOIN zs
+), kept AS (
+  SELECT * FROM old_tiles EXCEPT SELECT * FROM dirty
+), rr AS (
+  SELECT * FROM new_tiles INTERSECT SELECT * FROM dirty
+), tagged AS (
+  SELECT z, 'base' AS src FROM old_tiles
+  UNION ALL SELECT z, 'dirty' FROM dirty
+  UNION ALL SELECT z, 'kept' FROM kept
+  UNION ALL SELECT z, 'rr' FROM rr
+)
+SELECT CAST(z AS INTEGER) AS z,
+       CAST(sum(CASE WHEN src = 'base' THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+       CAST(sum(CASE WHEN src = 'dirty' THEN 1 ELSE 0 END) AS BIGINT) AS n_dirty,
+       CAST(sum(CASE WHEN src = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN src = 'rr' THEN 1 ELSE 0 END) AS BIGINT) AS n_rerendered,
+       CAST(sum(CASE WHEN src = 'kept' THEN 1 ELSE 0 END)
+            + sum(CASE WHEN src = 'rr' THEN 1 ELSE 0 END) AS BIGINT) AS n_after
+FROM tagged GROUP BY z
+"""
+
+
+O_INCREMENTAL_TILES = _o_incremental_tiles()
