@@ -183,16 +183,35 @@ def render_geo_tiles(cands: DataFrame, layer_name: str = "features",
     encode (tile_render.rs render_tile)."""
 
     def body(pdf: pd.DataFrame) -> pd.DataFrame:
+        # One stable batch-wide sort + contiguous-run iteration over plain
+        # arrays: per-group pdf.iloc/sort_values dominated the profile
+        # (~1.8 ms/group of pandas overhead vs ~1.5 features/group of real
+        # work) — same feature order, byte-identical tiles.
+        cols = ["z", "x", "y", "format", "compression", "tile", "n_features"]
+        n = len(pdf)
+        if n == 0:
+            return pd.DataFrame([], columns=cols)
+        pdf = pdf.sort_values(["z", "x", "y", "feature_id"], kind="stable")
+        zs = pdf["z"].to_numpy()
+        xs = pdf["x"].to_numpy()
+        ys = pdf["y"].to_numpy()
+        fids = pdf["feature_id"].to_numpy()
+        gts = pdf["geom_type"].to_numpy(dtype=object)
+        coords_l = pdf["coords"].to_numpy(dtype=object)
+        props_l = pdf["props"].to_numpy(dtype=object)
+        boundary = (np.diff(zs) != 0) | (np.diff(xs) != 0) | (np.diff(ys) != 0)
+        starts = np.concatenate(([0], np.flatnonzero(boundary) + 1, [n]))
         rows = []
-        for (z, x, y), idx in pdf.groupby(["z", "x", "y"], sort=False).indices.items():
-            sub = pdf.iloc[idx].sort_values("feature_id", kind="stable")
+        lo, hi = -BUFFER_FRAC, 1.0 + BUFFER_FRAC
+        for si in range(len(starts) - 1):
+            i, j = int(starts[si]), int(starts[si + 1])
+            z, x, y = int(zs[i]), int(xs[i]), int(ys[i])
             feats = []
-            lo, hi = -BUFFER_FRAC, 1.0 + BUFFER_FRAC
-            for r in sub.itertuples(index=False):
-                gt = r.geom_type
+            for t in range(i, j):
+                gt = gts[t]
                 # shift to tile-local [0,1] space
                 local = [
-                    [(px - x, py - y) for px, py in ring] for ring in r.coords
+                    [(px - x, py - y) for px, py in ring] for ring in coords_l[t]
                 ]
                 if gt == "Point":
                     (px, py), = local[0]
@@ -200,7 +219,7 @@ def render_geo_tiles(cands: DataFrame, layer_name: str = "features",
                         continue
                     gx = min(TILE_EXTENT - 1, int(px * TILE_EXTENT))
                     gy = min(TILE_EXTENT - 1, int(py * TILE_EXTENT))
-                    feats.append(MvtFeature(GEOM_POINT, [[(gx, gy)]], dict(r.props), int(r.feature_id)))
+                    feats.append(MvtFeature(GEOM_POINT, [[(gx, gy)]], dict(props_l[t]), int(fids[t])))
                 elif gt == "LineString":
                     out_rings = []
                     for ring in local:
@@ -209,7 +228,7 @@ def render_geo_tiles(cands: DataFrame, layer_name: str = "features",
                             if q:
                                 out_rings.append(q)
                     if out_rings:
-                        feats.append(MvtFeature(GEOM_LINESTRING, out_rings, dict(r.props), int(r.feature_id)))
+                        feats.append(MvtFeature(GEOM_LINESTRING, out_rings, dict(props_l[t]), int(fids[t])))
                 else:  # Polygon: first ring outer, rest holes (even-odd)
                     out_rings = []
                     for k, ring in enumerate(local):
@@ -231,14 +250,12 @@ def render_geo_tiles(cands: DataFrame, layer_name: str = "features",
                         q = q + [q[0]]
                         out_rings.append(q)
                     if out_rings:
-                        feats.append(MvtFeature(GEOM_POLYGON, out_rings, dict(r.props), int(r.feature_id)))
+                        feats.append(MvtFeature(GEOM_POLYGON, out_rings, dict(props_l[t]), int(fids[t])))
             if not feats:
                 continue
             blob = compress(encode_tile({layer_name: feats}), compression)
-            rows.append((int(z), int(x), int(y), "mvt", compression, blob, len(feats)))
-        return pd.DataFrame(
-            rows, columns=["z", "x", "y", "format", "compression", "tile", "n_features"]
-        )
+            rows.append((z, x, y, "mvt", compression, blob, len(feats)))
+        return pd.DataFrame(rows, columns=cols)
 
     return grouped_tile_map(cands, body, TILE_SCHEMA)
 

@@ -67,7 +67,11 @@ def synth_admin_features(
         docs = docs.select("doc_id", r).select(
             (F.col("doc_id") * replicate + F.col("r")).alias("doc_id")
         )
-        docs = docs.repartition(spark.sparkContext.defaultParallelism * 2)
+    # the input is one small parquet file (one scan task), but every doc
+    # fans out into a 9-zoom Douglas-Peucker chain downstream — spread the
+    # doc_ids BEFORE the heavy per-feature work or the whole candidate
+    # explode runs single-task (measured 6.6 s -> sub-second at sf0.1)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism * 2)
     i = "doc_id"
     xf0, w = _XF0.format(i=i), _W.format(i=i)
     yf0, h = _YF0.format(i=i), _H.format(i=i)
