@@ -1,0 +1,90 @@
+"""Hashed NB quality classifier + DSIR importance resampling
+(pages/classifier.py). Oracle parity is swept by test_oracle_parity
+(quality_classifier / dsir_sample); these tests pin the LEARNING claims
+— the model must genuinely distill the C4 heuristic, not just match the
+oracle — and the zero-shuffle scoring plan."""
+
+from __future__ import annotations
+
+import hashlib
+
+from versatiles_rs_spark.pages.classifier import (
+    NB_M,
+    _OFFSET,
+    _WIDTH,
+    _hex_table,
+    dsir_topk,
+    score_nb,
+    train_dsir,
+    train_nb,
+)
+from versatiles_rs_spark.pages.quality_filters import c4_filter
+from versatiles_rs_spark.queries.text import _decorated_pages
+
+# learning-quality assertions need a corpus with enough failures of each
+# kind; sf0.001's 50 docs are too few
+SF01 = "/root/testdata/sf0.01"
+
+
+def _bucket(token: str) -> int:
+    return int(hashlib.md5(token.encode()).hexdigest()[:8], 16) % NB_M
+
+
+def _decode(table_hex: str, bucket: int) -> int:
+    return int(table_hex[bucket * _WIDTH:(bucket + 1) * _WIDTH], 16) - _OFFSET
+
+
+def test_hex_table_roundtrip():
+    ws = [0, -1, 1, -_OFFSET, 16 ** _WIDTH - 1 - _OFFSET, -123456, 987654]
+    t = _hex_table(ws)
+    assert [_decode(t, i) for i in range(len(ws))] == ws
+
+
+def test_nb_generalizes_beyond_majority_baseline(spark):
+    pages, seed = _decorated_pages(spark, SF01)
+    docs = spark.read.parquet(f"{SF01}/documents.parquet")
+    truth = c4_filter(docs).select("doc_id", "c4_keep")
+    scored = score_nb(pages, train_nb(seed)).join(truth, "doc_id")
+    held = scored.where("doc_id % 4 <> 0")
+    n = held.count()
+    acc = held.where("pred = c4_keep").count() / n
+    pos = held.where("c4_keep").count()
+    majority = max(pos, n - pos) / n
+    # the residual errors are the lexically-invisible line-rule failures
+    # (no token distinguishes them); the boilerplate-failing docs must be
+    # learned from the 25% seed. Measured: 0.899 vs 0.768 at sf0.01.
+    assert majority < 0.80
+    assert acc > majority + 0.08
+
+
+def test_nb_learns_injected_boilerplate_tokens(spark):
+    _, seed = _decorated_pages(spark, SF01)
+    model = train_nb(seed)
+    for tok in ("lorem", "ipsum", "javascript"):
+        b = _bucket(tok)
+        # > 1 nat of negative evidence per occurrence
+        assert _decode(model.w_neg_hex, b) - _decode(model.w_pos_hex, b) > 1_000_000, tok
+
+
+def test_dsir_top100_enriched_to_pure_c4_passers(spark):
+    pages, seed = _decorated_pages(spark, SF01)
+    docs = spark.read.parquet(f"{SF01}/documents.parquet")
+    truth = c4_filter(docs).select("doc_id", "c4_keep")
+    table = train_dsir(seed.where("label"), seed)
+    top = dsir_topk(pages, table, k=100).join(truth, "doc_id")
+    # corpus base rate is 379/500; importance weighting must push the
+    # selected slice to (near-)pure passers. Measured: 100/100.
+    assert top.where("c4_keep").count() >= 97
+
+
+def test_score_plan_is_one_zero_shuffle_project(spark):
+    pages, seed = _decorated_pages(spark, SF01)
+    scored = score_nb(pages, train_nb(seed))
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    weights = train_dsir(seed.where("label"), seed)
+    w = dsir_topk(pages, weights, k=100)
+    wplan = w._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrdered" in wplan
+    assert "BatchEvalPython" not in wplan and "ArrowEval" not in wplan

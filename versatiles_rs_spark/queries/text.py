@@ -1048,3 +1048,79 @@ def _o_url_seen_bloom() -> str:
 
 
 O_URL_SEEN_BLOOM = _o_url_seen_bloom()
+
+
+# ---------------------------------------------------------------------------
+# 39. Hashed NB quality classifier + DSIR importance resampling
+# ---------------------------------------------------------------------------
+
+
+def _decorated_pages(spark: SparkSession, sf_dir: str):
+    """(pages, seed_labeled): the decorated page joined to one string per
+    doc, and the 25% seed subset labeled with the engine's own C4 page
+    rule — the heuristic-distillation setup (CCNet/LLaMA bootstraps its
+    quality classifier from heuristic labels the same way)."""
+    from versatiles_rs_spark.pages.quality_filters import (
+        c4_filter,
+        decorated_lines,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = docs.select(
+        "doc_id",
+        F.expr(f"array_join({decorated_lines()}, ' ')").alias("text"),
+    )
+    labels = c4_filter(docs).select("doc_id", "c4_keep")
+    seed = (
+        pages.where("doc_id % 4 = 0")
+        .join(labels, "doc_id")
+        .select(F.col("c4_keep").alias("label"), "text")
+    )
+    return pages, seed
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/LLaMA-style corpus scoring: train multinomial NB on the seed
+    subset (doc_id % 4 == 0, label = the C4 page rule over the decorated
+    page), score ALL documents — the classifier genuinely learns the
+    injected boilerplate vocabulary as negative evidence and generalizes
+    to the unlabeled 75%. Training shuffles <= 2*m (label, bucket) rows
+    regardless of corpus size; scoring is one zero-shuffle codegen
+    Project over literal weight tables (pages/classifier.py). The oracle
+    retrains + rescores the identical model relationally — integer
+    micro-nat margins match value-for-value."""
+    from versatiles_rs_spark.pages.classifier import score_nb, train_nb
+
+    pages, seed = _decorated_pages(spark, sf_dir)
+    return score_nb(pages, train_nb(seed))
+
+
+def _o_quality_classifier() -> str:
+    from versatiles_rs_spark.pages.classifier import nb_oracle_sql
+
+    return nb_oracle_sql()
+
+
+O_QUALITY_CLASSIFIER = _o_quality_classifier()
+
+
+def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al., NeurIPS 2023): importance weight
+    ln p_target - ln p_raw under add-1 hashed-bigram unigram models
+    (target = the C4-passing seed pages, raw = the whole seed),
+    deterministic top-100 selection. Bounded training aggregate +
+    zero-shuffle scoring + TakeOrdered."""
+    from versatiles_rs_spark.pages.classifier import dsir_topk, train_dsir
+
+    pages, seed = _decorated_pages(spark, sf_dir)
+    table = train_dsir(seed.where("label"), seed)
+    return dsir_topk(pages, table, k=100)
+
+
+def _o_dsir_sample() -> str:
+    from versatiles_rs_spark.pages.classifier import dsir_oracle_sql
+
+    return dsir_oracle_sql(k=100)
+
+
+O_DSIR_SAMPLE = _o_dsir_sample()
