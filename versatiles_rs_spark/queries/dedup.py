@@ -802,3 +802,56 @@ def _o_semdedup_pairs() -> str:
 O_SEMDEDUP_PAIRS = _o_semdedup_pairs()
 
 
+
+
+# ---------------------------------------------------------------------------
+# 40. Snapshot-incremental dedup (new crawl batch vs seen-fingerprint store)
+# ---------------------------------------------------------------------------
+
+
+def q_snapshot_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental crawl dedup (dedup/snapshots.py): the store holds
+    fingerprints of previously-kept docs (doc_id % 3 <> 0); the incoming
+    batch is every even doc re-crawled as a MESSY variant of its base
+    doc's content (base = doc_id floored to a multiple of 10), so the
+    oracle attests normalization-keyed store membership ('dup_store'),
+    batch-internal first-occurrence ('dup_batch'), and survivors ('new')
+    in one verdict column. One shuffle total: the first-occurrence
+    window reuses the fp join's partitioning."""
+    from versatiles_rs_spark.dedup.snapshots import (
+        snapshot_dedup,
+        snapshot_fingerprints,
+    )
+    from versatiles_rs_spark.pages.quality_filters import messy_text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.select(F.col("doc_id").alias("base_id"),
+                       F.col("text").alias("base_text"))
+    batch = (
+        docs.where("doc_id % 2 = 0")
+        .withColumn("base_id",
+                    F.expr("doc_id - ((doc_id % 10) + 10) % 10"))
+        .join(base, "base_id")
+        .select("doc_id",
+                F.expr(messy_text("doc_id", "base_text")).alias("text"))
+    )
+    store = docs.where("doc_id % 3 <> 0").select("text")
+    return snapshot_dedup(batch, snapshot_fingerprints(store))
+
+
+def _o_snapshot_dedup() -> str:
+    from versatiles_rs_spark.dedup.snapshots import snapshot_dedup_sql
+    from versatiles_rs_spark.pages.quality_filters import messy_text
+
+    batch_cte = (
+        "SELECT d.doc_id AS doc_id, "
+        + messy_text("d.doc_id", "b.text")
+        + " AS text FROM documents d JOIN documents b "
+        "ON b.doc_id = d.doc_id - ((d.doc_id % 10) + 10) % 10 "
+        "WHERE d.doc_id % 2 = 0"
+    )
+    store_cte = "SELECT text FROM documents WHERE doc_id % 3 <> 0"
+    return snapshot_dedup_sql(batch_cte, store_cte)
+
+
+O_SNAPSHOT_DEDUP = _o_snapshot_dedup()
