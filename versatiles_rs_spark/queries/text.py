@@ -1124,3 +1124,29 @@ def _o_dsir_sample() -> str:
 
 
 O_DSIR_SAMPLE = _o_dsir_sample()
+
+
+# ---------------------------------------------------------------------------
+# 40. Sequence packing (concat-and-chunk into fixed-length training seqs)
+# ---------------------------------------------------------------------------
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc packing assignment into 512-token training sequences,
+    packed per shard (pages/packing.py): one hash shuffle + in-partition
+    running sum — no global sort. The oracle recomputes the identical
+    windowed cumsum; start offsets, boundary spans, and shard layout all
+    match integer-for-integer."""
+    from versatiles_rs_spark.pages.packing import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pack_sequences(docs)
+
+
+def _o_sequence_packing() -> str:
+    from versatiles_rs_spark.pages.packing import pack_sequences_sql
+
+    return pack_sequences_sql()
+
+
+O_SEQUENCE_PACKING = _o_sequence_packing()
