@@ -56,6 +56,13 @@ def main() -> int:
                     "oracle-checked filter_funnel_neardup semantics)")
     ap.add_argument("--neardup-threshold", type=float, default=0.5,
                     help="exact-Jaccard verify threshold for --neardup")
+    ap.add_argument("--classifier", choices=["none", "nb"], default="none",
+                    help="learned quality gate after dedup/near-dup: train "
+                    "the hashed NB on the 25%% seed labeled by the C4 flag "
+                    "(heuristic distillation, pages/classifier.py), drop "
+                    "survivors the model predicts as failures. Training "
+                    "shuffles <= 2*m bounded rows; the drop itself is a "
+                    "zero-shuffle inline predicate")
     ap.add_argument(
         "--resumable", type=int, default=0, metavar="N_BUCKETS",
         help="commit the curated corpus through the lineage protocol in "
@@ -111,6 +118,21 @@ def main() -> int:
         ).localCheckpoint()
         n_neardup_dropped = drops.count()
         survivors = survivors.join(broadcast(drops), "doc_id", "left_anti")
+    n_classifier = None
+    if args.classifier == "nb":
+        from versatiles_rs_spark.pages.classifier import nb_keep_expr, train_nb
+        from versatiles_rs_spark.pages.quality_filters import decorated_lines
+
+        page = f"array_join({decorated_lines('doc_id', 'text')}, ' ')"
+        # seed labels = the C4 flag already computed in the flag
+        # projection (heuristic distillation); bounded-collect training
+        seed = (
+            d.where("doc_id % 4 = 0")
+            .select(F.col("_c4").alias("label"), F.expr(page).alias("text"))
+        )
+        model = train_nb(seed)
+        survivors = survivors.where(F.expr(nb_keep_expr(model, f"({page})")))
+        n_classifier = survivors.count()
     if args.sample < 1.0:
         survivors = stratified_sample(
             survivors.withColumn("stratum", F.col(args.stratify_by)),
@@ -139,6 +161,8 @@ def main() -> int:
         metrics["n_written"] = int(out_n)
     if args.neardup != "none":
         metrics["n_neardup"] = int(metrics["n_deduped"]) - n_neardup_dropped
+    if n_classifier is not None:
+        metrics["n_classifier"] = n_classifier
     print(json.dumps({"metric": "curate", **{k: int(v) for k, v in metrics.items()}}))
     with open(f"{args.output.rstrip('/')}/_funnel_metrics.json", "w") as fh:
         json.dump({k: int(v) for k, v in metrics.items()}, fh)

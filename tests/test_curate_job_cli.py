@@ -201,3 +201,60 @@ def test_curate_neardup_resumable(tmp_path, spark):
     m2 = _run(args)
     assert m2["batches_run"] == 0
     assert m2["n_written"] == m["n_written"]
+
+
+def test_curate_classifier_stage(tmp_path, spark):
+    """--classifier nb trains the hashed NB on the C4-labeled seed and
+    drops survivors the model predicts as failures; the survivor set
+    matches the in-process model applied to the same stage input."""
+    out_dir = str(tmp_path / "curated_clf")
+    m = _run([
+        "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--output", out_dir, "--classifier", "nb", "--master", "local[4]",
+    ])
+    assert m["n_deduped"] >= m["n_classifier"] > 0
+    assert m["n_written"] == m["n_classifier"]
+    got = spark.read.parquet(out_dir)
+    assert got.count() == m["n_written"]
+
+    # in-process expectation: same seed labels, same model, same gate
+    from pyspark.sql import functions as F
+
+    from versatiles_rs_spark.operators.curate import (
+        curation_flags,
+        curation_survivors,
+    )
+    from versatiles_rs_spark.pages.classifier import nb_keep_expr, train_nb
+    from versatiles_rs_spark.pages.quality_filters import decorated_lines
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    d, _ = curation_flags(docs)
+    page = f"array_join({decorated_lines('doc_id', 'text')}, ' ')"
+    seed = d.where("doc_id % 4 = 0").select(
+        F.col("_c4").alias("label"), F.expr(page).alias("text"))
+    model = train_nb(seed)
+    want = (
+        curation_survivors(d)
+        .where(F.expr(nb_keep_expr(model, f"({page})")))
+        .count()
+    )
+    assert m["n_classifier"] == want
+
+
+def test_curate_classifier_with_neardup_resumable(tmp_path, spark):
+    """The learned gate composes with near-dup and the lineage protocol."""
+    from versatiles_rs_spark.lineage import read_tiles
+
+    out_dir = str(tmp_path / "curated_clfr")
+    args = [
+        "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--output", out_dir, "--classifier", "nb", "--neardup", "minhash",
+        "--resumable", "3", "--master", "local[4]",
+    ]
+    m = _run(args)
+    assert m["batches_run"] == 3
+    assert m["n_neardup"] >= m["n_classifier"] == m["n_written"] > 0
+    assert read_tiles(spark, out_dir).count() == m["n_written"]
+    m2 = _run(args)
+    assert m2["batches_run"] == 0
+    assert m2["n_written"] == m["n_written"]

@@ -190,6 +190,25 @@ def train_nb(labeled: DataFrame, text_col: str = "text",
                    prior[True], prior[False], m)
 
 
+def nb_keep_expr(model: NBModel, text_col: str = "text") -> str:
+    """Spark SQL boolean: positive-class prediction of `text_col`, fully
+    inline (no extra columns, no joins) — the zero-shuffle filter form
+    used by the curation CLI's --classifier stage. The feature array
+    appears in both class sums; whole-stage codegen subexpression-
+    eliminates the duplicate (measured no-op vs a LET binding)."""
+    fs = (f"transform({tokens_expr(text_col)},"
+          f" t -> {bucket_expr('t', model.m)})")
+    s_pos = (
+        f"aggregate({fs}, {model.prior_pos}L, "
+        f"(a, f) -> a + ({_lookup_expr(model.w_pos_hex, 'f')}))"
+    )
+    s_neg = (
+        f"aggregate({fs}, {model.prior_neg}L, "
+        f"(a, f) -> a + ({_lookup_expr(model.w_neg_hex, 'f')}))"
+    )
+    return f"({s_pos}) > ({s_neg})"
+
+
 def score_nb(docs: DataFrame, model: NBModel,
              text_col: str = "text") -> DataFrame:
     """Score every document: (doc_id, pred, margin). Zero-shuffle — the
