@@ -363,6 +363,26 @@ def run_scaling() -> None:
     def _fmt_series(vals):
         return ", ".join(f"{v:.2f}" for v in vals)
 
+    # other modes (--cluster-scaling, --curate-scaling, pinned_norm_
+    # scaling.py) APPEND round-labeled evidence sections; regenerating
+    # the core report must not destroy them, so everything from the
+    # first appended section onward is carried over verbatim
+    kept_tail = ""
+    try:
+        with open("BENCH/BASELINE.md") as f:
+            old = f.read()
+        idx = old.find("\n## Split-JVM evidence")
+        if idx == -1:
+            for marker in ("\n## Curation-funnel scaling",
+                           "\n## Pinned-core regex-normalization"):
+                idx = old.find(marker)
+                if idx != -1:
+                    break
+        if idx != -1:
+            kept_tail = old[idx:]
+    except FileNotFoundError:
+        pass
+
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(
             f"""# BENCH/BASELINE — two-parallelism scaling evidence (round-3 protocol)
@@ -481,6 +501,8 @@ multiprocessing ceiling, which itself drifts across hours on these shared
 vCPUs (see the before/after table above).
 """
         )
+        if kept_tail:
+            f.write(kept_tail)
     print(json.dumps({
         "hw_eff_before": round(hw_start["eff"], 3),
         "hw_eff_after": round(hw_end["eff"], 3),

@@ -74,6 +74,10 @@ def main() -> int:
     ap.add_argument("--master", default=None)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     args = ap.parse_args()
+    if args.classifier == "nb" and args.skip_c4:
+        print("--classifier nb trains on the C4 flag; "
+              "it cannot combine with --skip-c4", file=sys.stderr)
+        return 2
 
     from pyspark.sql import Observation
     from pyspark.sql import functions as F

@@ -88,3 +88,14 @@ def test_score_plan_is_one_zero_shuffle_project(spark):
     wplan = w._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrdered" in wplan
     assert "BatchEvalPython" not in wplan and "ArrowEval" not in wplan
+
+
+def test_train_nb_requires_both_classes(spark):
+    import pytest
+
+    from versatiles_rs_spark.pages.classifier import train_nb
+
+    one_class = spark.createDataFrame(
+        [(True, "a b c"), (True, "d e f")], "label boolean, text string")
+    with pytest.raises(ValueError, match="BOTH classes"):
+        train_nb(one_class)

@@ -180,6 +180,12 @@ def train_nb(labeled: DataFrame, text_col: str = "text",
     for r in counts:
         c[r["pos"]][r["f"]] = r["count"]
     n_seed = sum(n_docs.values())
+    if not (n_docs.get(True) and n_docs.get(False)):
+        raise ValueError(
+            "train_nb needs BOTH classes in the seed "
+            f"(got {n_docs.get(True, 0)} positive / "
+            f"{n_docs.get(False, 0)} negative labeled docs)"
+        )
     w, prior = {}, {}
     for lab in (True, False):
         tot = sum(c[lab])
