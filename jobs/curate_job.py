@@ -109,33 +109,16 @@ def main() -> int:
     survivors = curation_survivors(d)
     n_neardup_dropped = 0
     if args.neardup != "none":
-        from pyspark.sql.functions import broadcast
+        from versatiles_rs_spark.operators.curate import neardup_stage
 
-        from versatiles_rs_spark.pages.quality_filters import neardup_drop_ids
-
-        # computed ONCE and pinned: the drop set is O(duplicates), and
-        # localCheckpoint keeps the resumable path from re-running the
-        # LSH cascade per key-bucket batch
-        drops = neardup_drop_ids(
-            survivors.select("doc_id", "text"),
-            threshold=args.neardup_threshold,
-        ).localCheckpoint()
-        n_neardup_dropped = drops.count()
-        survivors = survivors.join(broadcast(drops), "doc_id", "left_anti")
+        survivors, n_neardup_dropped = neardup_stage(
+            survivors, threshold=args.neardup_threshold
+        )
     n_classifier = None
     if args.classifier == "nb":
-        from versatiles_rs_spark.pages.classifier import nb_keep_expr, train_nb
-        from versatiles_rs_spark.pages.quality_filters import decorated_lines
+        from versatiles_rs_spark.operators.curate import classifier_stage
 
-        page = f"array_join({decorated_lines('doc_id', 'text')}, ' ')"
-        # seed labels = the C4 flag already computed in the flag
-        # projection (heuristic distillation); bounded-collect training
-        seed = (
-            d.where("doc_id % 4 = 0")
-            .select(F.col("_c4").alias("label"), F.expr(page).alias("text"))
-        )
-        model = train_nb(seed)
-        survivors = survivors.where(F.expr(nb_keep_expr(model, f"({page})")))
+        survivors = classifier_stage(d, survivors)
         n_classifier = survivors.count()
     if args.sample < 1.0:
         survivors = stratified_sample(

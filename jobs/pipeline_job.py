@@ -46,9 +46,20 @@ def main() -> int:
     ap.add_argument("--skip-gopher", action="store_true")
     ap.add_argument("--skip-dedup", action="store_true")
     ap.add_argument("--normalizer", choices=["column", "pandas"], default="column")
+    ap.add_argument("--neardup", choices=["none", "minhash"], default="none",
+                    help="MinHash-LSH near-dup stage after normalized dedup "
+                    "(same semantics as curate_job --neardup)")
+    ap.add_argument("--neardup-threshold", type=float, default=0.5)
+    ap.add_argument("--classifier", choices=["none", "nb"], default="none",
+                    help="learned NB quality gate after dedup/near-dup "
+                    "(same semantics as curate_job --classifier)")
     ap.add_argument("--master", default=None)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     args = ap.parse_args()
+    if args.classifier == "nb" and args.skip_c4:
+        print("--classifier nb trains on the C4 flag; "
+              "it cannot combine with --skip-c4", file=sys.stderr)
+        return 2
 
     from pyspark.sql import functions as F
 
@@ -86,6 +97,19 @@ def main() -> int:
         normalizer=args.normalizer,
     )
     survivors = curation_survivors(d)
+    n_neardup_dropped = None
+    if args.neardup != "none":
+        from versatiles_rs_spark.operators.curate import neardup_stage
+
+        survivors, n_neardup_dropped = neardup_stage(
+            survivors, threshold=args.neardup_threshold
+        )
+    n_classifier = None
+    if args.classifier == "nb":
+        from versatiles_rs_spark.operators.curate import classifier_stage
+
+        survivors = classifier_stage(d, survivors)
+        n_classifier = survivors.count()
     if args.sample < 1.0:
         survivors = stratified_sample(
             survivors.withColumn("stratum", F.col("lang")),
@@ -98,6 +122,10 @@ def main() -> int:
         survivors, curated_tbl, n_buckets=args.curate_buckets
     )
     funnel = {k: int(v) for k, v in d.agg(*funnel_aggs).first().asDict().items()}
+    if n_neardup_dropped is not None:
+        funnel["n_neardup"] = funnel["n_deduped"] - n_neardup_dropped
+    if n_classifier is not None:
+        funnel["n_classifier"] = n_classifier
     curated_manifest = read_manifest(curated_tbl)
     n_curated = int(
         sum(b["row_count"] for b in curated_manifest["batches"].values())

@@ -84,3 +84,24 @@ def test_pipeline_end_to_end_and_resume(tmp_path, spark):
     assert m2["tile_batches_run"] == 0
     assert m2["n_tiles"] == m["n_tiles"]
     assert m2["n_curated"] == m["n_curated"]
+
+
+def test_pipeline_neardup_and_classifier_stages(tmp_path, spark):
+    """The full chain with the near-dup and learned-gate stages wired in
+    (shared operators/curate.py helpers — same semantics as curate_job);
+    both heavy stages stay resumable."""
+    wd = str(tmp_path / "run_nc")
+    args = [
+        "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--workdir", wd, "--min-zoom", "0", "--max-zoom", "3",
+        "--curate-buckets", "3", "--neardup", "minhash",
+        "--classifier", "nb", "--master", "local[4]",
+    ]
+    m = _run(args)
+    f = m["funnel"]
+    assert f["n_deduped"] >= f["n_neardup"] >= f["n_classifier"] > 0
+    assert m["n_curated"] == f["n_classifier"]
+    assert m["curate_batches_run"] == 3
+    m2 = _run(args)
+    assert m2["curate_batches_run"] == 0 and m2["tile_batches_run"] == 0
+    assert m2["n_curated"] == m["n_curated"]

@@ -130,3 +130,38 @@ def curation_flags(
 
 def curation_survivors(flagged: DataFrame) -> DataFrame:
     return flagged.where("_surv").drop(*_FLAG_COLS)
+
+
+def neardup_stage(survivors: DataFrame, threshold: float = 0.5):
+    """MinHash-LSH near-dup stage over the dedup survivors: drop set is
+    O(duplicates), computed ONCE and localCheckpointed (so resumable
+    key-bucket batches don't re-run the LSH cascade), broadcast back as
+    an anti-join — the corpus is never shuffled a second time.
+    Returns (survivors', n_dropped)."""
+    from pyspark.sql.functions import broadcast
+
+    from versatiles_rs_spark.pages.quality_filters import neardup_drop_ids
+
+    drops = neardup_drop_ids(
+        survivors.select("doc_id", "text"), threshold=threshold
+    ).localCheckpoint()
+    n_dropped = drops.count()
+    return survivors.join(broadcast(drops), "doc_id", "left_anti"), n_dropped
+
+
+def classifier_stage(flagged: DataFrame, survivors: DataFrame) -> DataFrame:
+    """Learned quality gate (pages/classifier.py): train the hashed NB
+    on the 25% seed labeled by the C4 flag already computed in the flag
+    projection (heuristic distillation), then drop survivors the model
+    predicts as failures. Training is a bounded (<= 2*m rows) collect;
+    the gate itself is a zero-shuffle inline predicate."""
+    from versatiles_rs_spark.pages.classifier import nb_keep_expr, train_nb
+    from versatiles_rs_spark.pages.quality_filters import decorated_lines
+
+    page = f"array_join({decorated_lines('doc_id', 'text')}, ' ')"
+    seed = (
+        flagged.where("doc_id % 4 = 0")
+        .select(F.col("_c4").alias("label"), F.expr(page).alias("text"))
+    )
+    model = train_nb(seed)
+    return survivors.where(F.expr(nb_keep_expr(model, f"({page})")))
