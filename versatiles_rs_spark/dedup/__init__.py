@@ -1,4 +1,5 @@
 from versatiles_rs_spark.dedup.minhash import (  # noqa: F401
+    minhash_band_keys,
     minhash_dedup_pairs,
     minhash_signatures,
 )

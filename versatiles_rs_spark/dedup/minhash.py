@@ -116,6 +116,25 @@ def minhash_signatures(
     return docs.select(id_col, text_col).mapInPandas(sign, _SIG_SCHEMA)
 
 
+def minhash_band_keys(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(doc_id, band, bkey): explode each signature into its LSH band keys.
+
+    band key = hash of the band's signature slice; each doc becomes
+    ``bands`` rows. This is the shared banding step of the batch near-dup
+    pipeline (minhash_dedup_pairs) and the persistable store band index
+    (dedup/snapshots.store_band_index)."""
+    rows = num_hashes // bands
+    return sigs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), b -> "
+                f"struct(b as band, xxhash64(slice(sig, b * {rows} + 1, {rows})) as bkey))"
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+
+
 def minhash_dedup_pairs(
     docs: DataFrame,
     num_hashes: int = 64,
@@ -130,18 +149,8 @@ def minhash_dedup_pairs(
     (id_a < id_b, jaccard >= threshold)."""
     from versatiles_rs_spark.dedup.ngram import jaccard_pairs
 
-    rows = num_hashes // bands
     sigs = minhash_signatures(docs, num_hashes, shingle_n, id_col, text_col)
-    # band key = hash of the band's signature slice; explode to n_bands rows
-    banded = sigs.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {bands - 1}), b -> "
-                f"struct(b as band, xxhash64(slice(sig, b * {rows} + 1, {rows})) as bkey))"
-            )
-        ).alias("bk"),
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+    banded = minhash_band_keys(sigs, num_hashes, bands)
 
     # bucket-join: collect ids per (band, bkey); cap hot buckets (skew valve)
     buckets = (

@@ -839,6 +839,56 @@ def q_snapshot_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_dedup(batch, snapshot_fingerprints(store))
 
 
+def q_snapshot_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup (dedup/snapshots.py): the store band index
+    holds the LSH buckets of previously-kept docs (every 10th doc whose
+    id % 3 <> 0); the batch re-crawls every 5th doc as its base doc's
+    text plus a short revision tail (1 or 2 ' rev' tokens, so siblings
+    of one base are near- but not exact dups of the base and of each
+    other). The oracle brute-forces exact 3-gram Jaccard batch x store
+    and the transitive closure among survivors — attesting banding
+    recall, the verify threshold, store precedence, and the min-id
+    cluster-keeper rule in one verdict column."""
+    from versatiles_rs_spark.dedup.snapshots import snapshot_neardup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.select(F.col("doc_id").alias("base_id"),
+                       F.col("text").alias("base_text"))
+    batch = (
+        docs.where("doc_id % 5 = 0")
+        .withColumn("base_id", F.expr("doc_id - doc_id % 10"))
+        .join(base, "base_id")
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.expr(
+                "concat(base_text, repeat(' rev', "
+                "CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 2 END))"
+            ).alias("text"),
+        )
+    )
+    store = docs.where("doc_id % 10 = 0 AND doc_id % 3 <> 0") \
+                .select("doc_id", "text")
+    return snapshot_neardup(batch, store, threshold=0.5)
+
+
+def _o_snapshot_neardup() -> str:
+    from versatiles_rs_spark.dedup.snapshots import snapshot_neardup_sql
+
+    batch_cte = (
+        "SELECT d.doc_id + 1000000 AS doc_id, "
+        "concat(b.text, repeat(' rev', "
+        "CASE WHEN d.doc_id % 10 = 0 THEN 1 ELSE 2 END)) AS text "
+        "FROM documents d JOIN documents b ON b.doc_id = d.doc_id - d.doc_id % 10 "
+        "WHERE d.doc_id % 5 = 0"
+    )
+    store_cte = ("SELECT doc_id, text FROM documents "
+                 "WHERE doc_id % 10 = 0 AND doc_id % 3 <> 0")
+    return snapshot_neardup_sql(batch_cte, store_cte, threshold=0.5)
+
+
+O_SNAPSHOT_NEARDUP = _o_snapshot_neardup()
+
+
 def _o_snapshot_dedup() -> str:
     from versatiles_rs_spark.dedup.snapshots import snapshot_dedup_sql
     from versatiles_rs_spark.pages.quality_filters import messy_text
