@@ -44,3 +44,59 @@ def test_vocab_topk_order_and_plan(spark):
     assert got == [(1, "a", 4), (2, "b", 3), (3, "c", 2)]
     plan = vocab_topk(docs, k=3)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_mixture_sample_semantics(spark):
+    """Hand-computable budget cut: greedy doc_id-ordered prefix per
+    stratum; before-doc cumulative < budget keeps the doc (the last doc
+    may overshoot); absent strata get budget 0."""
+    from versatiles_rs_spark.pages.sampling import mixture_sample
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a", "w w w"),        # en: before 0  < 7 -> keep (3 tok)
+            (2, "a", "w w w w"),      # en: before 3  < 7 -> keep (overshoots to 7)
+            (3, "a", "w"),            # en: before 7 !< 7 -> drop
+            (10, "b", "w w"),         # de: before 0 < 2 -> keep
+            (11, "b", "w"),           # de: before 2 !< 2 -> drop
+            (20, "c", "w"),           # no budget -> drop
+        ],
+        "doc_id long, lang string, text string",
+    )
+    got = sorted(
+        (r["doc_id"], r["n_tok"])
+        for r in mixture_sample(docs, {"a": 7, "b": 2}).collect()
+    )
+    assert got == [(1, 3), (2, 4), (10, 2)]
+
+
+def test_mixture_sample_bucket_split_invariant(spark):
+    """The bucketed two-phase plan must give identical rows at any
+    bucket granularity: bits=0 (every doc its own bucket), the default,
+    and bits=40 (one bucket, pure window) — proving the full/edge/drop
+    split equals the corpus-wide prefix-sum spec."""
+    from versatiles_rs_spark.pages.sampling import mixture_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    budgets = {"en": 4000, "zh": 1000, "es": 1000, "de": 1000, "fr": 1000}
+    ref = sorted(map(tuple, mixture_sample(docs, budgets, bucket_bits=40).collect()))
+    assert ref  # non-degenerate
+    for bits in (0, 6):
+        got = sorted(map(tuple, mixture_sample(docs, budgets, bucket_bits=bits).collect()))
+        assert got == ref, f"bucket_bits={bits}"
+
+
+def test_mixture_sample_plan_shape(spark):
+    """The bulk (full-bucket) path is a broadcast-join filter with no
+    exchange; the only hash exchange in the result plan is the window
+    over the edge buckets (one bucket per stratum)."""
+    import re
+
+    from versatiles_rs_spark.pages.sampling import mixture_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = mixture_sample(docs, {"en": 4000, "de": 1000})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan

@@ -60,6 +60,116 @@ def stratified_sample_sql(
     return f"(({key_col} * {_HASH_MULT}) % {_HASH_MOD}) / {_HASH_MOD}.0 < {frac}"
 
 
+_TOK_SQL = (
+    "CASE WHEN length(trim({t})) = 0 THEN 0 "
+    "ELSE length(trim({t})) - length(replace(trim({t}), ' ', '')) + 1 END"
+)
+
+
+def mixture_sample(
+    docs: DataFrame,
+    budgets: dict[str, int],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucket_bits: int = 6,
+) -> DataFrame:
+    """Token-budget data mixing: per stratum (source/language), keep the
+    greedy doc_id-ordered prefix whose cumulative token count BEFORE each
+    doc is < the stratum's budget (the fixed-mixture step of a training
+    pipeline — The Pile / DoReMi-style source weights expressed as token
+    budgets). Deterministic: same rows on every run at any parallelism.
+    Strata absent from ``budgets`` get budget 0 (dropped).
+
+    -> (doc_id, stratum, n_tok) of the selected docs.
+
+    Scale shape: a corpus-wide ordered prefix-sum per stratum would
+    serialize each stratum through one reducer. Instead, docs bucket by
+    id range (rng = doc_id >> bucket_bits; monotone in doc_id), one
+    map-side-combined agg produces per-(stratum, bucket) token sums —
+    bounded by id_span/2^bucket_bits rows, NOT corpus size; pick
+    bucket_bits so this stays ~1e3-1e5 rows at the target scale — the
+    driver prefixes them, and each bucket is marked full / edge /
+    dropped. Fully-kept buckets are a broadcast-join filter (no corpus
+    shuffle, no window); the exact window runs only over the ONE edge
+    bucket per stratum. Correctness of the split: a bucket is 'full'
+    only if its end-of-bucket cumulative sum is strictly < budget, so
+    every doc inside satisfies before < budget; a dropped bucket starts
+    at >= budget, so every doc inside fails; the edge bucket applies
+    the exact per-doc rule (this also handles zero-token docs sitting
+    exactly at the budget boundary)."""
+    tok = _TOK_SQL.format(t=text_col)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(stratum_col).alias("stratum"),
+        F.expr(tok).cast("bigint").alias("n_tok"),
+        F.expr(f"shiftright({id_col}, {bucket_bits})").alias("rng"),
+    )
+    per = base.groupBy("stratum", "rng").agg(F.sum("n_tok").alias("s")).collect()
+    by_stratum: dict[str, list] = {}
+    for r in per:
+        by_stratum.setdefault(r["stratum"], []).append((r["rng"], r["s"]))
+    marks = []  # (stratum, rng, mark, tokens_before_bucket)
+    for st, lst in by_stratum.items():
+        budget = budgets.get(st, 0)
+        acc = 0
+        for rng, s in sorted(lst):
+            if acc + s < budget:
+                marks.append((st, rng, "full", 0))
+            elif acc < budget:
+                marks.append((st, rng, "edge", acc))
+            acc += s
+    spark = docs.sparkSession
+    mdf = spark.createDataFrame(
+        marks, "stratum string, rng bigint, mark string, before bigint"
+    )
+    j = base.join(F.broadcast(mdf), ["stratum", "rng"])
+    fulls = j.where("mark = 'full'").select("doc_id", "stratum", "n_tok")
+    w = Window.partitionBy("stratum").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bud = F.lit(0)
+    for k, v in sorted(budgets.items()):
+        bud = F.when(F.col("stratum") == k, F.lit(int(v))).otherwise(bud)
+    edge = (
+        j.where("mark = 'edge'")
+        .withColumn(
+            "_before",
+            F.col("before") + F.coalesce(F.sum("n_tok").over(w), F.lit(0)),
+        )
+        .where(F.col("_before") < bud)
+        .select("doc_id", "stratum", "n_tok")
+    )
+    return fulls.unionByName(edge)
+
+
+def mixture_sample_sql(
+    budgets: dict[str, int],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+) -> str:
+    """DuckDB twin: the straightforward per-stratum ordered prefix-sum
+    budget cut (the spec the bucketed plan must equal)."""
+    tok = _TOK_SQL.format(t=text_col)
+    cases = " ".join(f"WHEN '{k}' THEN {int(v)}" for k, v in sorted(budgets.items()))
+    return f"""
+WITH t AS (
+  SELECT {id_col} AS doc_id, {stratum_col} AS stratum,
+         CAST({tok} AS BIGINT) AS n_tok
+  FROM {table}
+), c AS (
+  SELECT *, coalesce(sum(n_tok) OVER (
+    PARTITION BY stratum ORDER BY doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+  FROM t
+)
+SELECT doc_id, stratum, n_tok FROM c
+WHERE bef < CASE stratum {cases} ELSE 0 END
+"""
+
+
 def vocab_topk(
     docs: DataFrame, k: int = 100, text_col: str = "text", min_count: int = 1
 ) -> DataFrame:

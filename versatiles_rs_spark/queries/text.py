@@ -361,6 +361,32 @@ O_REPETITION_STATS = _o_repetition_stats()
 _STRATA = {"en": 0.9, "de": 0.5, "fr": 0.25}
 
 
+_MIX_BUDGETS = {"en": 4000, "zh": 1000, "es": 1000, "de": 1000, "fr": 1000}
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget data mixing (pages/sampling.mixture_sample): per
+    language, the greedy doc_id-ordered prefix whose cumulative token
+    count stays under the stratum budget — the fixed-mixture step of a
+    training pipeline. The Spark plan is the bucketed two-phase split
+    (broadcast bucket marks + window over ONE edge bucket per stratum);
+    the oracle is the straightforward corpus-wide prefix-sum cut the
+    plan must equal, row for row."""
+    from versatiles_rs_spark.pages.sampling import mixture_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return mixture_sample(docs, _MIX_BUDGETS)
+
+
+def _o_mixture_sample() -> str:
+    from versatiles_rs_spark.pages.sampling import mixture_sample_sql
+
+    return mixture_sample_sql(_MIX_BUDGETS)
+
+
+O_MIXTURE_SAMPLE = _o_mixture_sample()
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language stratified sampling (pages/sampling.py): deterministic
     portable-hash keep decision per stratum fraction — zero-shuffle Column
