@@ -224,3 +224,30 @@ def test_shingle_hash_vectorized_matches_horner_reference():
         t = " ".join(rng.choice(words) for _ in range(rng.randint(0, 10)))
         for n in (1, 3, 5):
             assert np.array_equal(_shingle_hashes(t, n), horner(t, n))
+
+
+def test_semantic_decontaminate_planted(spark):
+    """Planted paraphrase (scaled copy of a benchmark vector -> cosine 1)
+    is flagged; orthogonal vectors stay clean; empty benchmark raises."""
+    import pytest as _pytest
+
+    from versatiles_rs_spark.dedup.decontam import semantic_decontaminate
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),        # benchmark member itself
+        (1, [0.999, 0.0447, 0.0]),   # near-copy of benchmark -> contaminated
+        (2, [0.0, 1.0, 0.0]),        # orthogonal -> clean
+        (3, [0.0, 0.0, -1.0]),       # orthogonal -> clean
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    bench = corpus.filter("vec_id = 0")
+    got = {
+        r["vec_id"]: (r["max_dot"], r["contaminated"])
+        for r in semantic_decontaminate(corpus, bench).collect()
+    }
+    assert got[0][1] == 1 and got[0][0] == 10**12  # exact self-dot at 1e6 quant
+    assert got[1][1] == 1 and got[1][0] >= 9 * 10**11
+    assert got[2] == (0, 0) and got[3] == (0, 0)
+
+    with _pytest.raises(ValueError):
+        semantic_decontaminate(corpus, bench.filter("vec_id < 0"))

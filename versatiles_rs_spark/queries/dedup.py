@@ -445,6 +445,40 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.col("n_hits").cast("bigint").alias("n_hits"))
 
 
+def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination (dedup/decontam.py): benchmark =
+    every 50th embedding; corpus = the whole table (so the benchmark
+    members themselves are the leaked-into-corpus positives — self-dot
+    ~1e12 for near-unit vectors — while the natural max cosine ~0.51
+    keeps every other doc clean). One broadcast + one mapInPandas pass;
+    the oracle brute-forces the same quantized max-dot per corpus doc."""
+    from versatiles_rs_spark.dedup.decontam import semantic_decontaminate
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    bench = emb.filter("vec_id % 50 = 0")
+    return semantic_decontaminate(emb, bench)
+
+
+O_SEMANTIC_DECONTAMINATE = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+  FROM embeddings
+), bench AS (
+  SELECT qv FROM q WHERE vec_id % 50 = 0
+), scored AS (
+  SELECT c.vec_id,
+         max(CAST(list_aggregate(list_transform(list_zip(c.qv, b.qv),
+             p -> p[1] * p[2]), 'sum') AS BIGINT)) AS max_dot
+  FROM q c CROSS JOIN bench b
+  GROUP BY c.vec_id
+)
+SELECT vec_id, max_dot,
+       CAST(max_dot >= 900000000000 AS BIGINT) AS contaminated
+FROM scored
+"""
+
+
 O_DECONTAMINATE = f"""
 WITH toks AS (
   SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS tk FROM documents
