@@ -1,0 +1,163 @@
+"""Temporal operators (operators/temporal.py) + HLL sketch
+(functions/sketches.py): semantics on small hand-built frames, the HLL
+merge law and estimate accuracy, and plan-shape guards (the oracle
+parity sweep in test_oracle_parity.py covers the sf0.01 registry
+queries)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import re
+
+from pyspark.sql import functions as F
+
+from versatiles_rs_spark.functions.sketches import (
+    hll_estimate_df,
+    hll_merge,
+    hll_registers,
+)
+from versatiles_rs_spark.operators.temporal import (
+    asof_join,
+    hypertable_rollup,
+    range_join,
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _t(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 10, _t("2024-01-01T00:00:05")),  # after snap@0 -> 100
+            (2, 10, _t("2024-01-01T00:00:10")),  # ties snap@10 -> 200 (<=)
+            (3, 10, _t("2024-01-01T00:00:03")),  # after snap@0 -> 100
+            (4, 20, _t("2024-01-01T00:00:01")),  # before any snap -> NULL
+        ],
+        "event_id bigint, user_id bigint, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, _t("2024-01-01T00:00:00"), 100),
+            (10, _t("2024-01-01T00:00:10"), 200),
+            (20, _t("2024-01-01T00:00:30"), 999),
+        ],
+        "user_id bigint, snap_ts timestamp, snap_qv bigint",
+    )
+    got = {
+        r["event_id"]: r["asof_snap_qv"]
+        for r in asof_join(
+            left, right, "user_id", "ts", "snap_ts", ["snap_qv"]
+        ).collect()
+    }
+    assert got == {1: 100, 2: 200, 3: 100, 4: None}
+
+    strict = {
+        r["event_id"]: r["asof_snap_qv"]
+        for r in asof_join(
+            left, right, "user_id", "ts", "snap_ts", ["snap_qv"], strict=True
+        ).collect()
+    }
+    assert strict[2] == 100  # tie no longer visible under <
+
+
+def test_asof_join_single_exchange(spark, sf_dir):
+    """Union + window = ONE hash exchange on the key, no range blowup."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    snaps = ev.filter("event_type = 'purchase'").select(
+        "user_id", F.col("ts").alias("snap_ts"), F.col("value").alias("snap_v")
+    )
+    out = asof_join(
+        ev.filter("event_type <> 'purchase'").select("event_id", "user_id", "ts"),
+        snaps, "user_id", "ts", "snap_ts", ["snap_v"],
+    )
+    plan = _plan(out)
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_range_join_bucketed_equijoin(spark, sf_dir):
+    """The interval join must plan as a hash/sort-merge EQUI-join on
+    (key, bucket) — never a nested-loop over the inequality."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    iv = ev.filter("event_id % 5 = 0").select(
+        F.col("event_id").alias("interval_id"), "user_id",
+        us.alias("start_us"), (us + F.lit(7_200_000_000)).alias("end_us"),
+    )
+    out = range_join(ev.select("event_id", "user_id", "ts"), iv, on="user_id")
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    # boundary semantics: half-open [start, end)
+    rows = spark.createDataFrame(
+        [(1, 5, _t("2024-01-01T01:00:00")), (2, 5, _t("2024-01-01T02:00:00"))],
+        "event_id bigint, user_id bigint, ts timestamp",
+    )
+    one_iv = spark.createDataFrame(
+        [(7, 5, 1704070800000000, 1704074400000000)],  # [01:00, 02:00)
+        "interval_id bigint, user_id bigint, start_us bigint, end_us bigint",
+    )
+    got = {r["event_id"] for r in range_join(rows, one_iv, on="user_id").collect()}
+    assert got == {1}
+
+
+def test_hypertable_rollup_mergeable(spark, sf_dir):
+    """Coarse levels (built from fine) == direct aggregation from raw."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").limit(2000)
+    out = hypertable_rollup(ev).cache()
+    qv = F.round(F.col("value").cast("double") * 1e6).cast("bigint")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    day = 86_400_000_000
+    direct = (
+        ev.select(F.col("event_type").alias("key"), (us - us % day).alias("bucket_us"), qv.alias("qv"))
+        .groupBy("key", "bucket_us")
+        .agg(F.count("*").alias("n_events"), F.sum("qv").alias("sum_qv"),
+             F.min("qv").alias("min_qv"), F.max("qv").alias("max_qv"))
+    )
+    got = {tuple(r) for r in out.filter("level = 'day'").drop("level").collect()}
+    want = {tuple(r) for r in direct.collect()}
+    assert got == want
+    out.unpersist()
+
+
+def test_hll_merge_law_and_accuracy(spark, sf_dir):
+    """Sketch(A) merge Sketch(B) == Sketch(A union B), and the estimate
+    lands within the expected HLL error of the exact distinct count."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.lit("all").alias("g"), F.col("doc_id")
+    )
+    a = docs.filter("doc_id % 2 = 0")
+    b = docs.filter("doc_id % 2 <> 0")  # overlap-free split; law holds for any
+    merged = {
+        (r["g"], r["bucket"]): r["max_rho"]
+        for r in hll_merge(
+            [hll_registers(a, ["g"], "doc_id"), hll_registers(b, ["g"], "doc_id")],
+            ["g"],
+        ).collect()
+    }
+    whole = {
+        (r["g"], r["bucket"]): r["max_rho"]
+        for r in hll_registers(docs, ["g"], "doc_id").collect()
+    }
+    assert merged == whole
+
+    exact = docs.select("doc_id").distinct().count()
+    est = hll_estimate_df(hll_registers(docs, ["g"], "doc_id"), ["g"])[("all",)]
+    # m=128 -> standard error 1.04/sqrt(128) ~ 9.2%; allow 3 sigma
+    assert abs(est - exact) / exact < 0.28, (est, exact)
+
+
+def test_hll_registers_bounded_output(spark, sf_dir):
+    """The sketch relation never exceeds groups * m rows and plans as one
+    map-side-combined aggregate (exactly one exchange)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sk = hll_registers(ev, ["event_type"], "user_id", p=5)
+    assert sk.count() <= sk.select("event_type").distinct().count() * 32
+    plan = _plan(sk)
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert "Python" not in plan and "MapInPandas" not in plan

@@ -1,0 +1,102 @@
+"""Mergeable distinct-count sketches (HyperLogLog) as relational state.
+
+Spark's ``approx_count_distinct`` is HLL++ but its sketch is opaque —
+it cannot be persisted per crawl snapshot and merged later, which is
+the operation an incremental 100 TB pipeline actually needs ("distinct
+URLs ever seen", updated per batch like dedup/snapshots.py updates the
+fingerprint store). This module keeps the sketch as DATA: a
+(group, bucket, max_rho) relation, so
+
+- building it is one map-side-combined groupBy (bounded output:
+  m = 2^p rows per group at ANY corpus size),
+- merging two snapshots is ``union -> groupBy -> max`` (the HLL merge
+  law), again bounded,
+- and the whole computation is integer-exact and cross-engine
+  reproducible (the DuckDB oracle recomputes identical registers).
+
+Hash: the first 15 hex digits of md5 (60 bits, the engine's standard
+cross-engine hash bridge — Spark ``conv(substr(md5(x),1,15),16,10)`` ==
+DuckDB ``CAST('0x'||substr(md5(x),1,15) AS BIGINT)``). Register index =
+``h % m``; rho = leading-zero count of the remaining 60-p bits + 1,
+computed EXACTLY via bit-length: ``rho = (60 - p) - length(bin(w)) + 1``
+for w > 0 (no float log2 anywhere).
+
+The estimator (``hll_estimate``) is the standard alpha_m * m^2 /
+sum(2^-rho) with the small-range linear-counting correction; it runs
+driver-side over the m-row register table and is validated for accuracy
+in pytest (the oracle attests the registers, which determine the
+estimate).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _hash60(col):
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("bigint")
+
+
+def hll_registers(
+    df: DataFrame, group_cols: list[str], value_col: str, p: int = 7
+) -> DataFrame:
+    """(group_cols..., bucket, max_rho): the HLL sketch of
+    ``count(distinct value_col)`` per group, m = 2^p registers.
+
+    Only MATERIALIZED buckets appear (absent bucket == register 0);
+    keeps the relation sparse and the merge law a plain groupBy-max.
+    """
+    m = 1 << p
+    h = _hash60(F.col(value_col))
+    # h >> p, NOT h/m: bigint/int division goes through double and loses
+    # exactness above 2^53 (h is up to 60 bits).
+    w = F.shiftright(h, p)
+    rho = F.when(
+        F.col("_w") > 0, F.lit(60 - p + 1) - F.length(F.bin(F.col("_w")))
+    ).otherwise(F.lit(60 - p + 1))
+    return (
+        df.select(*group_cols, (h % F.lit(m)).alias("bucket"), w.alias("_w"))
+        .select(*group_cols, "bucket", rho.alias("rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_merge(sketches: list[DataFrame], group_cols: list[str]) -> DataFrame:
+    """Merge snapshot sketches: union -> max per (group, bucket)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy(*group_cols, "bucket").agg(
+        F.max("max_rho").alias("max_rho")
+    )
+
+
+def hll_estimate(registers: list[int], p: int = 7) -> float:
+    """Standard HLL estimate from a dense register list (driver-side,
+    m values; absent buckets passed as 0). Small-range correction:
+    linear counting when E <= 2.5m and zero registers exist."""
+    m = 1 << p
+    assert len(registers) == m
+    alpha = 0.7213 / (1 + 1.079 / m) if m >= 128 else {16: 0.673, 32: 0.697, 64: 0.709}[m]
+    e = alpha * m * m / sum(2.0 ** -r for r in registers)
+    zeros = registers.count(0)
+    if e <= 2.5 * m and zeros:
+        e = m * math.log(m / zeros)
+    return e
+
+
+def hll_estimate_df(sketch: DataFrame, group_cols: list[str], p: int = 7) -> dict:
+    """Collect the (bounded) sketch and estimate per group."""
+    m = 1 << p
+    rows = sketch.collect()
+    groups: dict[tuple, list[int]] = {}
+    for r in rows:
+        key = tuple(r[c] for c in group_cols)
+        groups.setdefault(key, [0] * m)[r["bucket"]] = max(
+            groups.setdefault(key, [0] * m)[r["bucket"]], r["max_rho"]
+        )
+    return {k: hll_estimate(v, p) for k, v in groups.items()}

@@ -1,0 +1,198 @@
+"""Temporal join operators Spark lacks as built-ins: as-of join, interval
+(range) join, and hypertable-style multi-resolution rollup.
+
+These are the time-series counterparts of the spatial cell joins
+(spatial/cells.py): each rewrites an inequality join — which Catalyst
+would execute as a broadcast-nested-loop or cartesian — into an
+equi-join / window plan with a bounded number of shuffles.
+
+Scale shapes
+------------
+- ``asof_join``: the classic union–sort–carry plan. Both sides are
+  tagged and unioned, ONE hash exchange on the join key feeds a window
+  sort, and ``last(..., ignoreNulls)`` carries the most recent right-side
+  row forward onto each left row. No range explosion, no per-key
+  collect; cost is one shuffle of |L|+|R| rows regardless of time span.
+- ``range_join``: intervals are chopped onto a fixed bucket grid
+  (``F.sequence`` explode — bounded by interval_len/bucket_width rows
+  per interval), events map to exactly ONE bucket, and the join becomes
+  an equi-join on (key, bucket) + a residual range predicate. Because a
+  point lives in exactly one bucket, each qualifying (event, interval)
+  pair meets exactly once — no dedup pass. Bucket width trades explode
+  factor vs candidate density exactly like cell size in the spatial
+  joins.
+- ``hypertable_rollup``: TimescaleDB-continuous-aggregate shape — raw
+  events are read ONCE into the finest bucket (map-side partial agg +
+  one exchange), and every coarser level re-aggregates the previous
+  level (bounded by bucket count, not event count). Sums are over
+  per-row 1e6-quantized int64 values so results are order-free exact.
+
+Cross-engine determinism: all bucket math is integer microseconds
+(``unix_micros`` / ``epoch_us``, see operators/sessions.py for the
+timezone argument); value sums quantize per-row BEFORE summation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+US_PER_MIN = 60 * 1_000_000
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    strict: bool = False,
+) -> DataFrame:
+    """Backward as-of join: append to each left row the ``value_cols`` of
+    the most recent right row with the same key and ``right_ts <=
+    left_ts`` (``<`` when ``strict``). Left rows with no earlier right
+    row keep NULLs.
+
+    The right side must be unique per (key, ts); callers with duplicate
+    snapshot timestamps must pre-aggregate (the query wrapper does).
+    Equal timestamps: the right row sorts BEFORE the left row (``<=``
+    semantics) unless ``strict``.
+    """
+    lt = F.unix_micros(F.col(left_ts).cast("timestamp"))
+    rt = F.unix_micros(F.col(right_ts).cast("timestamp"))
+    # Tag order at equal t decides <= vs < : snaps first (0) for <=.
+    snap_tag = 1 if strict else 0
+    left_tag = 1 - snap_tag
+    l_cols = [c for c in left.columns]
+    tagged_l = left.select(
+        F.col(on).alias("_k"),
+        lt.alias("_t"),
+        F.lit(left_tag).alias("_tag"),
+        *[F.col(c) for c in l_cols if c != on],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
+    )
+    tagged_r = right.select(
+        F.col(on).alias("_k"),
+        rt.alias("_t"),
+        F.lit(snap_tag).alias("_tag"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in l_cols if c != on],
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_t").asc(), F.col("_tag").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged_l.unionByName(tagged_r).select(
+        "*",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_asof_{c}")
+            for c in value_cols
+        ],
+    )
+    return carried.filter(F.col("_tag") == left_tag).select(
+        F.col("_k").alias(on),
+        *[F.col(c) for c in l_cols if c != on],
+        *[F.col(f"_asof_{c}").alias(f"asof_{c}") for c in value_cols],
+    )
+
+
+def range_join(
+    events: DataFrame,
+    intervals: DataFrame,
+    on: str,
+    ts_col: str = "ts",
+    start_col: str = "start_us",
+    end_col: str = "end_us",
+    bucket_us: int = 60 * US_PER_MIN,
+) -> DataFrame:
+    """Interval join: (event, interval) pairs where the interval shares
+    ``on`` and ``start_us <= ts < end_us`` (half-open, integer micros).
+
+    ``intervals`` carries integer-microsecond bounds; events bucket by
+    ``floor(ts_us / bucket_us)``. Intervals explode onto every bucket
+    they touch; a point lies in exactly one bucket, so pairs are unique
+    by construction. Returns events columns + interval columns.
+    """
+    # Bucket ids are bucket STARTS computed with integer modulo (never
+    # float division — micros exceed exact-double range at wide spans).
+    ev = events.withColumn("_ts_us", F.unix_micros(F.col(ts_col).cast("timestamp")))
+    ev = ev.withColumn("_bk", F.col("_ts_us") - F.col("_ts_us") % F.lit(bucket_us))
+    last_touched = (F.col(end_col) - F.lit(1)) - (F.col(end_col) - F.lit(1)) % F.lit(
+        bucket_us
+    )  # end exclusive: last bucket is the one containing end-1
+    iv = intervals.withColumn(
+        "_bk",
+        F.explode(
+            F.sequence(
+                F.col(start_col) - F.col(start_col) % F.lit(bucket_us),
+                last_touched,
+                F.lit(bucket_us),
+            )
+        ),
+    )
+    joined = ev.join(iv, on=[on, "_bk"], how="inner").filter(
+        (F.col(start_col) <= F.col("_ts_us")) & (F.col("_ts_us") < F.col(end_col))
+    )
+    return joined.drop("_bk", "_ts_us")
+
+
+def hypertable_rollup(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    levels_us: dict[str, int] | None = None,
+) -> DataFrame:
+    """Multi-resolution continuous aggregate: per (key, bucket) counts and
+    quantized-value sum/min/max at each level, each coarser level
+    aggregated FROM the previous level (raw data read once).
+
+    Output: (level, key, bucket_us, n_events, sum_qv, min_qv, max_qv)
+    where qv = round(value * 1e6) as int64 (order-free exact sums) and
+    bucket_us is the bucket start in epoch microseconds.
+    """
+    if levels_us is None:
+        levels_us = {
+            "minute": US_PER_MIN,
+            "hour": 60 * US_PER_MIN,
+            "day": 24 * 60 * US_PER_MIN,
+        }
+    names = sorted(levels_us, key=levels_us.__getitem__)
+    qv = F.round(F.col(value_col).cast("double") * 1e6).cast("bigint")
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+
+    finest = levels_us[names[0]]
+    cur = (
+        events.select(
+            F.col(key_col).alias("key"),
+            (us - us % F.lit(finest)).alias("bucket_us"),
+            qv.alias("qv"),
+        )
+        .groupBy("key", "bucket_us")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("qv").alias("sum_qv"),
+            F.min("qv").alias("min_qv"),
+            F.max("qv").alias("max_qv"),
+        )
+    )
+    out = cur.select(F.lit(names[0]).alias("level"), "*")
+    for name in names[1:]:
+        width = levels_us[name]
+        cur = (
+            cur.withColumn(
+                "bucket_us", F.col("bucket_us") - F.col("bucket_us") % F.lit(width)
+            )
+            .groupBy("key", "bucket_us")
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("sum_qv").alias("sum_qv"),
+                F.min("min_qv").alias("min_qv"),
+                F.max("max_qv").alias("max_qv"),
+            )
+        )
+        out = out.unionByName(cur.select(F.lit(name).alias("level"), "*"))
+    return out

@@ -1,0 +1,162 @@
+"""Temporal-operator queries: as-of join, interval (range) join,
+hypertable rollup, and the mergeable HLL distinct sketch — the custom
+operators Spark lacks as built-ins, each with an integer-exact DuckDB
+oracle (inequality-join / window spec forms of the same semantics).
+
+All time math is integer microseconds (unix_micros / epoch_us; the
+engine session pins UTC so naive parquet timestamps agree across
+engines — see operators/sessions.py docstring); all value sums quantize
+per-row to 1e6 int64 BEFORE summation so results are order-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from versatiles_rs_spark.functions.sketches import hll_registers
+from versatiles_rs_spark.operators.temporal import (
+    US_PER_MIN,
+    asof_join,
+    hypertable_rollup,
+    range_join,
+)
+
+_QV = "CAST(round(CAST(value AS DOUBLE) * 1e6) AS BIGINT)"
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (operators/temporal.py): every non-purchase
+    event picks up the most recent earlier purchase of the same user
+    (ts <= event ts). One union + one hash exchange + one window sort —
+    no range explosion; oracle is the max-timestamp relational spec."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    qv = F.round(F.col("value").cast("double") * 1e6).cast("bigint")
+    snaps = (
+        ev.filter("event_type = 'purchase'")
+        .select(
+            "user_id",
+            F.col("ts").alias("snap_ts"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("snap_us"),
+            qv.alias("snap_qv"),
+        )
+        .groupBy("user_id", "snap_ts", "snap_us")
+        .agg(F.max("snap_qv").alias("snap_qv"))
+    )
+    lefts = ev.filter("event_type <> 'purchase'").select("event_id", "user_id", "ts")
+    out = asof_join(
+        lefts, snaps, on="user_id", left_ts="ts", right_ts="snap_ts",
+        value_cols=["snap_us", "snap_qv"],
+    )
+    return out.select("event_id", "user_id", "asof_snap_us", "asof_snap_qv")
+
+
+O_ASOF_JOIN = f"""
+WITH snaps AS (
+  SELECT user_id, epoch_us(ts) AS snap_us, max({_QV}) AS snap_qv
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+), lefts AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us
+  FROM events WHERE event_type <> 'purchase'
+), cand AS (
+  SELECT l.event_id, max(s.snap_us) AS m_us
+  FROM lefts l JOIN snaps s ON s.user_id = l.user_id AND s.snap_us <= l.ts_us
+  GROUP BY 1
+)
+SELECT l.event_id, l.user_id, c.m_us AS asof_snap_us, s.snap_qv AS asof_snap_qv
+FROM lefts l
+LEFT JOIN cand c ON c.event_id = l.event_id
+LEFT JOIN snaps s ON s.user_id = l.user_id AND s.snap_us = c.m_us
+"""
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join (operators/temporal.py): every 5th purchase opens a
+    per-user window of (1 + id%48) hours; pairs = events inside a window
+    of their own user. Bucketed equi-join (1h grid) + residual predicate
+    — never an inequality join; oracle is the direct range join."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    iv = ev.filter("event_type = 'purchase' AND event_id % 5 = 0").select(
+        F.col("event_id").alias("interval_id"),
+        "user_id",
+        us.alias("start_us"),
+        (us + (F.lit(1) + F.col("event_id") % 48) * F.lit(3600 * 1_000_000)).alias(
+            "end_us"
+        ),
+    )
+    pairs = range_join(
+        ev.select("event_id", "user_id", "ts"), iv, on="user_id",
+        bucket_us=60 * US_PER_MIN,
+    )
+    return pairs.select("interval_id", "event_id")
+
+
+O_RANGE_JOIN = """
+WITH iv AS (
+  SELECT event_id AS interval_id, user_id, epoch_us(ts) AS start_us,
+         epoch_us(ts) + (1 + event_id % 48) * 3600000000 AS end_us
+  FROM events WHERE event_type = 'purchase' AND event_id % 5 = 0
+)
+SELECT i.interval_id, e.event_id
+FROM events e JOIN iv i ON e.user_id = i.user_id
+ AND i.start_us <= epoch_us(e.ts) AND epoch_us(e.ts) < i.end_us
+"""
+
+
+def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate rollup (operators/temporal.py): minute/hour/
+    day (count, sum, min, max) per event_type, coarser levels aggregated
+    from finer (raw read once). Oracle recomputes each level from raw —
+    equal because the aggregates are mergeable and sums are quantized
+    int64."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = hypertable_rollup(ev)
+    return out.select(
+        "level", F.col("key").alias("event_type"), "bucket_us",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        "sum_qv", "min_qv", "max_qv",
+    )
+
+
+O_HYPERTABLE_ROLLUP = f"""
+WITH q AS (
+  SELECT event_type, epoch_us(ts) AS us, {_QV} AS qv FROM events
+), lv AS (
+  SELECT 'minute' AS level, 60000000 AS w UNION ALL
+  SELECT 'hour', 3600000000 UNION ALL
+  SELECT 'day', 86400000000
+)
+SELECT lv.level, q.event_type, q.us - q.us % lv.w AS bucket_us,
+       count(*) AS n_events, sum(q.qv) AS sum_qv,
+       min(q.qv) AS min_qv, max(q.qv) AS max_qv
+FROM q CROSS JOIN lv
+GROUP BY 1, 2, 3
+"""
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketch (functions/sketches.py): the per-event_type
+    distinct-user sketch AS A RELATION (bucket, max_rho) — persistable
+    per crawl snapshot and merged with groupBy-max. Registers are
+    integer-exact off the md5 hash bridge; the oracle recomputes them."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sk = hll_registers(ev, ["event_type"], "user_id", p=7)
+    return sk.select(
+        "event_type",
+        F.col("bucket").cast("bigint").alias("bucket"),
+        F.col("max_rho").cast("bigint").alias("max_rho"),
+    )
+
+
+O_HLL_DISTINCT = """
+WITH h AS (
+  SELECT event_type,
+         CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM events
+)
+SELECT event_type, h % 128 AS bucket,
+       CAST(max(CASE WHEN (h >> 7) > 0 THEN 54 - length(bin(h >> 7))
+                     ELSE 54 END) AS BIGINT) AS max_rho
+FROM h GROUP BY 1, 2
+"""
