@@ -161,3 +161,39 @@ def test_hll_registers_bounded_output(spark, sf_dir):
     plan = _plan(sk)
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
     assert "Python" not in plan and "MapInPandas" not in plan
+
+
+def test_zonal_stats_semantics_and_plan(spark):
+    """Hand-checkable 2x2-tile DEM: window crossing tile borders sums the
+    right pixels; zone side broadcasts (the tile side never shuffles
+    before the final bounded agg)."""
+    import numpy as np
+    import pandas as pd
+
+    from versatiles_rs_spark.functions.raster import png_encode
+    from versatiles_rs_spark.operators.zonal import zonal_stats
+
+    t = 4
+    rows = []
+    for x in (0, 1):
+        for y in (0, 1):
+            gx = np.arange(x * t, (x + 1) * t, dtype=np.int64)
+            gy = np.arange(y * t, (y + 1) * t, dtype=np.int64)
+            raw = gx[None, :] + 10 * gy[:, None]
+            rgb = np.stack([(raw >> 16) & 255, (raw >> 8) & 255, raw & 255], -1)
+            rows.append((x, y, png_encode(rgb.astype(np.uint8))))
+    tiles = spark.createDataFrame(rows, "x bigint, y bigint, tile binary")
+    zones = spark.createDataFrame(
+        [(0, 3, 6, 3, 5)], "zone_id bigint, gx0 bigint, gx1 bigint, gy0 bigint, gy1 bigint"
+    )  # 3x2 window straddling all four tiles at the corner
+    out = zonal_stats(tiles, zones, t).collect()
+    want = [gx + 10 * gy for gx in (3, 4, 5) for gy in (3, 4)]
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_px"], r["sum_raw"], r["min_raw"], r["max_raw"]) == (
+        6, sum(want), min(want), max(want),
+    )
+
+    plan = _plan(zonal_stats(tiles, zones, t))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan

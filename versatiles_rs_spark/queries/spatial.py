@@ -235,3 +235,72 @@ FROM fixed GROUP BY 1, 2
 """
 
 
+
+
+def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal statistics (operators/zonal.py): a 32x32 DEM tile pyramid
+    level (64px tiles; elevation affine in global pixel coords, raw =
+    3*gx + 5*gy + 1000, real PNG bytes through the real decoder) is
+    aggregated per pixel-rectangle zone. The oracle computes the same
+    window sums in CLOSED FORM (arithmetic series — exact because raw
+    values are integers), attesting tile cover, window clipping, the
+    PNG+DEM decode, and the mergeable partial aggregation."""
+    import numpy as np
+    import pandas as pd
+
+    from versatiles_rs_spark.functions.raster import png_encode
+    from versatiles_rs_spark.operators.zonal import zonal_stats
+
+    t = 64
+
+    base = spark.range(32 * 32).select(
+        F.expr("id div 32").alias("x"), (F.col("id") % 32).alias("y")
+    )
+
+    def gen(it):
+        for pdf in it:
+            rows = {"x": [], "y": [], "tile": []}
+            for r in pdf.itertuples(index=False):
+                gx = np.arange(r.x * t, (r.x + 1) * t, dtype=np.int64)
+                gy = np.arange(r.y * t, (r.y + 1) * t, dtype=np.int64)
+                raw = 3 * gx[None, :] + 5 * gy[:, None] + 1000
+                rgb = np.stack(
+                    [(raw >> 16) & 255, (raw >> 8) & 255, raw & 255], axis=-1
+                ).astype(np.uint8)
+                rows["x"].append(r.x)
+                rows["y"].append(r.y)
+                rows["tile"].append(png_encode(rgb))
+            yield pd.DataFrame(rows)
+
+    tiles = base.repartition(8).mapInPandas(gen, "x bigint, y bigint, tile binary")
+
+    i = F.col("id")
+    zones = spark.range(50).select(
+        i.alias("zone_id"),
+        ((i * 37) % 1900).alias("gx0"),
+        ((i * 37) % 1900 + 40 + (i % 7) * 13).alias("gx1"),
+        ((i * 53) % 1900).alias("gy0"),
+        ((i * 53) % 1900 + 30 + (i % 5) * 17).alias("gy1"),
+    )
+    return zonal_stats(tiles, zones, t).orderBy("zone_id")
+
+
+O_ZONAL_STATS = """
+WITH z AS (
+  SELECT i AS zone_id,
+         (i * 37) % 1900 AS gx0, (i * 37) % 1900 + 40 + (i % 7) * 13 AS gx1,
+         (i * 53) % 1900 AS gy0, (i * 53) % 1900 + 30 + (i % 5) * 17 AS gy1
+  FROM generate_series(0, 49) AS s(i)
+), d AS (
+  SELECT zone_id, gx1 - gx0 AS w, gy1 - gy0 AS h,
+         ((gx0 + gx1 - 1) * (gx1 - gx0)) // 2 AS sum_gx,
+         ((gy0 + gy1 - 1) * (gy1 - gy0)) // 2 AS sum_gy,
+         gx0, gx1, gy0, gy1
+  FROM z
+)
+SELECT zone_id, w * h AS n_px,
+       3 * sum_gx * h + 5 * sum_gy * w + 1000 * w * h AS sum_raw,
+       3 * gx0 + 5 * gy0 + 1000 AS min_raw,
+       3 * (gx1 - 1) + 5 * (gy1 - 1) + 1000 AS max_raw
+FROM d ORDER BY zone_id
+"""
