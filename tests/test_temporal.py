@@ -197,3 +197,42 @@ def test_zonal_stats_semantics_and_plan(spark):
     plan = _plan(zonal_stats(tiles, zones, t))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_cms_merge_additive_and_estimate_bound(spark, sf_dir):
+    """Sketch(A) + Sketch(B) == Sketch(A union B); the point estimate is
+    an upper bound on the true count and exact for most probes at this
+    load factor (150 users into 4x256 buckets)."""
+    from versatiles_rs_spark.functions.sketches import (
+        cms_estimate,
+        cms_merge,
+        cms_sketch,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.lit("all").alias("g"), "user_id", "event_id"
+    )
+    a, b = ev.filter("event_id % 2 = 0"), ev.filter("event_id % 2 <> 0")
+    merged = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in cms_merge(
+            [cms_sketch(a, ["g"], "user_id"), cms_sketch(b, ["g"], "user_id")], ["g"]
+        ).collect()
+    }
+    whole = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in cms_sketch(ev, ["g"], "user_id").collect()
+    }
+    assert merged == whole
+
+    truth = {r["user_id"]: r["n"] for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()}
+    probes = ev.select("g", "user_id").distinct()
+    est = {
+        r["user_id"]: r["est"]
+        for r in cms_estimate(
+            cms_sketch(ev, ["g"], "user_id"), probes, ["g"], "user_id"
+        ).collect()
+    }
+    assert all(est[u] >= truth[u] for u in truth)  # CMS never undercounts
+    exact = sum(1 for u in truth if est[u] == truth[u])
+    assert exact / len(truth) > 0.5, exact

@@ -100,3 +100,81 @@ def hll_estimate_df(sketch: DataFrame, group_cols: list[str], p: int = 7) -> dic
             groups.setdefault(key, [0] * m)[r["bucket"]], r["max_rho"]
         )
     return {k: hll_estimate(v, p) for k, v in groups.items()}
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: mergeable heavy-hitter state as a relation.
+# ---------------------------------------------------------------------------
+#
+# d hash rows x w buckets of COUNTS. Like the HLL above, the sketch is
+# kept as DATA — (group, row, bucket, cnt) — so building is one bounded
+# groupBy (<= d*w rows per group at ANY corpus size), merging snapshots
+# is union -> groupBy -> SUM (counts are additive), and a point estimate
+# is min over the d rows' buckets. Hash rows derive from the same 60-bit
+# md5 bridge: row i uses an RK-affine recombination of the two 30-bit
+# halves (pairwise-independent family), so the DuckDB oracle recomputes
+# identical buckets.
+
+
+def cms_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    d: int = 4,
+    w: int = 256,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """(group_cols..., row, bucket, cnt): count-min sketch of value
+    frequencies (or weight sums) per group."""
+    h = _hash60(F.col(value_col))
+    lo = h % F.lit(1 << 30)
+    hi = F.shiftright(h, 30)
+    wcol = F.col(weight_col) if weight_col else F.lit(1)
+    rows = None
+    for i in range(d):
+        # row-i hash: (lo + (i+1)*hi) mod w  — affine in (lo, hi)
+        b = (lo + F.lit(i + 1) * hi) % F.lit(w)
+        r = df.select(
+            *group_cols, F.lit(i).alias("row"), b.alias("bucket"),
+            wcol.alias("_w"),
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    return rows.groupBy(*group_cols, "row", "bucket").agg(
+        F.sum("_w").alias("cnt")
+    )
+
+
+def cms_merge(sketches: list[DataFrame], group_cols: list[str]) -> DataFrame:
+    """Merge snapshot sketches: union -> sum per (group, row, bucket)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy(*group_cols, "row", "bucket").agg(
+        F.sum("cnt").alias("cnt")
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame, probes: DataFrame, group_cols: list[str],
+    value_col: str, d: int = 4, w: int = 256,
+) -> DataFrame:
+    """Point-estimate each probe value's count against the sketch:
+    min over the d rows (the CMS upper-bound estimator). The probe set
+    is the small side — its (row, bucket) keys join the bounded sketch
+    relation; the corpus is not touched."""
+    h = _hash60(F.col(value_col))
+    lo = h % F.lit(1 << 30)
+    hi = F.shiftright(h, 30)
+    keys = None
+    for i in range(d):
+        b = (lo + F.lit(i + 1) * hi) % F.lit(w)
+        r = probes.select(
+            *group_cols, F.col(value_col), F.lit(i).alias("row"), b.alias("bucket")
+        )
+        keys = r if keys is None else keys.unionByName(r)
+    joined = keys.join(F.broadcast(sketch), on=[*group_cols, "row", "bucket"], how="left")
+    return (
+        joined.fillna(0, subset=["cnt"])
+        .groupBy(*group_cols, value_col)
+        .agg(F.min("cnt").alias("est"))
+    )

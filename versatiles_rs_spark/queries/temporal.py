@@ -160,3 +160,36 @@ SELECT event_type, h % 128 AS bucket,
                      ELSE 54 END) AS BIGINT) AS max_rho
 FROM h GROUP BY 1, 2
 """
+
+
+def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (functions/sketches.py): the per-event_type
+    user-frequency sketch AS A RELATION (row, bucket, cnt) — additive
+    snapshot merges, bounded d*w rows per group at any corpus size.
+    The oracle recomputes identical buckets off the md5 hash bridge."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from versatiles_rs_spark.functions.sketches import cms_sketch
+
+    sk = cms_sketch(ev, ["event_type"], "user_id", d=4, w=64)
+    return sk.select(
+        "event_type",
+        F.col("row").cast("bigint").alias("hrow"),
+        F.col("bucket").cast("bigint").alias("bucket"),
+        F.col("cnt").cast("bigint").alias("cnt"),
+    )
+
+
+O_CMS_COUNTS = """
+WITH h AS (
+  SELECT event_type,
+         CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM events
+), hh AS (
+  SELECT event_type, h % 1073741824 AS lo, h >> 30 AS hi FROM h
+), e AS (
+  SELECT event_type, i AS hrow, (lo + (i + 1) * hi) % 64 AS bucket
+  FROM hh CROSS JOIN generate_series(0, 3) AS s(i)
+)
+SELECT event_type, hrow, bucket, count(*) AS cnt
+FROM e GROUP BY 1, 2, 3
+"""
