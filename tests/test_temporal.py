@@ -236,3 +236,36 @@ def test_cms_merge_additive_and_estimate_bound(spark, sf_dir):
     assert all(est[u] >= truth[u] for u in truth)  # CMS never undercounts
     exact = sum(1 for u in truth if est[u] == truth[u])
     assert exact / len(truth) > 0.5, exact
+
+
+def test_quantile_sketch_accuracy(spark, sf_dir):
+    """Estimated p50/p90/p99 within the geometric-bucket relative error
+    of the exact percentiles; merges are additive."""
+    from versatiles_rs_spark.functions.sketches import (
+        log_histogram,
+        quantile_estimate,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.lit("all").alias("g"), "value", "event_id"
+    )
+    hist = [
+        (r["bucket_id"], r["cnt"]) for r in log_histogram(ev, ["g"], "value").collect()
+    ]
+    exact = ev.selectExpr(
+        "percentile(value, array(0.5, 0.9, 0.99)) AS p"
+    ).collect()[0]["p"]
+    est = quantile_estimate(hist, [0.5, 0.9, 0.99])
+    for e, x in zip(est, exact):
+        assert abs(e - x) / x < 0.10, (e, x)
+
+    a = {
+        (r["bucket_id"]): r["cnt"]
+        for r in log_histogram(ev.filter("event_id % 2 = 0"), ["g"], "value").collect()
+    }
+    b = {
+        (r["bucket_id"]): r["cnt"]
+        for r in log_histogram(ev.filter("event_id % 2 <> 0"), ["g"], "value").collect()
+    }
+    merged = {k: a.get(k, 0) + b.get(k, 0) for k in set(a) | set(b)}
+    assert merged == dict(hist)

@@ -178,3 +178,68 @@ def cms_estimate(
         .groupBy(*group_cols, value_col)
         .agg(F.min("cnt").alias("est"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Log-bucket quantile histogram (DDSketch-flavored, integer-exact).
+# ---------------------------------------------------------------------------
+#
+# Third member of the mergeable-sketch family: quantiles. Values are
+# 1e6-quantized to int64, then bucketed by (octave, mantissa-eighth):
+# octave = bit_length(qv), mantissa = top 3 bits after the leading one —
+# a base-2^(1/8) geometric grid (~9% relative width) computed ENTIRELY
+# with bit ops (bin-length + shifts; no float log anywhere, so the
+# DuckDB oracle recomputes identical buckets). qv < 8 gets exact unit
+# buckets. Bounded (<= 8*63 + 8 ids), additive merges, driver-side
+# quantile estimation from the cumulated histogram.
+
+
+def log_histogram(
+    df: DataFrame, group_cols: list[str], value_col: str
+) -> DataFrame:
+    """(group_cols..., bucket_id, cnt): geometric-grid histogram of the
+    1e6-quantized positive values of ``value_col``."""
+    qv = F.round(F.col(value_col).cast("double") * 1e6).cast("bigint")
+    d = df.select(*group_cols, qv.alias("qv")).filter(F.col("qv") > 0)
+    b = F.length(F.bin(F.col("qv")))
+    bucket = F.when(F.col("qv") < 8, F.col("qv")).otherwise(
+        b.cast("bigint") * 8 + F.expr("shiftright(qv, length(bin(qv)) - 4)") % 8
+    )
+    return (
+        d.select(*group_cols, bucket.alias("bucket_id"))
+        .groupBy(*group_cols, "bucket_id")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def quantile_estimate(
+    buckets: list[tuple[int, int]], qs: list[float]
+) -> list[float]:
+    """Estimate quantiles from (bucket_id, cnt) pairs of one group.
+    Bucket representative = geometric midpoint of its bounds, back in
+    the original (un-quantized) unit."""
+    import math
+
+    def bounds(bid: int) -> tuple[float, float]:
+        if bid < 8:
+            return float(bid), float(bid)
+        b, m = divmod(bid, 8)
+        lo = (8 + m) * 2.0 ** (b - 4)
+        hi = (9 + m) * 2.0 ** (b - 4)
+        return lo, hi
+
+    items = sorted(buckets)
+    total = sum(c for _, c in items)
+    out = []
+    for q in qs:
+        target = q * total
+        run = 0
+        val = bounds(items[-1][0])[1]
+        for bid, c in items:
+            run += c
+            if run >= target:
+                lo, hi = bounds(bid)
+                val = math.sqrt(lo * hi) if lo > 0 else hi
+                break
+        out.append(val / 1e6)
+    return out

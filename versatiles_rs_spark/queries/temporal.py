@@ -193,3 +193,33 @@ WITH h AS (
 SELECT event_type, hrow, bucket, count(*) AS cnt
 FROM e GROUP BY 1, 2, 3
 """
+
+
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-bucket quantile histogram (functions/sketches.py): the
+    per-event_type value-distribution sketch as a bounded relation —
+    base-2^(1/8) geometric buckets computed with bit ops only (no float
+    log), additive merges. Oracle recomputes identical buckets."""
+    from versatiles_rs_spark.functions.sketches import log_histogram
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    h = log_histogram(ev, ["event_type"], "value")
+    return h.select(
+        "event_type",
+        F.col("bucket_id").cast("bigint").alias("bucket_id"),
+        F.col("cnt").cast("bigint").alias("cnt"),
+    )
+
+
+O_QUANTILE_SKETCH = f"""
+WITH q AS (
+  SELECT event_type, {_QV} AS qv FROM events
+  WHERE {_QV} > 0
+)
+SELECT event_type,
+       CASE WHEN qv < 8 THEN qv
+            ELSE length(bin(qv)) * 8 + (qv >> (length(bin(qv)) - 4)) % 8
+       END AS bucket_id,
+       count(*) AS cnt
+FROM q GROUP BY 1, 2
+"""
