@@ -269,3 +269,36 @@ def test_quantile_sketch_accuracy(spark, sf_dir):
     }
     merged = {k: a.get(k, 0) + b.get(k, 0) for k in set(a) | set(b)}
     assert merged == dict(hist)
+
+
+def test_dem_slope_halo_and_plan(spark):
+    """2x1 tile strip: border-column dx uses the right neighbor's first
+    column; world-edge column excluded. One hash exchange total (halo
+    strips + tiles co-grouped), never a tile-to-8-neighbors join."""
+    import numpy as np
+
+    from versatiles_rs_spark.functions.raster import png_encode
+    from versatiles_rs_spark.operators.map_algebra import dem_slope_stats
+
+    t = 4
+    rows = []
+    for x in (0, 1):
+        gx = np.arange(x * t, (x + 1) * t, dtype=np.int64)
+        gy = np.arange(0, t, dtype=np.int64)
+        raw = gx[None, :] ** 2 + gy[:, None]
+        rgb = np.stack([(raw >> 16) & 255, (raw >> 8) & 255, raw & 255], -1)
+        rows.append((x, 0, png_encode(rgb.astype(np.uint8))))
+    tiles = spark.createDataFrame(rows, "x bigint, y bigint, tile binary")
+    got = {(r["x"], r["y"]): r for r in dem_slope_stats(tiles, t).collect()}
+    # tile 0: dx pixels gx=0..3 (3 internal + 1 via halo), 4 rows each
+    assert got[(0, 0)]["n_dx"] == 16
+    assert got[(0, 0)]["sum_dx"] == 4 * sum(2 * gx + 1 for gx in range(4))
+    # tile 1: world edge -> gx=4..6 only
+    assert got[(1, 0)]["n_dx"] == 12
+    assert got[(1, 0)]["sum_dx"] == 4 * sum(2 * gx + 1 for gx in range(4, 7))
+    # dy: raw linear in gy with slope 1 -> sum == count; no vertical halo
+    assert got[(0, 0)]["n_dy"] == 12 and got[(0, 0)]["sum_dy"] == 12
+
+    plan = _plan(dem_slope_stats(tiles, t))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert "SortMergeJoin" not in plan and "BroadcastNestedLoop" not in plan

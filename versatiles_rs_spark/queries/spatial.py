@@ -304,3 +304,60 @@ SELECT zone_id, w * h AS n_px,
        3 * (gx1 - 1) + 5 * (gy1 - 1) + 1000 AS max_raw
 FROM d ORDER BY zone_id
 """
+
+
+def q_dem_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Halo-exchange terrain derivative (operators/map_algebra.py):
+    per-tile forward-difference slope sums over a 32x32 DEM level with
+    QUADRATIC elevation (raw = gx^2 + 2*gy^2) — border columns/rows use
+    the neighbor tile's strip, so a missing or misaligned halo changes
+    both counts and sums. The oracle computes each tile's sums in closed
+    form (arithmetic series of 2gx+1 / 4gy+2), with the world-edge
+    column/row excluded exactly like the operator's absent-halo rule."""
+    import numpy as np
+    import pandas as pd
+
+    from versatiles_rs_spark.functions.raster import png_encode
+    from versatiles_rs_spark.operators.map_algebra import dem_slope_stats
+
+    t = 64
+
+    base = spark.range(32 * 32).select(
+        F.expr("id div 32").alias("x"), (F.col("id") % 32).alias("y")
+    )
+
+    def gen(it):
+        for pdf in it:
+            rows = {"x": [], "y": [], "tile": []}
+            for r in pdf.itertuples(index=False):
+                gx = np.arange(r.x * t, (r.x + 1) * t, dtype=np.int64)
+                gy = np.arange(r.y * t, (r.y + 1) * t, dtype=np.int64)
+                raw = gx[None, :] ** 2 + 2 * gy[:, None] ** 2
+                rgb = np.stack(
+                    [(raw >> 16) & 255, (raw >> 8) & 255, raw & 255], axis=-1
+                ).astype(np.uint8)
+                rows["x"].append(r.x)
+                rows["y"].append(r.y)
+                rows["tile"].append(png_encode(rgb))
+            yield pd.DataFrame(rows)
+
+    tiles = base.repartition(8).mapInPandas(gen, "x bigint, y bigint, tile binary")
+    return dem_slope_stats(tiles, t).orderBy("x", "y")
+
+
+O_DEM_SLOPE = """
+WITH g AS (
+  SELECT i // 32 AS x, i % 32 AS y FROM generate_series(0, 1023) AS s(i)
+), b AS (
+  SELECT x, y,
+         64 * x AS ax, 64 * x + 63 - CASE WHEN x = 31 THEN 1 ELSE 0 END AS bx,
+         64 * y AS ay, 64 * y + 63 - CASE WHEN y = 31 THEN 1 ELSE 0 END AS by
+  FROM g
+)
+SELECT x, y,
+       64 * (bx - ax + 1) AS n_dx,
+       64 * (bx - ax + 1) * (ax + bx + 1) AS sum_dx,
+       64 * (by - ay + 1) AS n_dy,
+       64 * (by - ay + 1) * 2 * (ay + by + 1) AS sum_dy
+FROM b ORDER BY x, y
+"""
