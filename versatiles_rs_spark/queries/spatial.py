@@ -361,3 +361,74 @@ SELECT x, y,
        64 * (by - ay + 1) * 2 * (ay + by + 1) AS sum_dy
 FROM b ORDER BY x, y
 """
+
+
+def q_reverse_geocode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reverse geocoding: nearest of 100 zone centers per document, by
+    exact integer quantized-degree distance (1e6 units; ties -> lowest
+    zone_id). Scale shape = semantic_decontaminate's: the zone dimension
+    is bounded, so its integer matrix broadcasts and one mapInPandas
+    pass computes the (batch x zones) argmin — zero joins, zero
+    shuffles, corpus streamed once. Oracle brute-forces the same argmin
+    with a windowed cross join."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    centers = np.array(
+        [
+            (i, (i * 77 % 360 - 180) * 1_000_000 + 500_000,
+             (i * 53 % 170 - 85) * 1_000_000 + 250_000)
+            for i in range(100)
+        ],
+        dtype=np.int64,
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        ((F.col("doc_id") * F.lit(2654435761)) % F.lit(360000000) - F.lit(180000000)).alias("qlon"),
+        ((F.col("doc_id") * F.lit(2246822519)) % F.lit(170000000) - F.lit(85000000)).alias("qlat"),
+    )
+    b = spark.sparkContext.broadcast(centers)
+
+    def nearest(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = b.value  # sorted by zone_id -> argmin's first-min == lowest id
+        for pdf in it:
+            if not len(pdf):
+                continue
+            dlon = pdf["qlon"].values[:, None] - c[None, :, 1]
+            dlat = pdf["qlat"].values[:, None] - c[None, :, 2]
+            d2 = dlon * dlon + dlat * dlat
+            j = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "zone_id": c[j, 0],
+                 "d2": d2[np.arange(len(j)), j]}
+            )
+
+    return docs.mapInPandas(nearest, "doc_id bigint, zone_id bigint, d2 bigint")
+
+
+O_REVERSE_GEOCODE = """
+WITH c AS (
+  SELECT i AS zone_id,
+         (i * 77 % 360 - 180) * 1000000 + 500000 AS qclon,
+         (i * 53 % 170 - 85) * 1000000 + 250000 AS qclat
+  FROM generate_series(0, 99) AS s(i)
+), p AS (
+  SELECT doc_id,
+         (doc_id * 2654435761) % 360000000 - 180000000 AS qlon,
+         (doc_id * 2246822519) % 170000000 - 85000000 AS qlat
+  FROM documents
+), scored AS (
+  SELECT p.doc_id, c.zone_id,
+         (p.qlon - c.qclon) * (p.qlon - c.qclon)
+           + (p.qlat - c.qclat) * (p.qlat - c.qclat) AS d2,
+         row_number() OVER (
+           PARTITION BY p.doc_id
+           ORDER BY (p.qlon - c.qclon) * (p.qlon - c.qclon)
+                      + (p.qlat - c.qclat) * (p.qlat - c.qclat),
+                    c.zone_id) AS rn
+  FROM p CROSS JOIN c
+)
+SELECT doc_id, zone_id, d2 FROM scored WHERE rn = 1
+"""
