@@ -269,3 +269,67 @@ def test_compact_batch_recompaction_sweeps_own_rewrites(tiles, tmp_path, spark):
     r2 = compact_batch(spark, table, b.batch_id)
     assert r2["files_before"] == r1["files_after"]
     assert read_tiles(spark, table).count() == n
+
+
+def test_merge_upsert_copy_on_write(tmp_path, spark, sf_dir):
+    """MERGE: updates replace, new keys append, deletes disappear — in
+    one snapshot — and only buckets containing touched keys are
+    rewritten (untouched buckets keep their exact file paths)."""
+    from pyspark.sql import functions as F
+
+    from versatiles_rs_spark.lineage import (
+        keyed_resumable,
+        merge_upsert,
+        plan_files,
+        read_tiles,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .filter("doc_id < 200")
+    )
+    table = str(tmp_path / "docs_keyed")
+    keyed_resumable(docs, table, n_buckets=4, key_col="doc_id")
+    before = {f["path"] for f in plan_files(table)}
+    pre_sid = None
+
+    updates = (
+        docs.filter("doc_id IN (3, 7)")
+        .withColumn("text", F.concat(F.col("text"), F.lit(" EDITED")))
+        .unionByName(
+            spark.createDataFrame([(100000, "brand new doc")], "doc_id bigint, text string")
+        )
+    )
+    deletes = docs.filter("doc_id = 11").select("doc_id")
+    res = merge_upsert(spark, table, updates, key_col="doc_id", deletes=deletes)
+    pre_sid = res["snapshot_id"] - 1
+
+    got = {r["doc_id"]: r["text"] for r in read_tiles(spark, table).collect()}
+    want = {r["doc_id"]: r["text"] for r in docs.collect()}
+    want[3] += " EDITED"
+    want[7] += " EDITED"
+    want[100000] = "brand new doc"
+    del want[11]
+    assert got == want
+
+    # copy-on-write granularity: untouched buckets keep their files
+    touched = set(res["touched_buckets"])
+    assert touched < set(range(4))  # some bucket untouched in this fixture
+    after = {f["path"] for f in plan_files(table)}
+    untouched_before = {
+        p for p in before
+        if not any(f"batch=k{b}of4" in p for b in touched)
+    }
+    assert untouched_before <= after
+
+    # time travel: the pre-merge snapshot still shows the original rows
+    old = {r["doc_id"]: r["text"] for r in read_tiles(spark, table, as_of=pre_sid).collect()}
+    assert old == {r["doc_id"]: r["text"] for r in docs.collect()}
+
+    # multi-matching updates are refused
+    dup = updates.unionByName(updates)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="key-unique"):
+        merge_upsert(spark, table, dup)

@@ -499,3 +499,113 @@ def lineage_table(spark: SparkSession, table: str) -> DataFrame:
     """The FIXTURES.md §7 lineage table as a DataFrame."""
     d = os.path.join(table, "_lineage")
     return spark.read.option("multiLine", "true").json(f"{d}/batch=*.json")
+
+
+def merge_upsert(
+    spark: SparkSession,
+    table: str,
+    updates: DataFrame,
+    key_col: str = "doc_id",
+    deletes: DataFrame | None = None,
+) -> dict:
+    """Copy-on-write MERGE (Iceberg ``MERGE INTO`` analog) on a keyed
+    table written by ``keyed_resumable``: update rows replace same-key
+    rows, new keys append, ``deletes`` keys disappear — in ONE commit.
+
+    Scale shape: only the hash buckets that contain touched keys are
+    rewritten (bucket = the file-group unit, exactly the granularity the
+    resumable writer committed); untouched buckets keep their files, so
+    a 100 TB table absorbs a small merge by rewriting |touched buckets|,
+    not the table. The touched-bucket set is a bounded collect
+    (<= n_buckets rows). Commit = data files first, one immutable
+    "merge" snapshot listing added+removed files, then the atomic
+    pointer swap — crash anywhere leaves the previous snapshot readable
+    and the half-written rewrite dirs invisible.
+
+    ``updates`` must be key-unique (checked — a multi-matching MERGE is
+    ambiguous, the same error Iceberg raises).
+    """
+    manifest = read_manifest(table)
+    keyed = [b for b in manifest["batches"] if b.startswith("k")]
+    if not keyed:
+        raise ValueError(f"{table} has no keyed batches to merge into")
+    n_buckets = int(keyed[0].split("of")[1])
+
+    n_upd, n_keys = updates.select(
+        F.count(F.lit(1)), F.count_distinct(F.col(key_col))
+    ).first()
+    if n_upd != n_keys:
+        raise ValueError(f"updates not key-unique: {n_upd} rows, {n_keys} keys")
+
+    bucket_of = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets))
+    touched_keys = updates.select(key_col)
+    if deletes is not None:
+        touched_keys = touched_keys.unionByName(deletes.select(key_col))
+    touched = sorted(
+        r[0] for r in touched_keys.select(bucket_of.alias("b")).distinct().collect()
+    )
+
+    current_files = plan_files(table)
+
+    def _bucket_files(b: int) -> list[dict]:
+        bid = f"k{b}of{n_buckets}"
+        out = []
+        for f in current_files:
+            for part in f["path"].split(os.sep):
+                if (
+                    part == f"batch={bid}"
+                    or part.startswith(f"batch={bid}_r")
+                    or part.startswith(f"batch={bid}_m")
+                ):
+                    out.append(f)
+                    break
+        return out
+
+    sid = manifest["current_snapshot"] + 1
+    added, removed, out_rows = [], [], 0
+    for b in touched:
+        old = _bucket_files(b)
+        upd_b = updates.filter(bucket_of == b)
+        if old:
+            old_df = spark.read.parquet(*[f["path"] for f in old])
+            keep = old_df.join(
+                F.broadcast(touched_keys.filter(bucket_of == b).distinct()),
+                on=key_col,
+                how="left_anti",
+            )
+            merged = keep.unionByName(upd_b.select(*old_df.columns))
+        else:
+            merged = upd_b
+        out_dir = os.path.join(table, "data", f"batch=k{b}of{n_buckets}_m{sid}")
+        merged.write.mode("overwrite").parquet(out_dir)
+        files = _file_stats(out_dir)
+        added.extend(files)
+        removed.extend(f["path"] for f in old)
+        out_rows += sum(f["rows"] for f in files)
+
+    snapshot = {
+        "snapshot_id": sid,
+        "parent_id": manifest["current_snapshot"],
+        "operation": "merge",
+        "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "summary": {
+            "added_rows": out_rows,
+            "added_tile_bytes": 0,
+            "added_files": len(added),
+            "removed_files": len(removed),
+            "touched_buckets": touched,
+        },
+        "files": added,
+        "removed": removed,
+    }
+    snap_tmp = os.path.join(table, "_snapshots", f"v{sid}.json.tmp")
+    with open(snap_tmp, "w") as f:
+        json.dump(snapshot, f, indent=1, sort_keys=True)
+    os.replace(snap_tmp, os.path.join(table, "_snapshots", f"v{sid}.json"))
+    manifest["current_snapshot"] = sid
+    _commit_manifest(table, manifest)
+    return {
+        "snapshot_id": sid,
+        "touched_buckets": touched,
+        "rewritten_files": len(removed),
+    }

@@ -924,3 +924,58 @@ FROM tagged GROUP BY z
 
 
 O_INCREMENTAL_TILES = _o_incremental_tiles()
+
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write MERGE on the Iceberg-shaped keyed table
+    (lineage.merge_upsert): build the doc corpus as a resumable keyed
+    table, apply one merge commit (edits doc_id%10==3, inserts shifted
+    copies of doc_id%50==0, deletes doc_id%10==7), and fingerprint the
+    resulting snapshot. The oracle recomputes the merged relation
+    directly — update/insert/delete semantics attested through the REAL
+    table format (bucket-level CoW + snapshot protocol covered in
+    tests/test_lineage.py)."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from versatiles_rs_spark.lineage import (
+        keyed_resumable,
+        merge_upsert,
+        read_tiles,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    table = f"{tempfile.gettempdir()}/vt_merge_{tag}"
+    shutil.rmtree(table, ignore_errors=True)
+    keyed_resumable(docs, table, n_buckets=8, key_col="doc_id")
+
+    updates = (
+        docs.filter("doc_id % 10 = 3")
+        .select("doc_id", F.concat(F.col("text"), F.lit(" EDITED")).alias("text"))
+        .unionByName(
+            docs.filter("doc_id % 50 = 0").select(
+                (F.col("doc_id") + F.lit(1000000)).alias("doc_id"),
+                F.concat(F.lit("new:"), F.col("doc_id").cast("string")).alias("text"),
+            )
+        )
+    )
+    deletes = docs.filter("doc_id % 10 = 7").select("doc_id")
+    merge_upsert(spark, table, updates, key_col="doc_id", deletes=deletes)
+    out = read_tiles(spark, table).select("doc_id", F.md5("text").alias("fp"))
+    return out
+
+
+O_MERGE_UPSERT = """
+WITH base AS (
+  SELECT doc_id, text FROM documents
+), merged AS (
+  SELECT doc_id, text || ' EDITED' AS text FROM base WHERE doc_id % 10 = 3
+  UNION ALL
+  SELECT doc_id + 1000000, 'new:' || CAST(doc_id AS VARCHAR) FROM base WHERE doc_id % 50 = 0
+  UNION ALL
+  SELECT doc_id, text FROM base WHERE doc_id % 10 NOT IN (3, 7)
+)
+SELECT doc_id, md5(text) AS fp FROM merged
+"""
