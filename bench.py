@@ -169,6 +169,28 @@ def job_curate(spark, sf_dir) -> dict:
     return job_curate_funnel(spark, sf_dir, normalizer="pandas")
 
 
+def job_temporal_ops(spark, sf_dir) -> dict:
+    """Headline slot for the temporal-join + sketch family (round 5):
+    as-of join (union + one exchange + window carry), hypertable rollup
+    (raw read once), and the three mergeable sketches (HLL / CMS /
+    log-quantile — bounded groupBy relations) over the events table."""
+    from versatiles_rs_spark.queries import (
+        q_asof_join,
+        q_cms_counts,
+        q_hll_distinct,
+        q_hypertable_rollup,
+        q_quantile_sketch,
+    )
+
+    return {
+        "asof_rows": q_asof_join(spark, sf_dir).count(),
+        "rollup_rows": q_hypertable_rollup(spark, sf_dir).count(),
+        "sketch_rows": q_hll_distinct(spark, sf_dir).count()
+        + q_cms_counts(spark, sf_dir).count()
+        + q_quantile_sketch(spark, sf_dir).count(),
+    }
+
+
 JOBS = {
     "convert_pyramid": job_convert_pyramid,
     "pip_join": job_pip_join,
@@ -177,6 +199,7 @@ JOBS = {
     "zoom_stats": job_zoom_stats,
     "curate_funnel": job_curate,
     "geo_polygons": job_geo_polygons,
+    "temporal_ops": job_temporal_ops,
 }
 
 
@@ -235,7 +258,7 @@ def run_bench() -> dict:
     total = round(sum(timings.values()), 3)
     tiles = extras["convert_pyramid"]["tiles"]
     return {
-        "metric": "headline_total_sec (convert z0-14 + pip join + assign + ann + stats + curate funnel + geo polygons)",
+        "metric": "headline_total_sec (convert z0-14 + pip join + assign + ann + stats + curate funnel + geo polygons + temporal/sketch ops)",
         "value": total,
         "unit": "sec",
         "queries": timings,
