@@ -302,3 +302,25 @@ def test_dem_slope_halo_and_plan(spark):
     plan = _plan(dem_slope_stats(tiles, t))
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
     assert "SortMergeJoin" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_shard_shuffle_no_global_sort(spark, sf_dir):
+    """The shuffle plan must be hash-exchange + in-partition sort, never
+    a rangepartitioning (global sort); shards reasonably balanced; the
+    (shard, pos) order is a true permutation of the corpus."""
+    from versatiles_rs_spark.pages.sampling import shard_shuffle
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = shard_shuffle(docs, n_shards=16)
+    plan = _plan(out)
+    assert "rangepartitioning" not in plan.lower()
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+    rows = out.collect()
+    n = docs.count()
+    assert len(rows) == n
+    assert len({(r["shard"], r["pos"]) for r in rows}) == n  # injective
+    per = {}
+    for r in rows:
+        per[r["shard"]] = per.get(r["shard"], 0) + 1
+    assert max(per.values()) < 4 * n / 16  # hash balance (loose)

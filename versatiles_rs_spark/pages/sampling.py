@@ -189,3 +189,31 @@ def vocab_topk(
     ).limit(k)
     w = Window.orderBy(F.col("n").desc(), F.col("word").asc())
     return top.withColumn("rank", F.row_number().over(w)).select("rank", "word", "n")
+
+
+def shard_shuffle(
+    docs: DataFrame, n_shards: int = 64, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic global training shuffle WITHOUT a global sort: every
+    doc gets a portable 32-bit hash key; shard = the key's top bits
+    (fixed ranges of the hash domain, so concatenating shards 0..n-1 in
+    (shard, pos) order IS the full permutation sorted by key); pos =
+    rank within the shard. One hash exchange on shard + an in-partition
+    sort — never a rangepartitioning/global sort, and shards are
+    balanced by hash uniformity at any corpus size (n_shards must be a
+    power of two so shard boundaries are exact integer divisions).
+
+    The permutation is reproducible across engines and runs (ties break
+    on id), which is what makes shuffled training shards resumable.
+    """
+    assert n_shards & (n_shards - 1) == 0, "n_shards must be a power of two"
+    width = 4294967296 // n_shards
+    key = (F.col(id_col).cast("bigint") * F.lit(2654435761)) % F.lit(4294967296)
+    w = Window.partitionBy("shard").orderBy(F.col("skey").asc(), F.col(id_col).asc())
+    return (
+        docs.select(id_col, key.alias("skey"))
+        .withColumn("shard", (F.col("skey") - F.col("skey") % F.lit(width)) / F.lit(width))
+        .withColumn("shard", F.col("shard").cast("bigint"))
+        .withColumn("pos", F.row_number().over(w))
+        .select(id_col, "shard", F.col("pos").cast("bigint").alias("pos"))
+    )

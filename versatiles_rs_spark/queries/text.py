@@ -1176,3 +1176,26 @@ def _o_sequence_packing() -> str:
 
 
 O_SEQUENCE_PACKING = _o_sequence_packing()
+
+
+def q_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training shuffle (pages/sampling.shard_shuffle):
+    docs permuted by a portable 32-bit hash into 64 fixed hash-range
+    shards with in-shard positions — one hash exchange + in-partition
+    sort, NO global sort (plan-guarded in tests). Oracle recomputes the
+    identical (shard, pos) assignment with a window over the same key."""
+    from versatiles_rs_spark.pages.sampling import shard_shuffle
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return shard_shuffle(docs, n_shards=64)
+
+
+O_SHARD_SHUFFLE = """
+WITH k AS (
+  SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS skey FROM documents
+)
+SELECT doc_id, skey // 67108864 AS shard,
+       CAST(row_number() OVER (PARTITION BY skey // 67108864
+                               ORDER BY skey, doc_id) AS BIGINT) AS pos
+FROM k
+"""
