@@ -324,3 +324,36 @@ def test_shard_shuffle_no_global_sort(spark, sf_dir):
     for r in rows:
         per[r["shard"]] = per.get(r["shard"], 0) + 1
     assert max(per.values()) < 4 * n / 16  # hash balance (loose)
+
+
+def test_streaming_hll_matches_batch(spark, sf_dir, tmp_path):
+    """Feeding the events table through a file stream in two chunks
+    yields (complete-mode) exactly the batch sketch — stateful agg IS
+    the HLL merge law."""
+    from versatiles_rs_spark.functions.sketches import hll_registers
+    from versatiles_rs_spark.streaming.stateful import streaming_hll_registers
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_type", "user_id")
+    src = str(tmp_path / "src")
+    ev.filter("user_id % 2 = 0").coalesce(1).write.parquet(src)
+    ev.filter("user_id % 2 <> 0").coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    q = (
+        streaming_hll_registers(stream)
+        .writeStream.format("memory")
+        .queryName("hll_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["g"], r["bucket"]): r["max_rho"]
+        for r in spark.sql("SELECT * FROM hll_stream").collect()
+    }
+    want = {
+        (r["event_type"], r["bucket"]): r["max_rho"]
+        for r in hll_registers(ev, ["event_type"], "user_id").collect()
+    }
+    assert got == want

@@ -80,3 +80,36 @@ def streaming_stateful_tile_stats(points_stream: DataFrame, zoom: int) -> DataFr
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_hll_registers(
+    events_stream: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "user_id",
+    p: int = 7,
+) -> DataFrame:
+    """Streaming maintenance of the mergeable HLL sketch
+    (functions/sketches.hll_registers): the register relation updated
+    per micro-batch. Because the sketch build is itself a groupBy-max,
+    Structured Streaming's stateful aggregation IS the merge law —
+    state per (group, bucket) is one int (the running max rho), bounded
+    by sketch geometry at any stream length, and the complete-mode
+    output equals the batch sketch over everything seen (pytest-pinned).
+    """
+    from versatiles_rs_spark.functions.sketches import _hash60
+
+    from pyspark.sql import functions as F
+
+    m = 1 << p
+    h = _hash60(F.col(value_col))
+    w = F.shiftright(h, p)
+    rho = F.when(
+        w > 0, F.lit(60 - p + 1) - F.length(F.bin(w))
+    ).otherwise(F.lit(60 - p + 1))
+    return (
+        events_stream.select(
+            F.col(group_col).alias("g"), (h % F.lit(m)).alias("bucket"), rho.alias("rho")
+        )
+        .groupBy("g", "bucket")
+        .agg(F.max("rho").alias("max_rho"))
+    )
