@@ -357,3 +357,28 @@ def test_streaming_hll_matches_batch(spark, sf_dir, tmp_path):
         for r in hll_registers(ev, ["event_type"], "user_id").collect()
     }
     assert got == want
+
+
+def test_intersection_join_exactly_once(spark):
+    """A pair overlapping in MANY cells is emitted exactly once (the
+    reference-point rule), never deduped; non-overlap and edge-touch
+    (half-open) excluded; plan has no cartesian product."""
+    from versatiles_rs_spark.spatial.overlaps import intersection_join
+
+    a = spark.createDataFrame(
+        [(1, 0, 0, 1000, 1000), (2, 2000, 2000, 2100, 2100)],
+        "id bigint, x0 bigint, y0 bigint, x1 bigint, y1 bigint",
+    )
+    b = spark.createDataFrame(
+        [
+            (10, 500, 500, 1500, 1500),   # overlaps a1 across many 128-cells
+            (11, 1000, 0, 1100, 100),     # touches a1's edge -> NOT a pair
+            (12, 5000, 5000, 5010, 5010), # disjoint
+        ],
+        "id bigint, x0 bigint, y0 bigint, x1 bigint, y1 bigint",
+    )
+    rows = intersection_join(a, b, cell=128).collect()
+    assert [(r["a_id"], r["b_id"], r["area"]) for r in rows] == [(1, 10, 500 * 500)]
+
+    plan = _plan(intersection_join(a, b, cell=128))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan

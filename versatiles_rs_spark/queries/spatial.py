@@ -432,3 +432,49 @@ WITH c AS (
 )
 SELECT doc_id, zone_id, d2 FROM scored WHERE rn = 1
 """
+
+
+def q_intersection_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Box-box spatial intersection join (spatial/overlaps.py): two
+    deterministic rectangle layers joined on a 128-unit cell grid with
+    the reference-point emit-exactly-once rule — one equi-join, no
+    dedup stage, exact integer intersection areas. Oracle brute-forces
+    the cross product with the same half-open overlap predicate."""
+    from versatiles_rs_spark.spatial.overlaps import intersection_join
+
+    i = F.col("id")
+    a = spark.range(300).select(
+        i.alias("id"),
+        ((i * 97) % 3000).alias("x0"),
+        ((i * 61) % 3000).alias("y0"),
+        ((i * 97) % 3000 + 20 + (i % 13) * 7).alias("x1"),
+        ((i * 61) % 3000 + 15 + (i % 11) * 9).alias("y1"),
+    )
+    b = spark.range(300).select(
+        i.alias("id"),
+        ((i * 89 + 13) % 3000).alias("x0"),
+        ((i * 71 + 29) % 3000).alias("y0"),
+        ((i * 89 + 13) % 3000 + 25 + (i % 9) * 11).alias("x1"),
+        ((i * 71 + 29) % 3000 + 10 + (i % 7) * 13).alias("y1"),
+    )
+    return intersection_join(a, b, cell=128)
+
+
+O_INTERSECTION_JOIN = """
+WITH a AS (
+  SELECT i AS a_id, (i * 97) % 3000 AS x0, (i * 61) % 3000 AS y0,
+         (i * 97) % 3000 + 20 + (i % 13) * 7 AS x1,
+         (i * 61) % 3000 + 15 + (i % 11) * 9 AS y1
+  FROM generate_series(0, 299) AS s(i)
+), b AS (
+  SELECT i AS b_id, (i * 89 + 13) % 3000 AS x0, (i * 71 + 29) % 3000 AS y0,
+         (i * 89 + 13) % 3000 + 25 + (i % 9) * 11 AS x1,
+         (i * 71 + 29) % 3000 + 10 + (i % 7) * 13 AS y1
+  FROM generate_series(0, 299) AS s(i)
+)
+SELECT a.a_id, b.b_id,
+       (least(a.x1, b.x1) - greatest(a.x0, b.x0))
+         * (least(a.y1, b.y1) - greatest(a.y0, b.y0)) AS area
+FROM a CROSS JOIN b
+WHERE a.x0 < b.x1 AND b.x0 < a.x1 AND a.y0 < b.y1 AND b.y0 < a.y1
+"""
