@@ -382,3 +382,21 @@ def test_intersection_join_exactly_once(spark):
 
     plan = _plan(intersection_join(a, b, cell=128))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_distance_join_exactly_once(spark):
+    """Pairs straddling cell borders found via the 3x3 probe, exactly
+    once; radius boundary inclusive on d², exclusive beyond."""
+    from versatiles_rs_spark.spatial.overlaps import distance_join
+
+    pts = spark.createDataFrame(
+        [(1, 99, 0), (2, 101, 0), (3, 99, 100), (4, 1000, 1000)],
+        "id bigint, qx bigint, qy bigint",
+    )
+    rows = {(r["a_id"], r["b_id"]): r["d2"] for r in distance_join(pts, radius=100).collect()}
+    # (1,2): d2=4 (cross-cell at c=100); (1,3): d2=10000 == r^2 inclusive;
+    # (2,3): d2=4+10000 > r^2 excluded; 4 isolated
+    assert rows == {(1, 2): 4, (1, 3): 10000}
+
+    plan = _plan(distance_join(pts, radius=100))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan

@@ -478,3 +478,33 @@ SELECT a.a_id, b.b_id,
 FROM a CROSS JOIN b
 WHERE a.x0 < b.x1 AND b.x0 < a.x1 AND a.y0 < b.y1 AND b.y0 < a.y1
 """
+
+
+def q_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self distance join (spatial/overlaps.distance_join): all document
+    pairs within 10,000,000 quantized-degree units (~10 deg), via the
+    one-cell-per-point 3x3 neighbor probe — each pair emitted exactly
+    once, exact integer d². Oracle brute-forces the half cross product."""
+    from versatiles_rs_spark.spatial.overlaps import distance_join
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").alias("id"),
+        ((F.col("doc_id") * F.lit(2654435761)) % F.lit(360000000)).alias("qx"),
+        ((F.col("doc_id") * F.lit(2246822519)) % F.lit(170000000)).alias("qy"),
+    )
+    return distance_join(docs, radius=10_000_000)
+
+
+O_DISTANCE_JOIN = """
+WITH p AS (
+  SELECT doc_id AS id,
+         (doc_id * 2654435761) % 360000000 AS qx,
+         (doc_id * 2246822519) % 170000000 AS qy
+  FROM documents
+)
+SELECT a.id AS a_id, b.id AS b_id,
+       (a.qx - b.qx) * (a.qx - b.qx) + (a.qy - b.qy) * (a.qy - b.qy) AS d2
+FROM p a JOIN p b ON a.id < b.id
+WHERE (a.qx - b.qx) * (a.qx - b.qx) + (a.qy - b.qy) * (a.qy - b.qy)
+      <= 100000000000000
+"""

@@ -60,3 +60,40 @@ def intersection_join(
     return j.filter(overlap & canonical).select(
         "a_id", "b_id", area.cast("bigint").alias("area")
     )
+
+
+def distance_join(
+    points: DataFrame, radius: int, cell: int | None = None
+) -> DataFrame:
+    """Self distance join: unordered pairs (a_id < b_id) of points within
+    ``radius`` (integer units, exact d² compare). Each point lives in ONE
+    grid cell (cell >= radius), the left side explodes its 3x3 neighbor
+    cells, and the equi-join against the right side's single cell emits
+    each candidate pair exactly once — no dedup stage, no cartesian.
+    Input: (id, qx, qy) integer coordinates.
+    """
+    c = cell or radius
+    assert c >= radius, "cell must be >= radius for the 3x3 guarantee"
+    cl = lambda col: F.col(col) - F.pmod(F.col(col), F.lit(c))  # noqa: E731
+    left = (
+        points.select(
+            F.col("id").alias("a_id"), F.col("qx").alias("ax"), F.col("qy").alias("ay")
+        )
+        .withColumn("cx", F.explode(F.sequence(cl("ax") - F.lit(c), cl("ax") + F.lit(c), F.lit(c))))
+        .withColumn("cy", F.explode(F.sequence(cl("ay") - F.lit(c), cl("ay") + F.lit(c), F.lit(c))))
+    )
+    right = points.select(
+        F.col("id").alias("b_id"),
+        F.col("qx").alias("bx"),
+        F.col("qy").alias("by"),
+        cl("qx").alias("cx"),
+        cl("qy").alias("cy"),
+    )
+    d2 = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (
+        F.col("ay") - F.col("by")
+    ) * (F.col("ay") - F.col("by"))
+    return (
+        left.join(right, on=["cx", "cy"], how="inner")
+        .filter((F.col("a_id") < F.col("b_id")) & (d2 <= F.lit(radius * radius)))
+        .select("a_id", "b_id", d2.alias("d2"))
+    )
