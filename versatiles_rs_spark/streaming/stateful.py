@@ -98,8 +98,6 @@ def streaming_hll_registers(
     """
     from versatiles_rs_spark.functions.sketches import _hash60
 
-    from pyspark.sql import functions as F
-
     m = 1 << p
     h = _hash60(F.col(value_col))
     w = F.shiftright(h, p)
