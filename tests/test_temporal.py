@@ -400,3 +400,28 @@ def test_distance_join_exactly_once(spark):
 
     plan = _plan(distance_join(pts, radius=100))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_bucketed_join_is_colocated(spark, sf_dir, tmp_path):
+    """Bucketed tables joined on the bucket key plan with ZERO Exchange
+    (the co-located-join claim in README "Scale design"): both sides
+    scan pre-bucketed files and sort-merge in place."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        spark.sql("DROP TABLE IF EXISTS bk_a")
+        spark.sql("DROP TABLE IF EXISTS bk_b")
+        (docs.select("doc_id", "n_chars").write.bucketBy(8, "doc_id")
+         .option("path", str(tmp_path / "bk_a")).saveAsTable("bk_a"))
+        (docs.select("doc_id", "lang").write.bucketBy(8, "doc_id")
+         .option("path", str(tmp_path / "bk_b")).saveAsTable("bk_b"))
+        j = spark.table("bk_a").join(spark.table("bk_b"), "doc_id")
+        plan = _plan(j)
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert j.count() == docs.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS bk_a")
+        spark.sql("DROP TABLE IF EXISTS bk_b")
