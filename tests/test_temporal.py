@@ -425,3 +425,30 @@ def test_bucketed_join_is_colocated(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("DROP TABLE IF EXISTS bk_a")
         spark.sql("DROP TABLE IF EXISTS bk_b")
+
+
+def test_density_tiles_png_roundtrip(spark):
+    """The rendered density PNG decodes back to the exact (clipped) bin
+    matrix; bins feed the render pre-aggregated (plan: exactly two hash
+    exchanges — bin agg + per-tile grouping — and no raw-point Python)."""
+    import numpy as np
+
+    from versatiles_rs_spark.functions.raster import png_decode
+    from versatiles_rs_spark.operators.density import density_bins, density_tiles
+
+    pts = spark.createDataFrame(
+        [(5, 5)] * 300 + [(5, 30000000)] * 2 + [(300000000, 150000000)],
+        "qx bigint, qy bigint",
+    )
+    tiles = density_tiles(density_bins(pts, zoom=0, tile_px=8), tile_px=8)
+    got = {(r["x"], r["y"]): r for r in tiles.collect()}
+    assert set(got) == {(0, 0)}  # zoom 0: one world tile
+    r = got[(0, 0)]
+    assert r["n_points"] == 303 and r["max_bin"] == 300 and r["occupied_px"] == 3
+    img = png_decode(bytes(r["tile"]))
+    assert img.shape[:2] == (8, 8)
+    assert int(img.max()) == 255  # 300 clipped to 255 in the PNG
+    assert int((np.squeeze(img) > 0).sum()) == 3
+
+    plan = _plan(density_tiles(density_bins(pts, zoom=0, tile_px=8), tile_px=8))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2

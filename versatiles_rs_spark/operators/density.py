@@ -1,0 +1,79 @@
+"""Point-density raster tiles: the vector→raster AGGREGATION direction
+(zonal_stats is raster→vector; raster_mask is vector→raster masking;
+this is the heatmap/density rendering a web-scale point table feeds a
+map with).
+
+Scale shape: points map to ONE global pixel each with pure integer
+division (qx * grid // domain — exact, no float binning), a map-side-
+combined groupBy collapses the 100 TB point table to at most
+tiles x tile_px² bin rows (the only shuffle), and the per-tile PNG
+render consumes pre-aggregated bins — Python never sees raw points.
+Bin counts are exact integers; the PNG encodes min(count, 255)
+grayscale via the engine's deterministic encoder.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from versatiles_rs_spark.functions.raster import png_encode
+
+
+def density_bins(
+    points: DataFrame,
+    zoom: int,
+    tile_px: int = 64,
+    qx_col: str = "qx",
+    qy_col: str = "qy",
+    x_domain: int = 360_000_000,
+    y_domain: int = 170_000_000,
+) -> DataFrame:
+    """(x, y, px, py, n): per-pixel point counts on the zoom's global
+    grid (2^zoom * tile_px pixels per axis, equirectangular over the
+    integer coordinate domains). Pure integer math: gx = qx * grid //
+    x_domain (qx * grid fits int64 for qx < 2^33 and grid <= 2^20)."""
+    grid = (1 << zoom) * tile_px
+    # TRUE int64 division (`div`), never float floor: qx*grid exceeds the
+    # exact-double range already at z14 with 1e8-scale domains.
+    gxe = F.expr(f"(CAST({qx_col} AS BIGINT) * {grid}) div {x_domain}")
+    gye = F.expr(f"(CAST({qy_col} AS BIGINT) * {grid}) div {y_domain}")
+    return (
+        points.select(gxe.alias("gx"), gye.alias("gy"))
+        .select(
+            F.expr(f"gx div {tile_px}").alias("x"),
+            F.expr(f"gy div {tile_px}").alias("y"),
+            (F.col("gx") % F.lit(tile_px)).alias("px"),
+            (F.col("gy") % F.lit(tile_px)).alias("py"),
+        )
+        .groupBy("x", "y", "px", "py")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def density_tiles(bins: DataFrame, tile_px: int = 64) -> DataFrame:
+    """Render pre-aggregated bins into grayscale PNG tiles:
+    (x, y, tile, n_points, occupied_px, max_bin)."""
+    t = tile_px
+
+    def render(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = int(pdf["x"].iloc[0])
+        y = int(pdf["y"].iloc[0])
+        img = np.zeros((t, t), dtype=np.int64)
+        img[pdf["py"].to_numpy(), pdf["px"].to_numpy()] = pdf["n"].to_numpy()
+        png = png_encode(np.minimum(img, 255).astype(np.uint8))
+        return pd.DataFrame(
+            {
+                "x": [x], "y": [y], "tile": [png],
+                "n_points": [int(img.sum())],
+                "occupied_px": [int((img > 0).sum())],
+                "max_bin": [int(img.max())],
+            }
+        )
+
+    return bins.groupBy("x", "y").applyInPandas(
+        render,
+        "x bigint, y bigint, tile binary, n_points bigint, occupied_px bigint, max_bin bigint",
+    )

@@ -77,3 +77,74 @@ SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
        round(sum(value), 6) AS value_sum
 FROM sessions GROUP BY 1, 2
 """
+
+
+def event_funnel(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel analysis: per user, the earliest strictly-increasing
+    timestamp chain through ``steps`` (classic product-analytics funnel).
+    Output: (user_id, stage_reached, t1..tk in integer micros, NULL past
+    the reached stage).
+
+    Scale shape: k is a small constant, so the funnel is k bounded
+    aggregations joined on the USER key — each stage input is one row
+    per user (not the event log), so after the first stage everything
+    moves at user-table size; no per-user event collection, no windows
+    over the raw log.
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    ev = events.select(F.col(user_col).alias("u"), us.alias("us"), F.col(type_col).alias("t"))
+    cur = (
+        ev.filter(F.col("t") == steps[0])
+        .groupBy("u")
+        .agg(F.min("us").alias("t1"))
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        prev = f"t{i - 1}"
+        nxt = (
+            ev.filter(F.col("t") == step)
+            .join(cur.select("u", prev), on="u", how="inner")
+            .filter(F.col("us") > F.col(prev))
+            .groupBy("u")
+            .agg(F.min("us").alias(f"t{i}"))
+        )
+        cur = cur.join(nxt, on="u", how="left")
+    stage = sum(
+        (F.col(f"t{i}").isNotNull()).cast("int") for i in range(1, len(steps) + 1)
+    )
+    return cur.select(
+        F.col("u").alias(user_col),
+        stage.cast("bigint").alias("stage_reached"),
+        *[F.col(f"t{i}") for i in range(1, len(steps) + 1)],
+    )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen DAY, counted
+    on each later day-offset they were active. (cohort_day, offset_days,
+    n_users) with day = floor(epoch_us / 86400e6) — integer math.
+
+    Two shuffles on natural keys: first-seen per user, then the
+    (cohort, offset) distinct-user rollup; the join moves one row per
+    user, not the event log."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    # integer modulo, not float division: us/86400e6 as double can round
+    # up across a day boundary
+    day = ((us - us % F.lit(86_400_000_000)) / F.lit(86_400_000_000)).cast("bigint")
+    ev = events.select(F.col(user_col).alias("u"), day.alias("day"))
+    first = ev.groupBy("u").agg(F.min("day").alias("cohort_day"))
+    return (
+        ev.join(first, on="u")
+        .select("u", "cohort_day", (F.col("day") - F.col("cohort_day")).alias("offset_days"))
+        .groupBy("cohort_day", "offset_days")
+        .agg(F.count_distinct("u").alias("n_users"))
+    )

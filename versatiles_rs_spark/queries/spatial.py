@@ -508,3 +508,35 @@ FROM p a JOIN p b ON a.id < b.id
 WHERE (a.qx - b.qx) * (a.qx - b.qx) + (a.qy - b.qy) * (a.qy - b.qy)
       <= 100000000000000
 """
+
+
+def q_density_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-density raster tiles (operators/density.py): events binned
+    onto the z3/64px global grid with TRUE int64 division, one
+    map-side-combined shuffle to at most tiles*px² bin rows, per-tile
+    PNG render from pre-aggregated bins (Python never sees raw points).
+    The query returns the per-tile stats; the PNG render path is
+    round-trip-validated in pytest. Oracle recomputes bins with // ."""
+    from versatiles_rs_spark.operators.density import density_bins, density_tiles
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        ((F.col("event_id") * F.lit(2654435761)) % F.lit(360000000)).alias("qx"),
+        ((F.col("event_id") * F.lit(2246822519)) % F.lit(170000000)).alias("qy"),
+    )
+    tiles = density_tiles(density_bins(ev, zoom=3, tile_px=64))
+    return tiles.select("x", "y", "n_points", "occupied_px", "max_bin")
+
+
+O_DENSITY_TILES = """
+WITH g AS (
+  SELECT ((event_id * 2654435761) % 360000000) * 512 // 360000000 AS gx,
+         ((event_id * 2246822519) % 170000000) * 512 // 170000000 AS gy
+  FROM events
+), b AS (
+  SELECT gx // 64 AS x, gy // 64 AS y, gx % 64 AS px, gy % 64 AS py,
+         count(*) AS n
+  FROM g GROUP BY 1, 2, 3, 4
+)
+SELECT x, y, sum(n) AS n_points, count(*) AS occupied_px, max(n) AS max_bin
+FROM b GROUP BY 1, 2
+"""

@@ -223,3 +223,61 @@ SELECT event_type,
        count(*) AS cnt
 FROM q GROUP BY 1, 2
 """
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (operators/sessions.event_funnel): earliest
+    strictly-increasing signup -> view -> purchase chain per user; k
+    bounded user-keyed aggregations, nothing event-log-sized after
+    stage 1. Oracle chains the same min-timestamp joins."""
+    from versatiles_rs_spark.operators.sessions import event_funnel
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return event_funnel(ev, ["signup", "view", "purchase"])
+
+
+O_EVENT_FUNNEL = """
+WITH s1 AS (
+  SELECT user_id AS u, min(epoch_us(ts)) AS t1 FROM events
+  WHERE event_type = 'signup' GROUP BY 1
+), s2 AS (
+  SELECT e.user_id AS u, min(epoch_us(e.ts)) AS t2
+  FROM events e JOIN s1 ON s1.u = e.user_id
+  WHERE e.event_type = 'view' AND epoch_us(e.ts) > s1.t1 GROUP BY 1
+), s3 AS (
+  SELECT e.user_id AS u, min(epoch_us(e.ts)) AS t3
+  FROM events e JOIN s2 ON s2.u = e.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2 GROUP BY 1
+)
+SELECT s1.u AS user_id,
+       CAST((t1 IS NOT NULL)::INT + (t2 IS NOT NULL)::INT
+            + (t3 IS NOT NULL)::INT AS BIGINT) AS stage_reached,
+       t1, t2, t3
+FROM s1 LEFT JOIN s2 ON s1.u = s2.u LEFT JOIN s3 ON s1.u = s3.u
+"""
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention (operators/sessions.retention_cohorts): users by
+    first-seen day x active day-offset — two natural-key shuffles, the
+    join moves one row per user. Integer day math (modulo, no float
+    division). Oracle recomputes the matrix."""
+    from versatiles_rs_spark.operators.sessions import retention_cohorts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return retention_cohorts(ev)
+
+
+O_RETENTION_COHORTS = """
+WITH d AS (
+  SELECT user_id AS u,
+         (epoch_us(ts) - epoch_us(ts) % 86400000000) // 86400000000 AS day
+  FROM events
+), first AS (
+  SELECT u, min(day) AS cohort_day FROM d GROUP BY 1
+)
+SELECT f.cohort_day, d.day - f.cohort_day AS offset_days,
+       count(DISTINCT d.u) AS n_users
+FROM d JOIN first f ON f.u = d.u
+GROUP BY 1, 2
+"""
