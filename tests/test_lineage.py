@@ -333,3 +333,35 @@ def test_merge_upsert_copy_on_write(tmp_path, spark, sf_dir):
 
     with _pytest.raises(ValueError, match="key-unique"):
         merge_upsert(spark, table, dup)
+
+
+def test_merge_upsert_schema_evolution(tmp_path, spark, sf_dir):
+    """ADD-COLUMN evolution through MERGE: updates carry a new column;
+    touched buckets rewrite with it, untouched buckets keep old files,
+    and reads merge schemas (old rows NULL in the new column). Updates
+    missing an existing column are refused."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from versatiles_rs_spark.lineage import keyed_resumable, merge_upsert, read_tiles
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .filter("doc_id < 100")
+    )
+    table = str(tmp_path / "docs_evolve")
+    keyed_resumable(docs, table, n_buckets=4, key_col="doc_id")
+
+    updates = docs.filter("doc_id = 3").withColumn("quality", F.lit(0.9))
+    res = merge_upsert(spark, table, updates, key_col="doc_id")
+    assert set(res["touched_buckets"]) < set(range(4))
+
+    got = read_tiles(spark, table)
+    assert "quality" in got.columns
+    rows = {r["doc_id"]: r["quality"] for r in got.collect()}
+    assert rows[3] == 0.9
+    assert all(v is None for k, v in rows.items() if k != 3)
+
+    with _pytest.raises(ValueError, match="missing table columns"):
+        merge_upsert(spark, table, updates.drop("text"))

@@ -377,7 +377,9 @@ def read_tiles(
     files = plan_files(table, as_of=as_of, z=z, x=x, y=y)
     if not files:
         raise ValueError(f"no committed data in {table} for the requested slice")
-    return spark.read.parquet(*[f["path"] for f in files])
+    # mergeSchema: after an ADD-COLUMN merge commit, untouched buckets
+    # keep their original files — the union schema applies, old rows NULL
+    return spark.read.option("mergeSchema", "true").parquet(*[f["path"] for f in files])
 
 
 def compact_batch(
@@ -573,7 +575,13 @@ def merge_upsert(
                 on=key_col,
                 how="left_anti",
             )
-            merged = keep.unionByName(upd_b.select(*old_df.columns))
+            # allowMissingColumns = Iceberg-style ADD-COLUMN schema
+            # evolution: updates may carry new columns (old rows get
+            # NULL), and must still carry every old column.
+            missing = set(old_df.columns) - set(upd_b.columns)
+            if missing:
+                raise ValueError(f"updates missing table columns {sorted(missing)}")
+            merged = keep.unionByName(upd_b, allowMissingColumns=True)
         else:
             merged = upd_b
         out_dir = os.path.join(table, "data", f"batch=k{b}of{n_buckets}_m{sid}")
