@@ -365,3 +365,50 @@ def test_merge_upsert_schema_evolution(tmp_path, spark, sf_dir):
 
     with _pytest.raises(ValueError, match="missing table columns"):
         merge_upsert(spark, table, updates.drop("text"))
+
+
+def test_read_keyed_point_lookup_and_snapshot_diff(tmp_path, spark, sf_dir):
+    """Point lookups open only the buckets containing the requested keys;
+    snapshot_diff classifies a merge's inserts/updates/deletes."""
+    from pyspark.sql import functions as F
+
+    from versatiles_rs_spark.lineage import (
+        keyed_resumable,
+        merge_upsert,
+        plan_files,
+        read_keyed,
+        snapshot_diff,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .filter("doc_id < 100")
+    )
+    table = str(tmp_path / "docs_lookup")
+    keyed_resumable(docs, table, n_buckets=8, key_col="doc_id")
+    pre = len(plan_files(table))
+
+    got = {r["doc_id"] for r in read_keyed(spark, table, [3, 17]).collect()}
+    assert got == {3, 17}
+    # the lookup plans strictly fewer files than the full table
+    kdf_buckets = {
+        r[0] for r in spark.createDataFrame([(3,), (17,)], "doc_id bigint")
+        .select(F.pmod(F.xxhash64("doc_id"), F.lit(8))).collect()
+    }
+    assert len(kdf_buckets) <= 2 and len(kdf_buckets) < pre
+
+    updates = (
+        docs.filter("doc_id = 5")
+        .withColumn("text", F.lit("changed"))
+        .unionByName(spark.createDataFrame([(777, "new")], "doc_id bigint, text string"))
+    )
+    res = merge_upsert(
+        spark, table, updates, key_col="doc_id",
+        deletes=docs.filter("doc_id = 9").select("doc_id"),
+    )
+    diff = {
+        r["doc_id"]: r["change"]
+        for r in snapshot_diff(spark, table, res["snapshot_id"] - 1).collect()
+    }
+    assert diff == {5: "updated", 777: "inserted", 9: "deleted"}

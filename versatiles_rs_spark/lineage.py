@@ -617,3 +617,78 @@ def merge_upsert(
         "touched_buckets": touched,
         "rewritten_files": len(removed),
     }
+
+
+def read_keyed(
+    spark: SparkSession,
+    table: str,
+    keys: list,
+    key_col: str = "doc_id",
+    as_of: int | None = None,
+) -> DataFrame:
+    """Point lookups on a keyed table: read ONLY the hash buckets that
+    can contain the requested keys (the doc-corpus analog of the
+    containers' O(1) tile lookup — at 100 TB a 5-doc fetch opens
+    |distinct buckets| <= 5 directories, never scans the corpus).
+
+    Bucket ids are re-derived with the same xxhash64 the writer used
+    (computed through Spark so the hash is bit-identical), then
+    plan_files output is filtered to those buckets and the usual
+    key filter applies on top.
+    """
+    manifest = read_manifest(table)
+    keyed = [b for b in manifest["batches"] if b.startswith("k")]
+    if not keyed:
+        raise ValueError(f"{table} has no keyed batches")
+    n_buckets = int(keyed[0].split("of")[1])
+    kdf = spark.createDataFrame([(k,) for k in keys], f"{key_col} bigint")
+    buckets = {
+        r[0]
+        for r in kdf.select(
+            F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets))
+        ).collect()
+    }
+
+    def _belongs(path: str, b: int) -> bool:
+        bid = f"k{b}of{n_buckets}"
+        for part in path.split(os.sep):
+            if part == f"batch={bid}" or part.startswith((f"batch={bid}_r", f"batch={bid}_m")):
+                return True
+        return False
+
+    files = [
+        f
+        for f in plan_files(table, as_of=as_of)
+        if any(_belongs(f["path"], b) for b in buckets)
+    ]
+    if not files:
+        raise ValueError(f"no committed data in {table} for those keys")
+    df = spark.read.option("mergeSchema", "true").parquet(*[f["path"] for f in files])
+    return df.join(F.broadcast(kdf), on=key_col, how="inner")
+
+
+def snapshot_diff(
+    spark: SparkSession,
+    table: str,
+    from_snapshot: int,
+    to_snapshot: int | None = None,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """What changed between two snapshots of a keyed table:
+    (key, change) with change in {inserted, deleted, updated}.
+    Reads both snapshots' live file sets (metadata-only planning) and
+    diffs relationally — full-row hash comparison for 'updated'."""
+    a = read_tiles(spark, table, as_of=from_snapshot)
+    b = read_tiles(spark, table, as_of=to_snapshot)
+    common = [c for c in a.columns if c in b.columns]
+    fp = lambda df: df.select(  # noqa: E731
+        key_col, F.md5(F.to_json(F.struct(*[F.col(c) for c in common]))).alias("fp")
+    )
+    fa, fb = fp(a), fp(b)
+    j = fa.alias("a").join(fb.alias("b"), on=key_col, how="full_outer")
+    change = (
+        F.when(F.col("a.fp").isNull(), F.lit("inserted"))
+        .when(F.col("b.fp").isNull(), F.lit("deleted"))
+        .when(F.col("a.fp") != F.col("b.fp"), F.lit("updated"))
+    )
+    return j.select(key_col, change.alias("change")).filter(F.col("change").isNotNull())
