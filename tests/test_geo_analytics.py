@@ -1,0 +1,161 @@
+"""Geo-analytics operators: OD flows (operators/sessions.od_flows),
+hotspot neighborhoods (operators/density.tile_hotspots), and
+marching-squares contouring (operators/map_algebra.dem_contour_cases) —
+hand-case semantics + plan-shape guards. sf0.01 cross-engine parity is
+covered by the registry sweep (test_oracle_parity.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+
+from versatiles_rs_spark.functions.raster import png_encode
+from versatiles_rs_spark.operators.density import tile_hotspots
+from versatiles_rs_spark.operators.map_algebra import MS_SEGMENTS, dem_contour_cases
+from versatiles_rs_spark.operators.sessions import od_flows
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _t(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def test_od_flows_hand_case(spark):
+    # z1 tiles: lon<0 -> x=0, lon>0 -> x=1; lat>0 -> y=0, lat<0 -> y=1
+    ev = spark.createDataFrame(
+        [
+            # user 1: (0,0) -> (1,0) -> (1,1): two trips
+            (1, 1, _t("2024-01-01T00:00:00"), -90.0, 40.0),
+            (2, 1, _t("2024-01-01T00:01:00"), 90.0, 40.0),
+            (3, 1, _t("2024-01-01T00:02:00"), 90.0, -40.0),
+            # user 2: same first hop (0,0) -> (1,0)
+            (4, 2, _t("2024-01-01T00:00:00"), -90.0, 40.0),
+            (5, 2, _t("2024-01-01T00:01:00"), 90.0, 40.0),
+            # user 3: single event, no trip
+            (6, 3, _t("2024-01-01T00:00:00"), 0.5, 0.5),
+        ],
+        "event_id bigint, user_id bigint, ts timestamp, lon double, lat double",
+    )
+    got = {
+        (r["ox"], r["oy"], r["dx"], r["dy"]): (r["n_trips"], r["n_users"])
+        for r in od_flows(ev, zoom=1).collect()
+    }
+    assert got == {(0, 0, 1, 0): (2, 2), (1, 0, 1, 1): (1, 1)}
+
+
+def test_od_flows_tiebreak_on_equal_ts(spark):
+    # two same-timestamp events order by event_id: trip must be 2 -> 7
+    ev = spark.createDataFrame(
+        [
+            (2, 1, _t("2024-01-01T00:00:00"), -90.0, 40.0),
+            (7, 1, _t("2024-01-01T00:00:00"), 90.0, -40.0),
+        ],
+        "event_id bigint, user_id bigint, ts timestamp, lon double, lat double",
+    )
+    rows = od_flows(ev, zoom=1).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["ox"], r["oy"], r["dx"], r["dy"]) == (0, 0, 1, 1)
+
+
+def test_tile_hotspots_hand_case(spark):
+    # 4 occupied tiles at z2; total_points=16, total_tiles=4 -> mean 4
+    counts = spark.createDataFrame(
+        [(0, 0, 9), (1, 0, 3), (0, 1, 3), (3, 3, 1)],
+        "x bigint, y bigint, n bigint",
+    )
+    got = {
+        (r["x"], r["y"]): (r["own_n"], r["neigh_n"], r["n_present"], r["hot"])
+        for r in tile_hotspots(counts, zoom=2, hot_mult=1).collect()
+    }
+    # (0,0): neighborhood = {(0,0),(1,0),(0,1)} (and (1,1) empty)
+    assert got[(0, 0)] == (9, 15, 3, 1)  # mean 5 >= 4 -> hot
+    assert got[(1, 0)] == (3, 15, 3, 1)
+    assert got[(3, 3)] == (1, 1, 1, 0)  # isolated: mean 1 < 4
+    assert set(got) == {(0, 0), (1, 0), (0, 1), (3, 3)}
+
+
+def test_tile_hotspots_plan_two_exchanges_no_python(spark):
+    counts = spark.createDataFrame(
+        [(0, 0, 9), (1, 0, 3)], "x bigint, y bigint, n bigint"
+    )
+    plan = _plan(tile_hotspots(counts, zoom=2))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def _tiles_from_raw(spark, raws: dict[tuple[int, int], np.ndarray]):
+    rows = []
+    for (x, y), raw in raws.items():
+        rgb = np.stack(
+            [(raw >> 16) & 255, (raw >> 8) & 255, raw & 255], axis=-1
+        ).astype(np.uint8)
+        rows.append((x, y, bytearray(png_encode(rgb))))
+    return spark.createDataFrame(rows, "x bigint, y bigint, tile binary")
+
+
+def test_dem_contours_hand_case_with_halos(spark):
+    # 2x2 tiles of 2px; global raw = 10*(gx + gy) so level 25 cuts the
+    # anti-diagonal. Cells exist for gx,gy in 0..2 (3x3 cells).
+    t = 2
+
+    def raw(x, y):
+        gx = np.arange(x * t, (x + 1) * t, dtype=np.int64)
+        gy = np.arange(y * t, (y + 1) * t, dtype=np.int64)
+        return 10 * (gx[None, :] + gy[:, None])
+
+    tiles = _tiles_from_raw(
+        spark, {(x, y): raw(x, y) for x in (0, 1) for y in (0, 1)}
+    )
+    got = {
+        (r["x"], r["y"], r["ms_case"]): r["n"]
+        for r in dem_contour_cases(tiles, t, level=25).collect()
+    }
+    # expected cases per cell, bit 8=TL 4=TR 2=BL 1=BR, corner sums
+    # f(gx,gy)=10(gx+gy) vs 25: cell(gx,gy) corners (gx+gy, +1, +1, +2)*10
+    exp = {}
+    for gy in range(3):
+        for gx in range(3):
+            b = lambda v: 1 if 10 * v >= 25 else 0
+            case = (
+                8 * b(gx + gy) + 4 * b(gx + 1 + gy) + 2 * b(gx + gy + 1)
+                + 1 * b(gx + gy + 2)
+            )
+            key = (gx // t, gy // t, case)
+            exp[key] = exp.get(key, 0) + 1
+    assert got == exp
+    # the cross-tile cells actually exercised halos: tile (0,0)'s cell
+    # (1,1) needs hc+hr+hd, its cells (1,0)/(0,1) need hc/hr
+    assert (0, 0, 1) in got  # cell(1,1): only BR=40 >= 25 via diagonal halo
+
+
+def test_dem_contours_world_edge_excluded(spark):
+    # single 2px tile, no neighbors: only cell (0,0) computable
+    t = 2
+    raw = np.array([[0, 10], [10, 30]], dtype=np.int64)
+    tiles = _tiles_from_raw(spark, {(0, 0): raw})
+    got = {
+        (r["x"], r["y"], r["ms_case"]): r["n"]
+        for r in dem_contour_cases(tiles, t, level=25).collect()
+    }
+    assert got == {(0, 0, 1): 1}  # only BR=30 >= 25; edge cells excluded
+
+
+def test_dem_contours_plan_single_exchange(spark):
+    t = 2
+    raw = np.zeros((2, 2), dtype=np.int64)
+    tiles = _tiles_from_raw(spark, {(0, 0): raw})
+    plan = _plan(dem_contour_cases(tiles, t, level=25))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_ms_segments_lookup():
+    assert len(MS_SEGMENTS) == 16
+    assert MS_SEGMENTS[0] == 0 and MS_SEGMENTS[15] == 0
+    assert MS_SEGMENTS[6] == 2 and MS_SEGMENTS[9] == 2  # saddles TR+BL / TL+BR
+    assert sum(MS_SEGMENTS) == 16

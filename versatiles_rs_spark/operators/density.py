@@ -77,3 +77,74 @@ def density_tiles(bins: DataFrame, tile_px: int = 64) -> DataFrame:
         render,
         "x bigint, y bigint, tile binary, n_points bigint, occupied_px bigint, max_bin bigint",
     )
+
+
+def tile_hotspots(counts: DataFrame, zoom: int, hot_mult: int = 3) -> DataFrame:
+    """Getis-Ord-style hotspot detection over per-tile counts: each
+    occupied tile's 3x3 neighborhood sum vs the global mean. Input:
+    (x, y, n) per-tile counts at ``zoom``. Output per occupied tile:
+    (x, y, own_n, neigh_n, n_present, hot) where neigh_n sums the
+    neighborhood's counts (absent tiles contribute 0), n_present counts
+    occupied neighborhood tiles, and hot = 1 iff the neighborhood MEAN
+    over its present tiles is >= hot_mult x the global mean per occupied
+    tile — compared by exact integer cross-multiplication
+    (neigh_n * total_tiles >= hot_mult * n_present * total_points), so
+    no float division enters the verdict.
+
+    Scale shape: the event log collapses to per-tile counts BEFORE any
+    neighbor logic (map-side-combined agg), then each count row emits 9
+    addressed copies — the shuffled volume is 9x the AGGREGATED table
+    (bounded by 4^zoom), never 9x the points. Global totals are a
+    1-row aggregate broadcast into the comparison. Two exchanges total,
+    both over tile-cardinality data; zero Python.
+    """
+    size = 1 << zoom
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    addressed = (
+        counts.select("x", "y", "n", F.explode(offsets).alias("o"))
+        .select(
+            (F.col("x") + F.col("o.dx")).alias("tx"),
+            (F.col("y") + F.col("o.dy")).alias("ty"),
+            "n",
+            ((F.col("o.dx") == 0) & (F.col("o.dy") == 0)).cast("int").alias("self"),
+        )
+        .filter(
+            (F.col("tx") >= 0) & (F.col("tx") < size)
+            & (F.col("ty") >= 0) & (F.col("ty") < size)
+        )
+    )
+    hood = (
+        addressed.groupBy("tx", "ty")
+        .agg(
+            F.sum("n").alias("neigh_n"),
+            F.count("*").alias("n_present"),
+            F.max(F.col("self") * F.col("n")).alias("own_n"),
+            F.sum("self").alias("has_self"),
+        )
+        .filter(F.col("has_self") == 1)
+    )
+    totals = counts.agg(
+        F.sum("n").alias("total_points"), F.count("*").alias("total_tiles")
+    )
+    return (
+        hood.crossJoin(F.broadcast(totals))
+        .select(
+            F.col("tx").alias("x"),
+            F.col("ty").alias("y"),
+            "own_n",
+            "neigh_n",
+            "n_present",
+            (
+                F.col("neigh_n") * F.col("total_tiles")
+                >= F.lit(hot_mult) * F.col("n_present") * F.col("total_points")
+            )
+            .cast("int")
+            .alias("hot"),
+        )
+    )

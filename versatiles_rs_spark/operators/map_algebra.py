@@ -116,3 +116,110 @@ def dem_slope_stats(tiles: DataFrame, tile_px: int) -> DataFrame:
         )
 
     return allrows.groupBy("x", "y").applyInPandas(per_tile, _SLOPE)
+
+
+_CONTOUR = StructType(
+    [
+        StructField("x", LongType()),
+        StructField("y", LongType()),
+        StructField("ms_case", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+#: segments emitted per marching-squares case under THIS module's bit
+#: convention (8=TL, 4=TR, 2=BL, 1=BR): opposite-corner saddles are
+#: cases 6 (TR+BL) and 9 (TL+BR) and emit two segments
+MS_SEGMENTS = (0, 1, 1, 1, 1, 1, 2, 1, 1, 2, 1, 1, 1, 1, 1, 0)
+
+
+def dem_contour_cases(tiles: DataFrame, tile_px: int, level: int) -> DataFrame:
+    """Marching-squares contour extraction over a DEM tile level: every
+    2x2 pixel cell gets its 4-bit case for the iso-level ``level``
+    (bit 8 = top-left corner >= level, 4 = top-right, 2 = bottom-left,
+    1 = bottom-right; rows = +y, cols = +x in global pixel coords), and
+    cases count per owning tile: (x, y, ms_case, n). A cell belongs to
+    the tile owning its top-left pixel; cells whose right/bottom corner
+    pixels live in a neighbor tile use HALO strips, and cells whose
+    neighbor tile is absent (world edge) are excluded — the same
+    global-domain rule as dem_slope_stats. Segment geometry per case is
+    the standard lookup (MS_SEGMENTS); per-case counts are the stronger
+    attestation, so that's what the operator returns.
+
+    Raster→vector parity direction: the reference rasterizes vectors
+    (versatiles_geometry); contouring is the inverse op a DEM pipeline
+    needs (elevation lines from terrain tiles).
+
+    Plan: ONE mapInPandas pass decodes each tile once and emits its own
+    payload plus three addressed strips — first column → (x-1, y), first
+    row → (x, y-1), corner pixel → (x-1, y-1); strips are raw int64
+    bytes (1/tile_px of the tile), so the single hash exchange on (x, y)
+    moves tiles + ~2/tile_px extra. The case math is executor-local
+    numpy over the (t+1)x(t+1) extended array.
+    """
+    t = tile_px
+
+    def emit(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list] = {"x": [], "y": [], "kind": [], "payload": []}
+
+            def put(x: int, y: int, kind: str, payload: bytes) -> None:
+                if x < 0 or y < 0:
+                    return
+                rows["x"].append(x)
+                rows["y"].append(y)
+                rows["kind"].append(kind)
+                rows["payload"].append(payload)
+
+            for r in pdf.itertuples(index=False):
+                raw = _raw(bytes(r.tile))
+                put(r.x, r.y, "tile", bytes(r.tile))
+                put(r.x - 1, r.y, "hc", raw[:, 0].astype("<i8").tobytes())
+                put(r.x, r.y - 1, "hr", raw[0, :].astype("<i8").tobytes())
+                put(r.x - 1, r.y - 1, "hd", raw[0:1, 0].astype("<i8").tobytes())
+            yield pd.DataFrame(rows)
+
+    allrows = tiles.mapInPandas(emit, "x bigint, y bigint, kind string, payload binary")
+
+    def per_tile(pdf: pd.DataFrame) -> pd.DataFrame:
+        tile_rows = pdf[pdf["kind"] == "tile"]
+        if not len(tile_rows):
+            return pd.DataFrame({f.name: [] for f in _CONTOUR.fields}).astype("int64")
+        x = int(tile_rows["x"].iloc[0])
+        y = int(tile_rows["y"].iloc[0])
+        raw = _raw(bytes(tile_rows["payload"].iloc[0]))
+        ext = np.zeros((t + 1, t + 1), dtype=np.int64)
+        ext[:t, :t] = raw
+        by_kind = {k: g["payload"].iloc[0] for k, g in pdf.groupby("kind")}
+        has_c = "hc" in by_kind
+        has_r = "hr" in by_kind
+        has_d = "hd" in by_kind
+        if has_c:
+            ext[:t, t] = np.frombuffer(bytes(by_kind["hc"]), dtype="<i8")
+        if has_r:
+            ext[t, :t] = np.frombuffer(bytes(by_kind["hr"]), dtype="<i8")
+        if has_d:
+            ext[t, t] = np.frombuffer(bytes(by_kind["hd"]), dtype="<i8")[0]
+        ncx = t if has_c else t - 1
+        ncy = t if has_r else t - 1
+        b = (ext >= level).astype(np.int64)
+        case = (
+            8 * b[:-1, :-1] + 4 * b[:-1, 1:] + 2 * b[1:, :-1] + 1 * b[1:, 1:]
+        )[:ncy, :ncx]
+        if has_c and has_r and not has_d:
+            # the corner cell's bottom-right pixel has no source tile
+            case = case.copy()
+            case[ncy - 1, ncx - 1] = -1
+        flat = case[case >= 0]
+        cnt = np.bincount(flat, minlength=16)
+        present = np.nonzero(cnt)[0]
+        return pd.DataFrame(
+            {
+                "x": np.full(len(present), x, dtype=np.int64),
+                "y": np.full(len(present), y, dtype=np.int64),
+                "ms_case": present.astype(np.int64),
+                "n": cnt[present].astype(np.int64),
+            }
+        )
+
+    return allrows.groupBy("x", "y").applyInPandas(per_tile, _CONTOUR)

@@ -20,6 +20,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from versatiles_rs_spark.tile_math.coords import lonlat_to_tile_cols
+
 
 def sessionize(
     events: DataFrame,
@@ -147,4 +149,53 @@ def retention_cohorts(
         .select("u", "cohort_day", (F.col("day") - F.col("cohort_day")).alias("offset_days"))
         .groupBy("cohort_day", "offset_days")
         .agg(F.count_distinct("u").alias("n_users"))
+    )
+
+
+def od_flows(
+    events: DataFrame,
+    zoom: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """Origin-destination flow matrix: consecutive events of the same
+    user become a trip from the tile cell of the earlier event to the
+    tile cell of the later one (time order, ties on ``order_tiebreak``);
+    flows aggregate trips per (origin, destination) cell pair at
+    ``zoom``. Output: (ox, oy, dx, dy, n_trips, n_users).
+
+    The mobility-analytics staple (commute matrices, migration flows) —
+    reference parity: VersaTiles has the tile grid
+    (versatiles_core/src/types/tile_coords.rs) but no event analytics;
+    this extends the engine's grid to movement data.
+
+    Scale shape: ONE hash exchange on the user key for the lag window
+    (the natural partitioner — skew bounded by per-user event counts),
+    then ONE map-side-combined aggregation on the OD key whose
+    cardinality is bounded by 4^(2*zoom), not the event log. Cell
+    assignment is pure Column math inside codegen; no Python anywhere.
+    """
+    x, y = lonlat_to_tile_cols(F.col(lon_col), F.col(lat_col), zoom)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    cells = events.select(
+        F.col(user_col).alias("u"),
+        us.alias("us"),
+        F.col(order_tiebreak).alias("tb"),
+        x.alias("cx"),
+        y.alias("cy"),
+    )
+    w = Window.partitionBy("u").orderBy(F.col("us").asc(), F.col("tb").asc())
+    trips = cells.select(
+        "u",
+        F.lag("cx").over(w).alias("ox"),
+        F.lag("cy").over(w).alias("oy"),
+        F.col("cx").alias("dx"),
+        F.col("cy").alias("dy"),
+    ).filter(F.col("ox").isNotNull())
+    return trips.groupBy("ox", "oy", "dx", "dy").agg(
+        F.count("*").alias("n_trips"),
+        F.count_distinct("u").alias("n_users"),
     )

@@ -14,6 +14,8 @@ from versatiles_rs_spark.queries._shared import (
     LAT_SQL,
     LON_SQL,
     _docs_geo,
+    _events_geo,
+    _tile_sql,
 )
 
 # ---------------------------------------------------------------------------
@@ -539,4 +541,105 @@ WITH g AS (
 )
 SELECT x, y, sum(n) AS n_points, count(*) AS occupied_px, max(n) AS max_bin
 FROM b GROUP BY 1, 2
+"""
+
+
+def q_tile_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Getis-Ord-style hotspot detection (operators/density.tile_hotspots):
+    per-tile event counts at z6, each occupied tile's 3x3 neighborhood
+    sum/present-count, hot = neighborhood mean >= global mean by exact
+    integer cross-multiplication. Two exchanges over tile-cardinality
+    data; oracle brute-forces the neighborhood self-join."""
+    from versatiles_rs_spark.operators.convert import assign_tiles
+    from versatiles_rs_spark.operators.density import tile_hotspots
+
+    assigned = assign_tiles(_events_geo(spark, sf_dir), 6, 6)
+    counts = assigned.groupBy("x", "y").agg(F.count("*").alias("n"))
+    return tile_hotspots(counts, zoom=6, hot_mult=1)
+
+
+O_TILE_HOTSPOTS = f"""
+WITH pts AS (
+  SELECT event_id, {LON_SQL.format(id="event_id")} AS lon, {LAT_SQL.format(id="event_id")} AS lat
+  FROM events
+), c AS (
+  SELECT {_tile_sql("x", z="6")} AS x, {_tile_sql("y", z="6")} AS y, count(*) AS n
+  FROM pts GROUP BY 1, 2
+), tot AS (SELECT sum(n) AS s, count(*) AS t FROM c),
+hood AS (
+  SELECT a.x, a.y,
+         max(CASE WHEN b.x = a.x AND b.y = a.y THEN b.n END) AS own_n,
+         sum(b.n) AS neigh_n, count(*) AS n_present
+  FROM c a JOIN c b ON abs(a.x - b.x) <= 1 AND abs(a.y - b.y) <= 1
+  GROUP BY 1, 2
+)
+SELECT h.x, h.y, h.own_n, h.neigh_n, h.n_present,
+       CAST(h.neigh_n * tot.t >= h.n_present * tot.s AS INT) AS hot
+FROM hood h, tot
+"""
+
+
+def q_dem_contours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marching-squares contouring (operators/map_algebra.dem_contour_cases)
+    over a centered elliptic 32x32 DEM level (raw = (gx-1023)^2 +
+    2*(gy-1023)^2, real PNG bytes through the real decoder) at iso-level
+    9e5 — per-tile counts of every 4-bit case. The surface is non-monotone
+    in both axes and the full iso-ellipse fits inside the raster
+    (semi-axes 949 x 671 < 1024), so all 14 non-saddle cases occur —
+    saddles (6/9) are impossible on a convex paraboloid, and a monotone
+    ramp would collapse to 6 cases. Cells straddling tile borders need the right/
+    bottom/diagonal neighbor's strips, so a missing or misaligned halo
+    (including the single corner pixel) shifts case counts. The oracle
+    recomputes every cell's corner predicate from the closed form."""
+    import numpy as np
+    import pandas as pd
+
+    from versatiles_rs_spark.functions.raster import png_encode
+    from versatiles_rs_spark.operators.map_algebra import dem_contour_cases
+
+    t = 64
+
+    base = spark.range(32 * 32).select(
+        F.expr("id div 32").alias("x"), (F.col("id") % 32).alias("y")
+    )
+
+    def gen(it):
+        for pdf in it:
+            rows = {"x": [], "y": [], "tile": []}
+            for r in pdf.itertuples(index=False):
+                gx = np.arange(r.x * t, (r.x + 1) * t, dtype=np.int64)
+                gy = np.arange(r.y * t, (r.y + 1) * t, dtype=np.int64)
+                raw = (gx[None, :] - 1023) ** 2 + 2 * (gy[:, None] - 1023) ** 2
+                rgb = np.stack(
+                    [(raw >> 16) & 255, (raw >> 8) & 255, raw & 255], axis=-1
+                ).astype(np.uint8)
+                rows["x"].append(r.x)
+                rows["y"].append(r.y)
+                rows["tile"].append(png_encode(rgb))
+            yield pd.DataFrame(rows)
+
+    tiles = base.repartition(8).mapInPandas(gen, "x bigint, y bigint, tile binary")
+    return dem_contour_cases(tiles, t, level=900_000).orderBy("x", "y", "ms_case")
+
+
+O_DEM_CONTOURS = """
+WITH cells AS (
+  SELECT a.i AS gx, b.i AS gy
+  FROM generate_series(0, 2046) a(i) CROSS JOIN generate_series(0, 2046) b(i)
+), v AS (
+  SELECT gx, gy, (gx-1023)*(gx-1023) + 2*(gy-1023)*(gy-1023) AS v00,
+         (gx-1022)*(gx-1022) + 2*(gy-1023)*(gy-1023) AS v10,
+         (gx-1023)*(gx-1023) + 2*(gy-1022)*(gy-1022) AS v01,
+         (gx-1022)*(gx-1022) + 2*(gy-1022)*(gy-1022) AS v11
+  FROM cells
+), c AS (
+  SELECT gx // 64 AS x, gy // 64 AS y,
+    (CASE WHEN v00 >= 900000 THEN 8 ELSE 0 END)
+    + (CASE WHEN v10 >= 900000 THEN 4 ELSE 0 END)
+    + (CASE WHEN v01 >= 900000 THEN 2 ELSE 0 END)
+    + (CASE WHEN v11 >= 900000 THEN 1 ELSE 0 END) AS ms_case
+  FROM v
+)
+SELECT x, y, CAST(ms_case AS BIGINT) AS ms_case, count(*) AS n
+FROM c GROUP BY 1, 2, 3
 """

@@ -281,3 +281,40 @@ SELECT f.cohort_day, d.day - f.cohort_day AS offset_days,
 FROM d JOIN first f ON f.u = d.u
 GROUP BY 1, 2
 """
+
+
+def q_od_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Origin-destination flows (operators/sessions.od_flows): consecutive
+    events of a user become trips between z6 tile cells; one user-key
+    window + one OD-key aggregation (bounded by 4^12, not the log).
+    Oracle is the identical lag-window spec."""
+    from versatiles_rs_spark.operators.sessions import od_flows
+    from versatiles_rs_spark.queries._shared import _events_geo
+
+    return od_flows(_events_geo(spark, sf_dir), zoom=6)
+
+
+def _od_flows_oracle() -> str:
+    from versatiles_rs_spark.queries._shared import LAT_SQL, LON_SQL, _tile_sql
+
+    return f"""
+WITH pts AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us,
+         {LON_SQL.format(id="event_id")} AS lon, {LAT_SQL.format(id="event_id")} AS lat
+  FROM events
+), cells AS (
+  SELECT user_id, us, event_id,
+         {_tile_sql("x", z="6")} AS cx, {_tile_sql("y", z="6")} AS cy
+  FROM pts
+), trips AS (
+  SELECT user_id, lag(cx) OVER w AS ox, lag(cy) OVER w AS oy,
+         cx AS dx, cy AS dy
+  FROM cells
+  WINDOW w AS (PARTITION BY user_id ORDER BY us ASC, event_id ASC)
+)
+SELECT ox, oy, dx, dy, count(*) AS n_trips, count(DISTINCT user_id) AS n_users
+FROM trips WHERE ox IS NOT NULL GROUP BY 1, 2, 3, 4
+"""
+
+
+O_OD_FLOWS = _od_flows_oracle()
