@@ -569,7 +569,7 @@ WITH pts AS (
 hood AS (
   SELECT a.x, a.y,
          max(CASE WHEN b.x = a.x AND b.y = a.y THEN b.n END) AS own_n,
-         sum(b.n) AS neigh_n, count(*) AS n_present
+         CAST(sum(b.n) AS BIGINT) AS neigh_n, count(*) AS n_present
   FROM c a JOIN c b ON abs(a.x - b.x) <= 1 AND abs(a.y - b.y) <= 1
   GROUP BY 1, 2
 )
