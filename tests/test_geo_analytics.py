@@ -159,3 +159,49 @@ def test_ms_segments_lookup():
     assert MS_SEGMENTS[0] == 0 and MS_SEGMENTS[15] == 0
     assert MS_SEGMENTS[6] == 2 and MS_SEGMENTS[9] == 2  # saddles TR+BL / TL+BR
     assert sum(MS_SEGMENTS) == 16
+
+
+def test_map_match_hand_case(spark):
+    from versatiles_rs_spark.spatial.mapmatch import snap_to_segments
+
+    # two horizontal segments of length 10: seg0 y=0 x[0,10]; seg1 y=8 x[0,10]
+    seg = np.array([(0, 0, 0, 10, 0), (1, 0, 8, 10, 0)], dtype=np.int64)
+    pts = spark.createDataFrame(
+        [
+            (1, 5, 3),    # above seg0 interior: dist2=9 -> S=900
+            (2, -3, 0),   # left of seg0 start: clamp to a, dist2=9 -> S=900
+            (3, 14, 8),   # right of seg1 end: dist2=16 -> S=1600
+            (4, 5, 4),    # equidistant (dist2=16 both): tie -> seg 0
+        ],
+        "event_id bigint, qx bigint, qy bigint",
+    )
+    got = {
+        r["event_id"]: (r["seg_id"], r["s_scaled"])
+        for r in snap_to_segments(pts, seg, d_sq=100).collect()
+    }
+    assert got == {1: (0, 900), 2: (0, 900), 3: (1, 1600), 4: (0, 1600)}
+
+
+def test_map_match_rejects_bad_network(spark):
+    import pytest
+
+    from versatiles_rs_spark.spatial.mapmatch import snap_to_segments
+
+    pts = spark.createDataFrame([(1, 0, 0)], "event_id bigint, qx bigint, qy bigint")
+    with pytest.raises(ValueError, match="squared length"):
+        snap_to_segments(pts, np.array([(0, 0, 0, 3, 0)], dtype=np.int64), d_sq=100)
+    with pytest.raises(ValueError, match="sorted"):
+        snap_to_segments(
+            pts,
+            np.array([(1, 0, 0, 10, 0), (0, 0, 8, 10, 0)], dtype=np.int64),
+            d_sq=100,
+        )
+
+
+def test_map_match_plan_no_shuffle(spark):
+    from versatiles_rs_spark.spatial.mapmatch import snap_to_segments
+
+    seg = np.array([(0, 0, 0, 10, 0)], dtype=np.int64)
+    pts = spark.createDataFrame([(1, 5, 3)], "event_id bigint, qx bigint, qy bigint")
+    plan = _plan(snap_to_segments(pts, seg, d_sq=100))
+    assert "Exchange" not in plan

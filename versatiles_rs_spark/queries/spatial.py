@@ -643,3 +643,63 @@ WITH cells AS (
 SELECT x, y, CAST(ms_case AS BIGINT) AS ms_case, count(*) AS n
 FROM c GROUP BY 1, 2, 3
 """
+
+
+def q_map_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map matching (spatial/mapmatch.py): every event snaps to the
+    nearest of 200 equal-length road segments by EXACT integer
+    point-to-segment distance (millidegree coords, common squared length
+    D=4e6, scaled distance S = D*|w|^2 - c*(2*w.v - c) with c =
+    clamp(w.v, 0, D) — no division anywhere). Broadcast segment matrix +
+    one mapInPandas argmin pass; ties -> lowest seg_id. Oracle
+    brute-forces the identical algebra with a windowed cross join."""
+    import numpy as np
+
+    from versatiles_rs_spark.spatial.mapmatch import snap_to_segments
+
+    L = 2000
+    seg = np.array(
+        [
+            (
+                i,
+                (i * 97) % 340_000 - 170_000,
+                (i * 61) % 150_000 - 75_000,
+                L if i % 2 == 0 else 0,
+                0 if i % 2 == 0 else L,
+            )
+            for i in range(200)
+        ],
+        dtype=np.int64,
+    )
+    pts = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id",
+        ((F.col("event_id") * F.lit(2654435761)) % F.lit(360_000) - F.lit(180_000)).alias("qx"),
+        ((F.col("event_id") * F.lit(2246822519)) % F.lit(170_000) - F.lit(85_000)).alias("qy"),
+    )
+    return snap_to_segments(pts, seg, d_sq=L * L)
+
+
+O_MAP_MATCH = """
+WITH seg AS (
+  SELECT i AS seg_id, (i*97) % 340000 - 170000 AS ax, (i*61) % 150000 - 75000 AS ay,
+         CASE WHEN i % 2 = 0 THEN 2000 ELSE 0 END AS vx,
+         CASE WHEN i % 2 = 0 THEN 0 ELSE 2000 END AS vy
+  FROM generate_series(0, 199) s(i)
+), p AS (
+  SELECT event_id, (event_id * 2654435761) % 360000 - 180000 AS qx,
+         (event_id * 2246822519) % 170000 - 85000 AS qy
+  FROM events
+), scored AS (
+  SELECT p.event_id, seg.seg_id,
+    4000000 * ((qx-ax)*(qx-ax) + (qy-ay)*(qy-ay))
+      - LEAST(GREATEST((qx-ax)*vx + (qy-ay)*vy, 0), 4000000)
+        * (2*((qx-ax)*vx + (qy-ay)*vy)
+           - LEAST(GREATEST((qx-ax)*vx + (qy-ay)*vy, 0), 4000000)) AS s
+  FROM p CROSS JOIN seg
+), r AS (
+  SELECT event_id, seg_id, s,
+         row_number() OVER (PARTITION BY event_id ORDER BY s ASC, seg_id ASC) AS rn
+  FROM scored
+)
+SELECT event_id, seg_id, CAST(s AS BIGINT) AS s_scaled FROM r WHERE rn = 1
+"""
