@@ -45,3 +45,41 @@ def test_reference_docs_score_best(spark):
     uni, bi, vocab = train_bigram_lm(docs.where("doc_id <= 2"))
     got = {r["doc_id"]: r["ppl"] for r in perplexity(docs, uni, bi, vocab).collect()}
     assert max(got[1], got[2], got[3]) < got[4]
+
+
+def test_kn_perplexity_hand_computed(spark):
+    from versatiles_rs_spark.pages.lm import kn_perplexity, train_kn_lm
+
+    docs = _corpus(spark)
+    ref = docs.where("doc_id <= 2")
+    bi, ctx, cont, t, v_cont = train_kn_lm(ref)
+    # ref bigrams: (the,cat) c2=2; (cat,sat) c2=1; (cat,ran) c2=1
+    assert t == 3 and v_cont == 3  # types; continuations {cat, sat, ran}
+    got = {r["doc_id"]: r for r in kn_perplexity(docs, bi, ctx, cont, t, v_cont).collect()}
+
+    d, k = 0.75, 1.0 / 64.0
+    denom = t + k * (v_cont + 1)
+
+    def pc(n1b):
+        return (n1b + k) / denom
+
+    # doc 3 "the cat sat": (the,cat): c1=2 n1f=1; (cat,sat): c1=2 n1f=2
+    p1 = (2 - d) / 2 + d * 1 / 2 * pc(1)   # n1b(cat)=1
+    p2 = (1 - d) / 2 + d * 2 / 2 * pc(1)   # n1b(sat)=1
+    want3 = round(math.exp(-(math.log(p1) + math.log(p2)) / 2), 6)
+    assert got[3]["ppl"] == pytest.approx(want3)
+
+    # doc 4 fully OOV: both transitions back off to the continuation floor
+    p_oov = pc(0)
+    want4 = round(math.exp(-math.log(p_oov)), 6)
+    assert got[4]["ppl"] == pytest.approx(want4)
+
+    # discount mass conservation: sum_w2 P(w2 | 'cat') over the seen
+    # continuations + OOV floor mass stays <= 1 (proper distribution)
+    p_sat = (1 - d) / 2 + d * 2 / 2 * pc(1)
+    p_ran = (1 - d) / 2 + d * 2 / 2 * pc(1)
+    p_cat = 0 / 2 + d * 2 / 2 * pc(1)  # unseen continuation of 'cat'
+    assert p_sat + p_ran + p_cat < 1.0
+
+    # KN separates in-domain from OOV text like the add-k model does
+    assert got[3]["ppl"] < got[4]["ppl"] / 2

@@ -119,3 +119,121 @@ LEFT JOIN bi b ON f.w1 = b.w1 AND f.w2 = b.w2
 LEFT JOIN uni u ON f.w1 = u.w1
 GROUP BY f.doc_id
 """
+
+
+def train_kn_lm(ref: DataFrame, text_col: str = "text"):
+    """Interpolated Kneser-Ney tables from a reference slice (Kneser &
+    Ney 1995; Chen & Goodman 1999 — the standard n-gram smoothing):
+
+    - ctx:   c1(w1)  = bigram-context count (sum of c2 over w2)
+             n1f(w1) = distinct continuations N1+(w1, .)
+    - bi:    c2(w1, w2)
+    - cont:  n1b(w2) = distinct histories N1+(., w2)
+    - t:     total distinct bigram types; v_cont: distinct w2 types
+
+    All five are two hash aggregations over the exploded bigrams —
+    the same relational shape as train_bigram_lm, one extra rollup.
+    """
+    bi = (
+        _doc_bigrams(ref, text_col)
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c2"))
+    )
+    ctx = bi.groupBy("w1").agg(
+        F.sum("c2").alias("c1"), F.count("*").alias("n1f")
+    )
+    cont = bi.groupBy("w2").agg(F.count("*").alias("n1b"))
+    totals = bi.agg(
+        F.count("*").alias("t"), F.count_distinct("w2").alias("v_cont")
+    ).collect()[0]
+    return bi, ctx, cont, int(totals["t"]), int(totals["v_cont"])
+
+
+def kn_perplexity(
+    docs: DataFrame,
+    bi: DataFrame,
+    ctx: DataFrame,
+    cont: DataFrame,
+    n_types: int,
+    v_cont: int,
+    discount: float = 0.75,
+    k: float = 1.0 / 64.0,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_bigrams, ppl) under interpolated Kneser-Ney:
+
+    P(w2|w1) = max(c2 - d, 0)/c1 + d*n1f(w1)/c1 * Pc(w2)   if c1 > 0
+             = Pc(w2)                                       otherwise
+    Pc(w2)   = (n1b(w2) + k) / (T + k*(Vc + 1))
+
+    d = 3/4 and k = 1/64 are dyadic, so the rationals are float-exact
+    before the ln; the continuation floor k gives OOV w2 nonzero mass
+    (the uniform add-k role in the add-k model).
+    """
+    grams = _doc_bigrams(docs, text_col)
+    pc = (F.coalesce(F.col("n1b"), F.lit(0)) + F.lit(k)) / F.lit(
+        n_types + k * (v_cont + 1)
+    )
+    seen = F.col("c1").isNotNull()
+    p = F.when(
+        seen,
+        F.greatest(F.coalesce(F.col("c2"), F.lit(0)) - F.lit(discount), F.lit(0.0))
+        / F.col("c1")
+        + F.lit(discount) * F.col("n1f") / F.col("c1") * pc,
+    ).otherwise(pc)
+    joined = (
+        grams.join(F.broadcast(bi), ["w1", "w2"], "left")
+        .join(F.broadcast(ctx), ["w1"], "left")
+        .join(F.broadcast(cont), ["w2"], "left")
+        .withColumn("lp", F.log(p))
+    )
+    return joined.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        F.round(F.exp(-F.sum("lp") / F.count("*")), 6).alias("ppl"),
+    )
+
+
+def kn_perplexity_sql(ref_pred: str, discount: float = 0.75, k: float = 1.0 / 64.0) -> str:
+    """The identical KN train+score pipeline as DuckDB SQL over
+    ``documents``; ``ref_pred`` selects the reference slice."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '),
+                     x -> x != '') AS l
+  FROM documents
+), grams AS (
+  SELECT doc_id, unnest(CASE WHEN len(l) < 2 THEN []
+                             ELSE list_transform(range(1, len(l)),
+                                  i -> {{'w1': l[i], 'w2': l[i + 1]}})
+                        END) AS g
+  FROM toks
+), flat AS (
+  SELECT doc_id, g.w1 AS w1, g.w2 AS w2 FROM grams
+), bi AS (
+  SELECT w1, w2, count(*) AS c2 FROM flat WHERE {ref_pred} GROUP BY 1, 2
+), ctx AS (
+  SELECT w1, sum(c2) AS c1, count(*) AS n1f FROM bi GROUP BY 1
+), cont AS (
+  SELECT w2, count(*) AS n1b FROM bi GROUP BY 1
+), tot AS (
+  SELECT count(*) AS t, count(DISTINCT w2) AS v_cont FROM bi
+)
+SELECT f.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(exp(-sum(ln(
+         CASE WHEN x.c1 IS NOT NULL THEN
+           greatest(coalesce(b.c2, 0) - {discount}, 0.0) / x.c1
+           + {discount} * x.n1f / x.c1
+             * ((coalesce(n.n1b, 0) + {k})
+                / ((SELECT t FROM tot) + {k} * ((SELECT v_cont FROM tot) + 1)))
+         ELSE
+           (coalesce(n.n1b, 0) + {k})
+           / ((SELECT t FROM tot) + {k} * ((SELECT v_cont FROM tot) + 1))
+         END)) / count(*)), 6) AS ppl
+FROM flat f
+LEFT JOIN bi b ON f.w1 = b.w1 AND f.w2 = b.w2
+LEFT JOIN ctx x ON f.w1 = x.w1
+LEFT JOIN cont n ON f.w2 = n.w2
+GROUP BY f.doc_id
+"""

@@ -1199,3 +1199,29 @@ SELECT doc_id, skey // 67108864 AS shard,
                                ORDER BY skey, doc_id) AS BIGINT) AS pos
 FROM k
 """
+
+
+def q_lm_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney perplexity (pages/lm.py train_kn_lm /
+    kn_perplexity): the standard n-gram smoothing (Kneser-Ney 1995;
+    Chen & Goodman 1999) next to the add-k model — absolute discount
+    d=3/4 off seen bigrams, discount mass re-spent on the CONTINUATION
+    distribution N1+(., w2)/T (how many contexts a word follows, not how
+    often it occurs). Same relational shape: three hash aggregations to
+    train, three broadcast joins + one doc-keyed agg to score. The
+    oracle retrains and rescores entirely in SQL."""
+    from versatiles_rs_spark.pages.lm import kn_perplexity, train_kn_lm
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ref = docs.where(F.col("doc_id") % _LM_REF_MOD == 0)
+    bi, ctx, cont, t, v_cont = train_kn_lm(ref)
+    return kn_perplexity(docs, bi, ctx, cont, t, v_cont)
+
+
+def _o_lm_kneser_ney() -> str:
+    from versatiles_rs_spark.pages.lm import kn_perplexity_sql
+
+    return kn_perplexity_sql(f"doc_id % {_LM_REF_MOD} = 0")
+
+
+O_LM_KNESER_NEY = _o_lm_kneser_ney()
