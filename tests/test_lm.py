@@ -83,3 +83,45 @@ def test_kn_perplexity_hand_computed(spark):
 
     # KN separates in-domain from OOV text like the add-k model does
     assert got[3]["ppl"] < got[4]["ppl"] / 2
+
+
+def test_phrase_search_hand_case(spark):
+    from versatiles_rs_spark.pages.retrieval import phrase_search
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                (1, "a b c a b"),      # "a b" twice, positions 1 and 4
+                (2, "b a b a"),        # once at 2
+                (3, "a a a"),          # repeated word: "a a" at 1 and 2
+                (4, "b b c"),          # no match for "a b"
+                (5, "a"),              # too short
+            ],
+            columns=["doc_id", "text"],
+        )
+    )
+    got = {
+        r["doc_id"]: (r["n_matches"], r["first_pos"])
+        for r in phrase_search(docs, ["a", "b"]).collect()
+    }
+    assert got == {1: (2, 1), 2: (1, 2)}
+
+    rep = {
+        r["doc_id"]: (r["n_matches"], r["first_pos"])
+        for r in phrase_search(docs, ["a", "a"]).collect()
+    }
+    assert rep == {3: (2, 1)}  # overlapping anchors both count
+
+    three = {
+        r["doc_id"]: (r["n_matches"], r["first_pos"])
+        for r in phrase_search(docs, ["a", "b", "c"]).collect()
+    }
+    assert three == {1: (1, 1)}
+
+
+def test_phrase_search_rejects_single_token(spark):
+    from versatiles_rs_spark.pages.retrieval import phrase_search
+
+    docs = spark.createDataFrame(pd.DataFrame([(1, "a b")], columns=["doc_id", "text"]))
+    with pytest.raises(ValueError):
+        phrase_search(docs, ["a"])

@@ -111,3 +111,72 @@ GROUP BY t.doc_id
 ORDER BY score DESC, t.doc_id ASC
 LIMIT {k}
 """
+
+
+def phrase_search(
+    docs: DataFrame, phrase: list[str], text_col: str = "text"
+) -> DataFrame:
+    """Exact-phrase query over a positional index: (doc_id, n_matches,
+    first_pos) for documents containing the consecutive token sequence
+    ``phrase`` (1-based first_pos). The retrieval op BM25 can't express —
+    bag-of-words scoring loses adjacency.
+
+    Plan (the anchor trick — no k-way self-join): positional postings
+    (posexplode, codegen) filter to the phrase's words FIRST (isin prune
+    at the scan), broadcast-join the k-row (word, slot) table, and every
+    matching posting votes for anchor = pos - slot. An anchor collecting
+    k votes is a full match: each (anchor, slot) pair can only be
+    produced by the single posting at pos = anchor + slot with word_slot
+    there, so count(*) == k <=> every slot matched (repeated phrase
+    words included). One aggregation over the PRUNED postings — the
+    corpus shuffles nothing; cost scales with the phrase words' posting
+    lists, as an inverted-index engine's phrase query does.
+    """
+    k = len(phrase)
+    if k < 2:
+        raise ValueError("phrase needs >= 2 tokens")
+    spark = docs.sparkSession
+    slots = spark.createDataFrame(
+        [(w.lower(), i) for i, w in enumerate(phrase)], "w string, i bigint"
+    )
+    posts = docs.select(
+        "doc_id", F.posexplode(_terms(text_col)).alias("pos0", "w")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    votes = (
+        posts.filter(F.col("w").isin([w.lower() for w in phrase]))
+        .join(F.broadcast(slots), "w")
+        .select("doc_id", (F.col("pos") - F.col("i")).alias("anchor"))
+    )
+    full = (
+        votes.groupBy("doc_id", "anchor")
+        .agg(F.count("*").alias("nv"))
+        .filter(F.col("nv") == k)
+    )
+    return full.groupBy("doc_id").agg(
+        F.count("*").alias("n_matches"), F.min("anchor").alias("first_pos")
+    )
+
+
+def phrase_search_sql(phrase: list[str]) -> str:
+    """The identical anchor-vote phrase query as DuckDB SQL over
+    ``documents`` (1-based positions via generate_subscripts)."""
+    k = len(phrase)
+    slot_rows = ", ".join(f"('{w.lower()}', {i})" for i, w in enumerate(phrase))
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '),
+                     x -> x != '') AS l
+  FROM documents
+), posts AS (
+  SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS pos FROM toks
+), slots(w, i) AS (VALUES {slot_rows}),
+votes AS (
+  SELECT p.doc_id, p.pos - s.i AS anchor
+  FROM posts p JOIN slots s ON s.w = p.w
+), full_match AS (
+  SELECT doc_id, anchor FROM votes GROUP BY 1, 2 HAVING count(*) = {k}
+)
+SELECT doc_id, count(*) AS n_matches, CAST(min(anchor) AS BIGINT) AS first_pos
+FROM full_match GROUP BY 1
+"""

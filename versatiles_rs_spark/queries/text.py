@@ -1225,3 +1225,27 @@ def _o_lm_kneser_ney() -> str:
 
 
 O_LM_KNESER_NEY = _o_lm_kneser_ney()
+
+
+_PHRASE = ["table", "table"]  # repeated-word phrase: the hard slot case
+
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase retrieval (pages/retrieval.phrase_search): positional
+    postings pruned to the phrase words, broadcast (word, slot) join,
+    anchor = pos - slot votes, count == k <=> full match — no k-way
+    self-join, corpus never shuffles. The repeated-word phrase attests
+    the per-slot vote semantics (overlapping runs count every anchor)."""
+    from versatiles_rs_spark.pages.retrieval import phrase_search
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return phrase_search(docs, _PHRASE)
+
+
+def _o_phrase_search() -> str:
+    from versatiles_rs_spark.pages.retrieval import phrase_search_sql
+
+    return phrase_search_sql(_PHRASE)
+
+
+O_PHRASE_SEARCH = _o_phrase_search()
