@@ -205,3 +205,48 @@ def test_map_match_plan_no_shuffle(spark):
     pts = spark.createDataFrame([(1, 5, 3)], "event_id bigint, qx bigint, qy bigint")
     plan = _plan(snap_to_segments(pts, seg, d_sq=100))
     assert "Exchange" not in plan
+
+
+def test_stay_points_hand_case(spark):
+    from versatiles_rs_spark.operators.sessions import stay_points
+
+    h = 3_600_000_000  # 1h in us
+    rows = [
+        # user 1: 3 events within radius spanning 2h -> a stay
+        (1, 1, _t("2024-01-01T00:00:00"), 0, 0),
+        (2, 1, _t("2024-01-01T01:00:00"), 3, 4),     # d2=25 <= 100
+        (3, 1, _t("2024-01-01T02:00:00"), 6, 8),     # hop d2=25
+        # then a far jump -> new segment, single event (duration 0)
+        (4, 1, _t("2024-01-01T05:00:00"), 1000, 0),
+        # user 2: two near events but only 30min -> below min duration
+        (5, 2, _t("2024-01-01T00:00:00"), 0, 0),
+        (6, 2, _t("2024-01-01T00:30:00"), 1, 1),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts timestamp, qx bigint, qy bigint"
+    )
+    got = {
+        (r["user_id"], r["seg_no"]): (r["n_events"], r["duration_us"], r["qx0"], r["qy0"])
+        for r in stay_points(ev, radius_q=10, min_duration_us=h).collect()
+    }
+    assert got == {(1, 1): (3, 2 * h, 0, 0)}
+
+
+def test_triangle_counts_hand_case(spark):
+    from versatiles_rs_spark.pages.links import triangle_counts
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)], "a bigint, b bigint"
+    )
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(edges).collect()}
+    assert got == {1: 1, 2: 2, 3: 2, 4: 1}  # triangles (1,2,3), (2,3,4)
+
+
+def test_triangle_counts_no_false_triangles(spark):
+    from versatiles_rs_spark.pages.links import triangle_counts
+
+    # a 4-cycle has wedges but no triangles
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4)], "a bigint, b bigint"
+    )
+    assert triangle_counts(edges).count() == 0

@@ -199,3 +199,56 @@ def od_flows(
         F.count("*").alias("n_trips"),
         F.count_distinct("u").alias("n_users"),
     )
+
+
+def stay_points(
+    events: DataFrame,
+    radius_q: int,
+    min_duration_us: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    qx_col: str = "qx",
+    qy_col: str = "qy",
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """Stay-point detection (Li et al. 2008, GeoLife): a user's
+    consecutive events belong to one spatial segment while each hop
+    stays within ``radius_q`` (quantized integer units); segments
+    lasting >= ``min_duration_us`` are stays. The trajectory twin of
+    gap-based sessionize — the boundary predicate is DISTANCE, not
+    silence. Output per stay: (user_id, seg_no, n_events, start_us,
+    duration_us, qx0, qy0 — the segment's first position).
+
+    Determinism: hop distances are exact integer d^2 vs radius_q^2;
+    timestamps compare in integer micros; window ties break on
+    ``order_tiebreak``. One hash exchange on the user key (the natural
+    partitioner), then the per-segment rollup reuses the same key
+    prefix; no Python anywhere.
+    """
+    r2 = radius_q * radius_q
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    ev = events.select(
+        F.col(user_col).alias("u"),
+        us.alias("us"),
+        F.col(order_tiebreak).alias("tb"),
+        F.col(qx_col).alias("qx"),
+        F.col(qy_col).alias("qy"),
+    )
+    w = Window.partitionBy("u").orderBy(F.col("us").asc(), F.col("tb").asc())
+    dx = F.col("qx") - F.lag("qx").over(w)
+    dy = F.col("qy") - F.lag("qy").over(w)
+    new_seg = F.when(
+        F.lag("qx").over(w).isNull() | (dx * dx + dy * dy > F.lit(r2)), 1
+    ).otherwise(0)
+    seg = ev.withColumn("seg_no", F.sum(new_seg).over(w))
+    stays = seg.groupBy("u", "seg_no").agg(
+        F.count("*").alias("n_events"),
+        F.min("us").alias("start_us"),
+        (F.max("us") - F.min("us")).alias("duration_us"),
+        F.min_by("qx", F.struct(F.col("us"), F.col("tb"))).alias("qx0"),
+        F.min_by("qy", F.struct(F.col("us"), F.col("tb"))).alias("qy0"),
+    )
+    return stays.filter(F.col("duration_us") >= min_duration_us).select(
+        F.col("u").alias(user_col), "seg_no", "n_events", "start_us",
+        "duration_us", "qx0", "qy0",
+    )

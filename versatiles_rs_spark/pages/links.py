@@ -115,3 +115,32 @@ def pagerank_hosts(
                 prev_ckpt.unpersist()
             prev_ckpt = ranks
     return ranks
+
+
+def triangle_counts(edges: DataFrame, a_col: str = "a", b_col: str = "b") -> DataFrame:
+    """Per-node triangle participation counts over an undirected graph —
+    the clustering/community signal on the link graph (a host in many
+    triangles sits in a dense cluster; spam farms light up).
+
+    Input: distinct canonical edges (a < b). The wedge-join plan (the
+    standard distributed formulation, cf. Suri & Vassilvitskii WWW'11):
+    wedges (a<b<c) = edges joined on the middle node, closed by a
+    semi-join against the (a, c) edge — two equi-join shuffles, never an
+    all-pairs product; each triangle is produced exactly once because
+    its three nodes appear in sorted order. At scale the join explodes
+    with max-degree² — the production refinement (degree-ordered pivot:
+    orient edges from low- to high-degree nodes) drops that to O(E^1.5)
+    and composes with this same plan; the fixture graphs are
+    degree-bounded so the plain sorted orientation is used here.
+
+    Output: (node, n_triangles) for nodes in >= 1 triangle.
+    """
+    e = edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("b")).distinct()
+    ab = e.select(F.col("a"), F.col("b").alias("m"))
+    bc = e.select(F.col("a").alias("m"), F.col("b").alias("c"))
+    wedges = ab.join(bc, "m").select("a", F.col("m").alias("b"), "c")
+    tri = wedges.join(
+        e.select(F.col("a"), F.col("b").alias("c")), ["a", "c"], "leftsemi"
+    )
+    nodes = tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+    return nodes.groupBy("node").agg(F.count("*").alias("n_triangles"))

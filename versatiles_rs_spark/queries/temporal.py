@@ -318,3 +318,54 @@ FROM trips WHERE ox IS NOT NULL GROUP BY 1, 2, 3, 4
 
 
 O_OD_FLOWS = _od_flows_oracle()
+
+
+def q_stay_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stay-point detection (operators/sessions.stay_points): consecutive
+    events within 120k quantized units chain into spatial segments;
+    segments lasting >= 12h are stays. Exact integer hop distances +
+    integer-micro durations; one user-key exchange. Oracle = identical
+    window spec."""
+    from versatiles_rs_spark.operators.sessions import stay_points
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "ts",
+        ((F.col("event_id") * F.lit(2654435761)) % F.lit(360_000) - F.lit(180_000)).alias("qx"),
+        ((F.col("event_id") * F.lit(2246822519)) % F.lit(170_000) - F.lit(85_000)).alias("qy"),
+    )
+    return stay_points(ev, radius_q=120_000, min_duration_us=43_200_000_000)
+
+
+O_STAY_POINTS = """
+WITH p AS (
+  SELECT user_id AS u, event_id AS tb, epoch_us(ts) AS us,
+         (event_id * 2654435761) % 360000 - 180000 AS qx,
+         (event_id * 2246822519) % 170000 - 85000 AS qy
+  FROM events
+), flagged AS (
+  SELECT u, tb, us, qx, qy,
+         CASE WHEN lag(qx) OVER w IS NULL
+                   OR (qx - lag(qx) OVER w) * (qx - lag(qx) OVER w)
+                      + (qy - lag(qy) OVER w) * (qy - lag(qy) OVER w)
+                      > 14400000000
+              THEN 1 ELSE 0 END AS new_seg
+  FROM p WINDOW w AS (PARTITION BY u ORDER BY us ASC, tb ASC)
+), seg AS (
+  SELECT u, tb, us, qx, qy,
+         sum(new_seg) OVER (PARTITION BY u ORDER BY us ASC, tb ASC
+                            ROWS UNBOUNDED PRECEDING) AS seg_no
+  FROM flagged
+), firsts AS (
+  SELECT u, seg_no, qx, qy,
+         row_number() OVER (PARTITION BY u, seg_no ORDER BY us ASC, tb ASC) AS rn
+  FROM seg
+), agg AS (
+  SELECT u, seg_no, count(*) AS n_events, min(us) AS start_us,
+         max(us) - min(us) AS duration_us
+  FROM seg GROUP BY 1, 2
+)
+SELECT a.u AS user_id, CAST(a.seg_no AS BIGINT) AS seg_no, a.n_events,
+       a.start_us, a.duration_us, f.qx AS qx0, f.qy AS qy0
+FROM agg a JOIN firsts f ON f.u = a.u AND f.seg_no = a.seg_no AND f.rn = 1
+WHERE a.duration_us >= 43200000000
+"""

@@ -1249,3 +1249,43 @@ def _o_phrase_search() -> str:
 
 
 O_PHRASE_SEARCH = _o_phrase_search()
+
+
+def q_link_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting (pages/links.triangle_counts) on a circulant
+    graph over doc_id % 100 nodes (hops +1, +3, +4 — every node closes
+    triangles (u, u+1, u+4) and (u, u+3, u+4) mod 100): wedge join +
+    closing semi-join, each triangle once via sorted node order. Oracle
+    runs the identical relational plan in SQL."""
+    from versatiles_rs_spark.pages.links import triangle_counts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    u = F.col("doc_id") % 100
+    hops = F.array(F.lit(1), F.lit(3), F.lit(4))
+    raw = docs.select(u.alias("u"), F.explode(hops).alias("h")).select(
+        "u", ((F.col("u") + F.col("h")) % 100).alias("v")
+    )
+    edges = raw.select(
+        F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+    ).distinct()
+    return triangle_counts(edges)
+
+
+O_LINK_TRIANGLES = """
+WITH nodes AS (
+  SELECT doc_id % 100 AS u FROM documents
+), raw AS (
+  SELECT u, (u + h) % 100 AS v
+  FROM nodes CROSS JOIN (SELECT unnest([1, 3, 4]) AS h)
+), e AS (
+  SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM raw
+), tri AS (
+  SELECT ab.a, ab.b, bc.c
+  FROM (SELECT a, b FROM e) ab
+  JOIN (SELECT a AS b, b AS c FROM e) bc USING (b)
+  WHERE EXISTS (SELECT 1 FROM e x WHERE x.a = ab.a AND x.b = bc.c)
+), flat AS (
+  SELECT unnest([a, b, c]) AS node FROM tri
+)
+SELECT node, count(*) AS n_triangles FROM flat GROUP BY 1
+"""
