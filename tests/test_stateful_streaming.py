@@ -95,3 +95,58 @@ def test_streaming_convert_incremental(spark, tmp_path):
         for r in render_point_tiles(assigned, layer_name="pages", props_cols=[]).collect()
     }
     assert got == want
+
+
+def test_streaming_sessionize_matches_batch(spark, tmp_path, sf_dir):
+    """Emitted (closed) streaming sessions == the batch operator's
+    non-final sessions per user, with the stream split into two
+    event-time-ordered chunks (the operator's in-order contract)."""
+    from versatiles_rs_spark.operators.sessions import session_stats
+    from versatiles_rs_spark.streaming.stateful import streaming_sessionize
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id", "user_id", "ts", "value")
+        .filter(F.col("user_id") % 10 == 0)
+        .cache()
+    )
+    cut = ev.selectExpr("percentile_approx(unix_micros(cast(ts as timestamp)), 0.5) p").collect()[0]["p"]
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    src = str(tmp_path / "sess_src")
+    # event-time-ordered chunks: chunk 0 strictly before chunk 1
+    ev.filter(us <= cut).coalesce(1).write.parquet(src + "/c=0")
+    ev.filter(us > cut).coalesce(1).write.parquet(src + "/c=1")
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/c=*")
+    )
+    q = (
+        streaming_sessionize(stream, gap_minutes=360)
+        .writeStream.format("memory")
+        .queryName("sess_stream")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql(
+            "select user_id, session_no, n_events, start_us, end_us from sess_stream"
+        ).toPandas()
+    finally:
+        q.stop()
+
+    full = session_stats(ev, gap_minutes=360).toPandas()
+    # non-final sessions per user = all but each user's max session_no
+    last = full.groupby("user_id")["session_no"].transform("max")
+    want = full[full["session_no"] < last]
+    assert len(got) == len(want) > 0
+    g = got.sort_values(["user_id", "session_no"], ignore_index=True)
+    w = want.sort_values(["user_id", "session_no"], ignore_index=True)
+    assert (g["user_id"].values == w["user_id"].values).all()
+    assert (g["session_no"].values == w["session_no"].values).all()
+    assert (g["n_events"].values == w["n_events"].values).all()
+    # durations agree with the batch operator's (seconds, float)
+    dur = (g["end_us"].values - g["start_us"].values) / 1_000_000.0
+    assert (abs(dur - w["duration_s"].values) < 1e-6).all()

@@ -111,3 +111,86 @@ def streaming_hll_registers(
         .groupBy("g", "bucket")
         .agg(F.max("rho").alias("max_rho"))
     )
+
+
+_SESS_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_no", LongType()),
+        StructField("n_events", LongType()),
+        StructField("start_us", LongType()),
+        StructField("end_us", LongType()),
+    ]
+)
+
+_SESS_STATE = StructType(
+    [
+        StructField("session_no", LongType()),
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+
+def streaming_sessionize(
+    events_stream: DataFrame, gap_minutes: float = 30.0
+) -> DataFrame:
+    """Gap-based sessionization as a stateful streaming operator — the
+    streaming twin of operators/sessions.sessionize. Per user, the open
+    session lives in explicit group state across micro-batches; a
+    session is EMITTED (append semantics) when a later event arrives
+    past the gap, exactly the batch operator's boundary rule, so emitted
+    sessions equal the batch operator's non-final sessions per user
+    regardless of how the stream is chunked (provided chunks arrive in
+    event-time order — the file-stream contract here; out-of-order
+    feeds need a watermark + buffer in front, documented not hidden).
+
+    The last open session per user stays in state (it may still grow) —
+    readers wanting it flushed can send a sentinel/end-of-stream event
+    per user, the standard pattern.
+
+    State is one 4-int tuple per ACTIVE user — bounded by the live-user
+    set, not the event log; at 100 TB feed scale the shuffle is the
+    single groupBy(user) hash exchange every stateful operator pays.
+    """
+    gap_us = int(gap_minutes * 60 * 1_000_000)
+
+    def update(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            session_no, start_us, last_us, n_events = state.get
+        else:
+            session_no, start_us, last_us, n_events = 0, None, None, 0
+        closed: list[tuple] = []
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["us", "event_id"], ignore_index=True)
+        for us in rows["us"].astype("int64"):
+            us = int(us)
+            if start_us is None:
+                session_no += 1
+                start_us, last_us, n_events = us, us, 1
+            elif us - last_us > gap_us:
+                closed.append((key[0], session_no, n_events, start_us, last_us))
+                session_no += 1
+                start_us, last_us, n_events = us, us, 1
+            else:
+                last_us = us
+                n_events += 1
+        state.update((session_no, start_us, last_us, n_events))
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=["user_id", "session_no", "n_events", "start_us", "end_us"],
+            )
+
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    keyed = events_stream.select(
+        F.col("user_id"), us.alias("us"), F.col("event_id")
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_SESS_OUT,
+        stateStructType=_SESS_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
