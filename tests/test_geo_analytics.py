@@ -250,3 +250,83 @@ def test_triangle_counts_no_false_triangles(spark):
         [(1, 2), (2, 3), (3, 4), (1, 4)], "a bigint, b bigint"
     )
     assert triangle_counts(edges).count() == 0
+
+
+def _grid_tiles(spark, t, nx, ny, f):
+    # global raw = f(gx, gy) over nx x ny tiles of t px
+    raws = {}
+    for x in range(nx):
+        for y in range(ny):
+            gx = np.arange(x * t, (x + 1) * t, dtype=np.int64)
+            gy = np.arange(y * t, (y + 1) * t, dtype=np.int64)
+            raws[(x, y)] = f(gx[None, :], gy[:, None]) + np.zeros((t, t), dtype=np.int64)
+    return _tiles_from_raw(spark, raws)
+
+
+def test_dem_flow_dir_hand_cases(spark):
+    from versatiles_rs_spark.operators.map_algebra import dem_flow_dir
+
+    t = 2
+    # raw = gx + 4*gy: steepest descent N (drop 4/1 beats NW 5/sqrt2).
+    # Only the 4 center pixels have full rings; each lives in a different
+    # tile and each ring needs strips AND the corner from all 3 others.
+    tiles = _grid_tiles(spark, t, 2, 2, lambda gx, gy: gx + 4 * gy)
+    got = {
+        (r["x"], r["y"], r["d8_code"]): r["n"]
+        for r in dem_flow_dir(tiles, t).collect()
+    }
+    assert got == {(x, y, 7): 1 for x in (0, 1) for y in (0, 1)}
+
+    # raw = gx + gy: N and W tie on slope key 2, NW key 4 wins -> code 6
+    tiles = _grid_tiles(spark, t, 2, 2, lambda gx, gy: gx + gy)
+    got = {
+        (r["x"], r["y"], r["d8_code"]): r["n"]
+        for r in dem_flow_dir(tiles, t).collect()
+    }
+    assert got == {(x, y, 6): 1 for x in (0, 1) for y in (0, 1)}
+
+    # constant surface: every classifiable pixel is a sink (code 0)
+    tiles = _grid_tiles(spark, t, 2, 2, lambda gx, gy: gx * 0 + 7)
+    got = {
+        (r["x"], r["y"], r["d8_code"]): r["n"]
+        for r in dem_flow_dir(tiles, t).collect()
+    }
+    assert got == {(x, y, 0): 1 for x in (0, 1) for y in (0, 1)}
+
+
+def test_dem_flow_dir_tie_breaks_lowest_code(spark):
+    from versatiles_rs_spark.operators.map_algebra import dem_flow_dir
+
+    t = 2
+    # symmetric bowl rim: raw = |gx - 1.5| scaled -> E and W drops equal
+    # for center pixels; lowest code (1 = E) must win
+    tiles = _grid_tiles(
+        spark, t, 2, 2, lambda gx, gy: np.abs(2 * gx - 3) + 0 * gy
+    )
+    got = {
+        (r["x"], r["y"], r["d8_code"]): r["n"]
+        for r in dem_flow_dir(tiles, t).collect()
+    }
+    # pixels gx=1 (tiles x=0): E drop = raw(1)-raw(2) = 1-1 = 0 -> not
+    # positive; W drop = 1-3 < 0... center pixels gx in {1,2}: raw(1)=1,
+    # raw(2)=1, raw(0)=3, raw(3)=3 -> both E and W non-positive, N/S 0:
+    # sink. Use a sharper ridge instead: raw = -(2*gx-3)^2
+    tiles = _grid_tiles(spark, t, 2, 2, lambda gx, gy: 100 - (2 * gx - 3) ** 2 + 0 * gy)
+    got = {
+        (r["x"], r["y"], r["d8_code"]): r["n"]
+        for r in dem_flow_dir(tiles, t).collect()
+    }
+    # gx=1: raw=99, E (gx=2) = 99 (no drop), W (gx=0) = 91 -> drop 8 W
+    # gx=2: raw=99, E (gx=3) = 91 -> drop 8 E; W = 99 no drop
+    assert got == {
+        (0, 0, 5): 1, (0, 1, 5): 1,   # gx=1 flows W
+        (1, 0, 1): 1, (1, 1, 1): 1,   # gx=2 flows E
+    }
+
+
+def test_dem_flow_dir_world_edge_excluded(spark):
+    from versatiles_rs_spark.operators.map_algebra import dem_flow_dir
+
+    # single tile, no neighbors anywhere: no pixel has a full ring
+    tiles = _grid_tiles(spark, 2, 1, 1, lambda gx, gy: gx + gy)
+    assert dem_flow_dir(tiles, 2).count() == 0

@@ -223,3 +223,130 @@ def dem_contour_cases(tiles: DataFrame, tile_px: int, level: int) -> DataFrame:
         )
 
     return allrows.groupBy("x", "y").applyInPandas(per_tile, _CONTOUR)
+
+
+_FLOW = StructType(
+    [
+        StructField("x", LongType()),
+        StructField("y", LongType()),
+        StructField("d8_code", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+#: D8 neighbor order (code 1..8): E, SE, S, SW, W, NW, N, NE — ties break
+#: to the LOWEST code. (dy, dx) offsets in array terms (rows = +y).
+_D8 = ((0, 1), (1, 1), (1, 0), (1, -1), (0, -1), (-1, -1), (-1, 0), (-1, 1))
+
+
+def dem_flow_dir(tiles: DataFrame, tile_px: int) -> DataFrame:
+    """D8 flow direction over a DEM tile level (Jenson & Domingue 1988,
+    the hydrology standard): every pixel drains to the steepest-descent
+    neighbor of its 8 — code 1..8 (E clockwise to NE), 0 = sink (no
+    lower neighbor). Slope = drop/distance with diagonal distance √2;
+    kept integer-exact by comparing keys 2*drop² (straight) vs drop²
+    (diagonal) over POSITIVE drops (square is monotone there, and the
+    cross-multiplied forms are the exact slope comparison). Ties take
+    the lowest code. Pixels missing any of their 8 neighbors (world
+    edge) are excluded — the oracle's global-domain rule.
+
+    Output: (x, y, d8_code, n) counts per tile.
+
+    Halo shape: unlike the forward-difference operators (2 strips + 1
+    corner), D8 needs the FULL 1-pixel ring — each tile emits 4 edge
+    strips + 4 corner pixels addressed to its 8 neighbors (decoded once
+    in one mapInPandas pass; strips are raw int64 bytes, ~4/tile_px of
+    the tile), ONE hash exchange on (x, y) assembles the
+    (t+2)x(t+2) extended array, and the classification is executor-local
+    numpy. Shuffled halo volume stays O(tiles/tile_px).
+    """
+    t = tile_px
+
+    def emit(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list] = {"x": [], "y": [], "kind": [], "payload": []}
+
+            def put(x: int, y: int, kind: str, payload: bytes) -> None:
+                if x < 0 or y < 0:
+                    return
+                rows["x"].append(x)
+                rows["y"].append(y)
+                rows["kind"].append(kind)
+                rows["payload"].append(payload)
+
+            for r in pdf.itertuples(index=False):
+                raw = _raw(bytes(r.tile))
+                b = lambda a: a.astype("<i8").tobytes()
+                put(r.x, r.y, "tile", bytes(r.tile))
+                # edge strips: my first/last column/row, addressed to the
+                # neighbor that needs it as its ring — my first column
+                # lies EAST of the tile to my west, etc.
+                put(r.x - 1, r.y, "e_e", b(raw[:, 0]))
+                put(r.x + 1, r.y, "e_w", b(raw[:, t - 1]))
+                put(r.x, r.y - 1, "e_s", b(raw[0, :]))
+                put(r.x, r.y + 1, "e_n", b(raw[t - 1, :]))
+                # corner pixels to the diagonal neighbors
+                put(r.x - 1, r.y - 1, "c_se", b(raw[0:1, 0]))
+                put(r.x + 1, r.y - 1, "c_sw", b(raw[0:1, t - 1]))
+                put(r.x - 1, r.y + 1, "c_ne", b(raw[t - 1:t, 0]))
+                put(r.x + 1, r.y + 1, "c_nw", b(raw[t - 1:t, t - 1]))
+            yield pd.DataFrame(rows)
+
+    allrows = tiles.mapInPandas(emit, "x bigint, y bigint, kind string, payload binary")
+
+    def per_tile(pdf: pd.DataFrame) -> pd.DataFrame:
+        tile_rows = pdf[pdf["kind"] == "tile"]
+        if not len(tile_rows):
+            return pd.DataFrame({f.name: [] for f in _FLOW.fields}).astype("int64")
+        x = int(tile_rows["x"].iloc[0])
+        y = int(tile_rows["y"].iloc[0])
+        raw = _raw(bytes(tile_rows["payload"].iloc[0]))
+        ext = np.zeros((t + 2, t + 2), dtype=np.int64)
+        filled = np.zeros((t + 2, t + 2), dtype=bool)
+        ext[1:t + 1, 1:t + 1] = raw
+        filled[1:t + 1, 1:t + 1] = True
+        by_kind = {k: np.frombuffer(bytes(g["payload"].iloc[0]), dtype="<i8")
+                   for k, g in pdf.groupby("kind") if k != "tile"}
+        spots = {
+            # ring slot (rows, cols) each halo kind fills in ext
+            "e_e": (slice(1, t + 1), t + 1),   # east ring column
+            "e_w": (slice(1, t + 1), 0),
+            "e_s": (t + 1, slice(1, t + 1)),
+            "e_n": (0, slice(1, t + 1)),
+            "c_se": (t + 1, t + 1),
+            "c_sw": (t + 1, 0),
+            "c_ne": (0, t + 1),
+            "c_nw": (0, 0),
+        }
+        for k, v in by_kind.items():
+            r, c = spots[k]
+            ext[r, c] = v if v.size > 1 else v[0]
+            filled[r, c] = True
+        # classifiable: every pixel of the 3x3 window present
+        ok = np.ones((t, t), dtype=bool)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                ok &= filled[1 + dy:1 + dy + t, 1 + dx:1 + dx + t]
+        center = ext[1:t + 1, 1:t + 1]
+        best_key = np.full((t, t), -1, dtype=np.int64)
+        best_code = np.zeros((t, t), dtype=np.int64)
+        for code, (dy, dx) in enumerate(_D8, start=1):
+            drop = center - ext[1 + dy:1 + dy + t, 1 + dx:1 + dx + t]
+            straight = dy == 0 or dx == 0
+            key = np.where(drop > 0, drop * drop * (2 if straight else 1), -1)
+            better = key > best_key  # strict: ties keep the LOWER code
+            best_key = np.where(better, key, best_key)
+            best_code = np.where(better, code, best_code)
+        codes = best_code[ok]
+        cnt = np.bincount(codes, minlength=9)
+        present = np.nonzero(cnt)[0]
+        return pd.DataFrame(
+            {
+                "x": np.full(len(present), x, dtype=np.int64),
+                "y": np.full(len(present), y, dtype=np.int64),
+                "d8_code": present.astype(np.int64),
+                "n": cnt[present].astype(np.int64),
+            }
+        )
+
+    return allrows.groupBy("x", "y").applyInPandas(per_tile, _FLOW)

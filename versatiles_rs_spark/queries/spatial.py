@@ -703,3 +703,87 @@ WITH seg AS (
 )
 SELECT event_id, seg_id, CAST(s AS BIGINT) AS s_scaled FROM r WHERE rn = 1
 """
+
+
+def q_dem_flow_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 flow direction (operators/map_algebra.dem_flow_dir) over the
+    centered elliptic DEM level (raw = (gx-1023)^2 + 2*(gy-1023)^2, real
+    PNG bytes): all 8 descent directions occur around the bowl and the
+    minimum region yields sinks. Needs the FULL 1px ring halo (4 strips
+    + 4 corners per tile, one exchange); a misrouted or misaligned ring
+    piece flips border pixels' codes. Oracle recomputes every pixel's
+    argmax drop from the closed form with the exact integer slope keys
+    (2*drop^2 straight vs drop^2 diagonal)."""
+    import numpy as np
+    import pandas as pd
+
+    from versatiles_rs_spark.functions.raster import png_encode
+    from versatiles_rs_spark.operators.map_algebra import dem_flow_dir
+
+    t = 64
+
+    base = spark.range(32 * 32).select(
+        F.expr("id div 32").alias("x"), (F.col("id") % 32).alias("y")
+    )
+
+    def gen(it):
+        for pdf in it:
+            rows = {"x": [], "y": [], "tile": []}
+            for r in pdf.itertuples(index=False):
+                gx = np.arange(r.x * t, (r.x + 1) * t, dtype=np.int64)
+                gy = np.arange(r.y * t, (r.y + 1) * t, dtype=np.int64)
+                raw = (gx[None, :] - 1023) ** 2 + 2 * (gy[:, None] - 1023) ** 2
+                rgb = np.stack(
+                    [(raw >> 16) & 255, (raw >> 8) & 255, raw & 255], axis=-1
+                ).astype(np.uint8)
+                rows["x"].append(r.x)
+                rows["y"].append(r.y)
+                rows["tile"].append(png_encode(rgb))
+            yield pd.DataFrame(rows)
+
+    tiles = base.repartition(8).mapInPandas(gen, "x bigint, y bigint, tile binary")
+    return dem_flow_dir(tiles, t).orderBy("x", "y", "d8_code")
+
+
+def _o_dem_flow_dir() -> str:
+    def f(x: str, y: str) -> str:
+        # fully parenthesized: these compose as `f(p) - f(n)`
+        return f"((({x})-1023)*(({x})-1023) + 2*(({y})-1023)*(({y})-1023))"
+
+    # D8 code order: E, SE, S, SW, W, NW, N, NE (ties -> lowest code)
+    offs = [(1, 0), (1, 1), (0, 1), (-1, 1), (-1, 0), (-1, -1), (0, -1), (1, -1)]
+    drops = ",\n    ".join(
+        f"{f('gx','gy')} - {f(f'gx+({dx})', f'gy+({dy})')} AS d{i}"
+        for i, (dx, dy) in enumerate(offs, start=1)
+    )
+    keys = ",\n    ".join(
+        f"CASE WHEN d{i} > 0 THEN {2 if i % 2 == 1 else 1}*d{i}*d{i} ELSE -1 END AS k{i}"
+        for i in range(1, 9)
+    )
+    first_match = " ".join(f"WHEN k{i} = m THEN {i}" for i in range(1, 9))
+    return f"""
+WITH px AS (
+  SELECT a.i AS gx, b.i AS gy
+  FROM generate_series(1, 2046) a(i) CROSS JOIN generate_series(1, 2046) b(i)
+), d AS (
+  SELECT gx, gy,
+    {drops}
+  FROM px
+), k AS (
+  SELECT gx, gy,
+    {keys}
+  FROM d
+), c AS (
+  SELECT gx // 64 AS x, gy // 64 AS y,
+         greatest(k1,k2,k3,k4,k5,k6,k7,k8) AS m,
+         k1, k2, k3, k4, k5, k6, k7, k8
+  FROM k
+), coded AS (
+  SELECT x, y, CASE WHEN m < 0 THEN 0 {first_match} END AS d8_code FROM c
+)
+SELECT x, y, CAST(d8_code AS BIGINT) AS d8_code, count(*) AS n
+FROM coded GROUP BY 1, 2, 3
+"""
+
+
+O_DEM_FLOW_DIR = _o_dem_flow_dir()
