@@ -251,3 +251,52 @@ def test_semantic_decontaminate_planted(spark):
 
     with _pytest.raises(ValueError):
         semantic_decontaminate(corpus, bench.filter("vec_id < 0"))
+
+
+def test_jaccard_join_hand_case_boundary(spark):
+    import pandas as pd
+
+    from versatiles_rs_spark.dedup.setjoin import jaccard_similarity_join
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                # shingle sets (n=2): d1 {a b, b c, c d} d2 {a b, b c, c x}
+                # inter=2, union=4 -> J=1/2 exactly (boundary pair: kept)
+                (1, "a b c d"),
+                (2, "a b c x"),
+                # d3 shares nothing
+                (3, "p q r s"),
+                # d4 == d1 (J=1)
+                (4, "a b c d"),
+            ],
+            columns=["doc_id", "text"],
+        )
+    )
+    got = {
+        (r["id_a"], r["id_b"]): (r["inter"], r["na"], r["nb"])
+        for r in jaccard_similarity_join(docs, tn=1, td=2, shingle_n=2).collect()
+    }
+    assert got == {(1, 2): (2, 3, 3), (1, 4): (3, 3, 3), (2, 4): (2, 3, 3)}
+
+    # raise threshold past the boundary: only the identical pair stays
+    strict = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_similarity_join(docs, tn=2, td=3, shingle_n=2).collect()
+    }
+    assert strict == {(1, 4)}
+
+
+def test_jaccard_join_short_docs_empty_sets(spark):
+    import pandas as pd
+    import pytest as _pt
+
+    from versatiles_rs_spark.dedup.setjoin import jaccard_similarity_join
+
+    docs = spark.createDataFrame(
+        pd.DataFrame([(1, "a b"), (2, "a b")], columns=["doc_id", "text"])
+    )
+    # < n tokens -> empty shingle set -> never paired
+    assert jaccard_similarity_join(docs, 1, 2, shingle_n=3).count() == 0
+    with _pt.raises(ValueError):
+        jaccard_similarity_join(docs, 3, 2)

@@ -939,3 +939,39 @@ def _o_snapshot_dedup() -> str:
 
 
 O_SNAPSHOT_DEDUP = _o_snapshot_dedup()
+
+
+def q_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact set-similarity join (dedup/setjoin.py): ALL pairs with
+    3-gram-shingle Jaccard >= 1/2 via prefix filtering — the exact
+    complement of the probabilistic MinHash path (no false negatives by
+    the prefix theorem, attested because the oracle brute-forces every
+    pair). Integer threshold algebra: i*(td+tn) >= tn*(na+nb)."""
+    from versatiles_rs_spark.dedup.setjoin import jaccard_similarity_join
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return jaccard_similarity_join(docs, tn=1, td=2)
+
+
+O_JACCARD_JOIN = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '),
+                     x -> x != '') AS l
+  FROM documents
+), sh AS (
+  SELECT doc_id, list_distinct(CASE WHEN len(l) < 3 THEN []
+    ELSE list_transform(range(1, len(l) - 1),
+                        i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]) END) AS s
+  FROM toks
+), e AS (SELECT doc_id, unnest(s) AS g FROM sh),
+sz AS (SELECT doc_id, len(s) AS n FROM sh),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b, i.inter, sa.n AS na, sb.n AS nb
+FROM inter i JOIN sz sa ON sa.doc_id = i.id_a JOIN sz sb ON sb.doc_id = i.id_b
+WHERE i.inter * 3 >= 1 * (sa.n + sb.n)
+"""
