@@ -191,6 +191,26 @@ def job_temporal_ops(spark, sf_dir) -> dict:
     }
 
 
+def job_geo_analytics(spark, sf_dir) -> dict:
+    """Headline slot for the mobility/analytics family (round 5,
+    session 6): OD flows + stay points (user-key windows), tile hotspots
+    (aggregated-table neighbor explode), and map matching (broadcast
+    network argmin) over the events table."""
+    from versatiles_rs_spark.queries import (
+        q_map_match,
+        q_od_flows,
+        q_stay_points,
+        q_tile_hotspots,
+    )
+
+    return {
+        "od_rows": q_od_flows(spark, sf_dir).count(),
+        "hotspot_rows": q_tile_hotspots(spark, sf_dir).count(),
+        "stay_rows": q_stay_points(spark, sf_dir).count(),
+        "match_rows": q_map_match(spark, sf_dir).count(),
+    }
+
+
 JOBS = {
     "convert_pyramid": job_convert_pyramid,
     "pip_join": job_pip_join,
@@ -200,6 +220,7 @@ JOBS = {
     "curate_funnel": job_curate,
     "geo_polygons": job_geo_polygons,
     "temporal_ops": job_temporal_ops,
+    "geo_analytics": job_geo_analytics,
 }
 
 
@@ -258,7 +279,7 @@ def run_bench() -> dict:
     total = round(sum(timings.values()), 3)
     tiles = extras["convert_pyramid"]["tiles"]
     return {
-        "metric": "headline_total_sec (convert z0-14 + pip join + assign + ann + stats + curate funnel + geo polygons + temporal/sketch ops)",
+        "metric": "headline_total_sec (convert z0-14 + pip join + assign + ann + stats + curate funnel + geo polygons + temporal/sketch ops + geo analytics)",
         "value": total,
         "unit": "sec",
         "queries": timings,
