@@ -330,3 +330,66 @@ def test_dem_flow_dir_world_edge_excluded(spark):
     # single tile, no neighbors anywhere: no pixel has a full ring
     tiles = _grid_tiles(spark, 2, 1, 1, lambda gx, gy: gx + gy)
     assert dem_flow_dir(tiles, 2).count() == 0
+
+
+def test_dem_flow_edges_hand_case(spark):
+    from versatiles_rs_spark.operators.map_algebra import dem_flow_edges
+
+    t, w = 2, 4
+    # raw = gx + 4*gy over 2x2 tiles (4x4 px): every pixel drains N
+    # (available-neighbor rule: the top row has no N neighbor; for it W
+    # wins via drop 1, and (0,0) is the lone sink).
+    tiles = _grid_tiles(spark, t, 2, 2, lambda gx, gy: gx + 4 * gy)
+    got = {r["pid"]: r["rep"] for r in dem_flow_edges(tiles, t, w).collect()}
+    assert len(got) == 16
+    # reps are fully compressed in-tile; cross-tile pointers stay one hop
+    # outside their tile. Pixel (gx=1,gy=3) pid=13 is in tile (0,1):
+    # drains N to gy=2 (pid 9, same tile) -> N to gy=1 (pid 5, OUT of
+    # tile) => rep 5.
+    assert got[13] == 5
+    # top row: (1,0) pid=1 drains W to pid 0 (same tile, a sink) => 0
+    assert got[1] == 0 and got[0] == 0
+    # (3,0) pid=3 in tile (1,0): W to pid 2 (same tile), W to pid 1 (out)
+    assert got[3] == 1
+
+
+def test_watershed_basins_two_bowls(spark):
+    from versatiles_rs_spark.operators.map_algebra import (
+        dem_flow_edges,
+        watershed_basins,
+    )
+
+    t, w = 2, 8
+    # two paraboloid bowls centered at gx=1 and gx=6 on a 8x2 strip
+    # (4x1 tiles... use 4x2 tiles of 2px => 8x4 px, centers (1,1), (6,1))
+    tiles = _grid_tiles(
+        spark, t, 4, 2,
+        lambda gx, gy: np.minimum(
+            (gx - 1) ** 2 + 2 * (gy - 1) ** 2, (gx - 6) ** 2 + 2 * (gy - 1) ** 2
+        ),
+    )
+    rows = watershed_basins(dem_flow_edges(tiles, t, w)).collect()
+    agg = {}
+    for r in rows:
+        agg[r["rep"]] = agg.get(r["rep"], 0) + 1
+    # total conserved; exactly the two centers are sinks
+    assert sum(agg.values()) == 32
+    assert set(agg) == {1 * w + 1, 1 * w + 6}
+    # the midline gx=3/4 splits 8 columns evenly: 16 px per basin
+    assert agg[1 * w + 1] == 16 and agg[1 * w + 6] == 16
+
+
+def test_watershed_pixel_count_conserved(spark):
+    from versatiles_rs_spark.operators.map_algebra import (
+        dem_flow_edges,
+        watershed_basins,
+    )
+
+    t, w = 4, 16
+    tiles = _grid_tiles(
+        spark, t, 4, 4, lambda gx, gy: (gx - 5) ** 2 + 2 * (gy - 9) ** 2
+    )
+    basins = watershed_basins(dem_flow_edges(tiles, t, w))
+    rows = basins.collect()
+    assert len(rows) == 256  # every pixel resolved
+    assert {r["rep"] for r in rows} == {9 * w + 5}  # single global sink

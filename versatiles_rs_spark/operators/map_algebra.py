@@ -350,3 +350,150 @@ def dem_flow_dir(tiles: DataFrame, tile_px: int) -> DataFrame:
         )
 
     return allrows.groupBy("x", "y").applyInPandas(per_tile, _FLOW)
+
+
+_EDGES = StructType(
+    [
+        StructField("pid", LongType()),
+        StructField("rep", LongType()),
+    ]
+)
+
+
+def dem_flow_edges(tiles: DataFrame, tile_px: int, width_px: int) -> DataFrame:
+    """Per-pixel D8 drain pointers over a DEM tile level, locally
+    path-compressed: (pid, rep) where pid = gy*width_px + gx and rep is
+    the END of the pixel's in-tile drain path — either a global sink
+    (rep == its own pid; with the full ring halo, "no strictly lower
+    AVAILABLE neighbor" is globally correct) or the first pixel OUTSIDE
+    the tile on its path. Unlike dem_flow_dir, world-edge pixels are not
+    excluded: they drain among whichever of their 8 neighbors exist (the
+    standard GIS edge treatment), so basin sizes conserve the total
+    pixel count.
+
+    Scale shape: the halo ring exchange is the same O(tiles/tile_px)
+    volume as dem_flow_dir, and the IN-TILE path compression (vectorized
+    pointer doubling on the local numpy arrays) is what makes the global
+    step cheap — after it, every drain chain advances at least one whole
+    tile per hop, so watershed resolution needs O(log tile-diameter)
+    pointer-doubling rounds instead of O(pixel path length).
+    """
+    t = tile_px
+    w = width_px
+
+    def emit(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list] = {"x": [], "y": [], "kind": [], "payload": []}
+
+            def put(x: int, y: int, kind: str, payload: bytes) -> None:
+                if x < 0 or y < 0:
+                    return
+                rows["x"].append(x)
+                rows["y"].append(y)
+                rows["kind"].append(kind)
+                rows["payload"].append(payload)
+
+            for r in pdf.itertuples(index=False):
+                raw = _raw(bytes(r.tile))
+                b = lambda a: a.astype("<i8").tobytes()
+                put(r.x, r.y, "tile", bytes(r.tile))
+                put(r.x - 1, r.y, "e_e", b(raw[:, 0]))
+                put(r.x + 1, r.y, "e_w", b(raw[:, t - 1]))
+                put(r.x, r.y - 1, "e_s", b(raw[0, :]))
+                put(r.x, r.y + 1, "e_n", b(raw[t - 1, :]))
+                put(r.x - 1, r.y - 1, "c_se", b(raw[0:1, 0]))
+                put(r.x + 1, r.y - 1, "c_sw", b(raw[0:1, t - 1]))
+                put(r.x - 1, r.y + 1, "c_ne", b(raw[t - 1:t, 0]))
+                put(r.x + 1, r.y + 1, "c_nw", b(raw[t - 1:t, t - 1]))
+            yield pd.DataFrame(rows)
+
+    allrows = tiles.mapInPandas(emit, "x bigint, y bigint, kind string, payload binary")
+
+    def per_tile(pdf: pd.DataFrame) -> pd.DataFrame:
+        tile_rows = pdf[pdf["kind"] == "tile"]
+        if not len(tile_rows):
+            return pd.DataFrame({f.name: [] for f in _EDGES.fields}).astype("int64")
+        x = int(tile_rows["x"].iloc[0])
+        y = int(tile_rows["y"].iloc[0])
+        raw = _raw(bytes(tile_rows["payload"].iloc[0]))
+        ext = np.zeros((t + 2, t + 2), dtype=np.int64)
+        filled = np.zeros((t + 2, t + 2), dtype=bool)
+        ext[1:t + 1, 1:t + 1] = raw
+        filled[1:t + 1, 1:t + 1] = True
+        by_kind = {k: np.frombuffer(bytes(g["payload"].iloc[0]), dtype="<i8")
+                   for k, g in pdf.groupby("kind") if k != "tile"}
+        spots = {
+            "e_e": (slice(1, t + 1), t + 1),
+            "e_w": (slice(1, t + 1), 0),
+            "e_s": (t + 1, slice(1, t + 1)),
+            "e_n": (0, slice(1, t + 1)),
+            "c_se": (t + 1, t + 1),
+            "c_sw": (t + 1, 0),
+            "c_ne": (0, t + 1),
+            "c_nw": (0, 0),
+        }
+        for k, v in by_kind.items():
+            r, c = spots[k]
+            ext[r, c] = v if v.size > 1 else v[0]
+            filled[r, c] = True
+        center = ext[1:t + 1, 1:t + 1]
+        best_key = np.full((t, t), -1, dtype=np.int64)
+        best_dy = np.zeros((t, t), dtype=np.int64)
+        best_dx = np.zeros((t, t), dtype=np.int64)
+        for code, (dy, dx) in enumerate(_D8, start=1):
+            nb = ext[1 + dy:1 + dy + t, 1 + dx:1 + dx + t]
+            avail = filled[1 + dy:1 + dy + t, 1 + dx:1 + dx + t]
+            drop = center - nb
+            straight = dy == 0 or dx == 0
+            key = np.where(avail & (drop > 0),
+                           drop * drop * (2 if straight else 1), -1)
+            better = key > best_key  # strict: ties keep the LOWER code
+            best_key = np.where(better, key, best_key)
+            best_dy = np.where(better, dy, best_dy)
+            best_dx = np.where(better, dx, best_dx)
+        gx = np.arange(x * t, (x + 1) * t, dtype=np.int64)
+        gy = np.arange(y * t, (y + 1) * t, dtype=np.int64)
+        pid = (gy[:, None] * w + gx[None, :]).ravel()
+        par = ((gy[:, None] + best_dy) * w + (gx[None, :] + best_dx)).ravel()
+        # in-tile path compression: pointer-double the local pointers
+        # until every rep is a sink or an out-of-tile pixel.
+        x0, x1 = x * t, (x + 1) * t
+        y0, y1 = y * t, (y + 1) * t
+        while True:
+            pgx, pgy = par % w, par // w
+            intile = (pgx >= x0) & (pgx < x1) & (pgy >= y0) & (pgy < y1)
+            li = (pgy[intile] - y0) * t + (pgx[intile] - x0)
+            nxt = par.copy()
+            nxt[intile] = par[li]
+            if np.array_equal(nxt, par):
+                break
+            par = nxt
+        return pd.DataFrame({"pid": pid, "rep": par})
+
+    return allrows.groupBy("x", "y").applyInPandas(per_tile, _EDGES)
+
+
+def watershed_basins(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
+    """Resolve every pixel's drain path to its terminal sink by global
+    pointer doubling over the locally-compressed (pid, rep) table:
+    rep' = rep(rep), so unresolved chain lengths HALVE each round —
+    after dem_flow_edges' in-tile compression the chain unit is a tile
+    hop, so O(log tile-diameter) rounds suffice at any raster size. Each
+    round is one equi-join + localCheckpoint (lineage truncation for the
+    iterative loop, the dedup/clusters.py discipline); the loop exits as
+    soon as a round moves nothing. Returns (pid, rep) with rep = the
+    pixel's basin sink pid. Drain paths strictly descend in elevation,
+    so the pointer graph is acyclic and the fixed point is unique."""
+    p = edges.localCheckpoint()
+    for _ in range(max_rounds):
+        b = p.select(F.col("pid").alias("bpid"), F.col("rep").alias("brep"))
+        j = (
+            p.join(b, p["rep"] == b["bpid"])
+            .select("pid", F.col("rep").alias("old"), F.col("brep").alias("rep"))
+            .localCheckpoint()
+        )
+        moved = j.filter(F.col("old") != F.col("rep")).count()
+        p = j.select("pid", "rep")
+        if moved == 0:
+            break
+    return p

@@ -787,3 +787,120 @@ FROM coded GROUP BY 1, 2, 3
 
 
 O_DEM_FLOW_DIR = _o_dem_flow_dir()
+
+
+#: watershed fixture: 8x8 tiles of 32px (256x256 px) whose elevation is
+#: the min over 12 attractor paraboloids — each attractor is a local
+#: minimum, so the D8 drain graph partitions the raster into ~12 basins
+#: with curved boundaries crossing many tile borders.
+_WS_CENTERS = tuple(((k * 97 + 13) % 256, (k * 61 + 7) % 256) for k in range(12))
+
+
+def q_watershed_basins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watershed basin labeling (operators/map_algebra.dem_flow_edges +
+    watershed_basins): every pixel of a 256x256 DEM level drains along
+    D8 steepest descent to its terminal sink; output = per-sink basin
+    size. Edge pixels drain among AVAILABLE neighbors (no world-edge
+    exclusion), so basin sizes conserve the pixel count. The plan is the
+    scale story: one ring-halo exchange builds per-pixel pointers,
+    IN-TILE path compression collapses chains to tile hops executor-
+    locally, then O(log tile-diameter) pointer-doubling joins resolve
+    the global fixed point. The oracle recomputes the drain argmax from
+    the closed form and follows every path with a recursive CTE —
+    attesting pointer construction, halo routing, compression, AND the
+    doubling loop."""
+    import numpy as np
+    import pandas as pd
+
+    from versatiles_rs_spark.functions.raster import png_encode
+    from versatiles_rs_spark.operators.map_algebra import (
+        dem_flow_edges,
+        watershed_basins,
+    )
+
+    t, w = 32, 256
+    cx = np.array([c[0] for c in _WS_CENTERS], dtype=np.int64)
+    cy = np.array([c[1] for c in _WS_CENTERS], dtype=np.int64)
+
+    base = spark.range(8 * 8).select(
+        F.expr("id div 8").alias("x"), (F.col("id") % 8).alias("y")
+    )
+
+    def gen(it):
+        for pdf in it:
+            rows = {"x": [], "y": [], "tile": []}
+            for r in pdf.itertuples(index=False):
+                gx = np.arange(r.x * t, (r.x + 1) * t, dtype=np.int64)
+                gy = np.arange(r.y * t, (r.y + 1) * t, dtype=np.int64)
+                dx2 = (gx[None, :, None] - cx[None, None, :]) ** 2
+                dy2 = (gy[:, None, None] - cy[None, None, :]) ** 2
+                raw = (dx2 + 2 * dy2).min(axis=-1)
+                rgb = np.stack(
+                    [(raw >> 16) & 255, (raw >> 8) & 255, raw & 255], axis=-1
+                ).astype(np.uint8)
+                rows["x"].append(r.x)
+                rows["y"].append(r.y)
+                rows["tile"].append(png_encode(rgb))
+            yield pd.DataFrame(rows)
+
+    tiles = base.repartition(8).mapInPandas(gen, "x bigint, y bigint, tile binary")
+    basins = watershed_basins(dem_flow_edges(tiles, t, w))
+    return (
+        basins.groupBy("rep")
+        .agg(F.count(F.lit(1)).alias("n_px"))
+        .select(
+            (F.col("rep") % w).alias("sink_gx"),
+            (F.col("rep") / w).cast("long").alias("sink_gy"),
+            "n_px",
+        )
+        .orderBy("sink_gx", "sink_gy")
+    )
+
+
+def _o_watershed_basins() -> str:
+    terms = ", ".join(
+        f"(gx-{cx})*(gx-{cx}) + 2*(gy-{cy})*(gy-{cy})" for cx, cy in _WS_CENTERS
+    )
+    return f"""
+WITH RECURSIVE px AS (
+  SELECT a.i AS gx, b.i AS gy
+  FROM generate_series(0, 255) a(i) CROSS JOIN generate_series(0, 255) b(i)
+), rv AS (
+  SELECT gx, gy, least({terms}) AS raw FROM px
+), o AS (
+  SELECT * FROM (VALUES
+    (1, 1, 0, 2), (2, 1, 1, 1), (3, 0, 1, 2), (4, -1, 1, 1),
+    (5, -1, 0, 2), (6, -1, -1, 1), (7, 0, -1, 2), (8, 1, -1, 1)
+  ) AS v(code, dx, dy, wt)
+), cand AS (
+  SELECT p.gx, p.gy, o.code,
+         (p.gy + o.dy) * 256 + (p.gx + o.dx) AS npid,
+         o.wt * (p.raw - n.raw) * (p.raw - n.raw) AS key
+  FROM rv p
+  CROSS JOIN o
+  JOIN rv n ON n.gx = p.gx + o.dx AND n.gy = p.gy + o.dy
+  WHERE p.raw - n.raw > 0
+), best AS (
+  SELECT gx, gy, npid,
+         row_number() OVER (PARTITION BY gx, gy ORDER BY key DESC, code ASC) AS rn
+  FROM cand
+), edges AS (
+  SELECT p.gy * 256 + p.gx AS pid,
+         coalesce(b.npid, p.gy * 256 + p.gx) AS par
+  FROM rv p
+  LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.gx = p.gx AND b.gy = p.gy
+), walk AS (
+  SELECT pid, par AS cur FROM edges
+  UNION ALL
+  SELECT w.pid, e.par FROM walk w JOIN edges e ON e.pid = w.cur
+  WHERE e.par <> w.cur
+), root AS (
+  SELECT w.pid, w.cur AS root
+  FROM walk w JOIN edges e ON e.pid = w.cur AND e.par = w.cur
+)
+SELECT root % 256 AS sink_gx, root // 256 AS sink_gy, count(*) AS n_px
+FROM root GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+O_WATERSHED_BASINS = _o_watershed_basins()
