@@ -110,3 +110,38 @@ def test_pagerank_checkpointing_preserves_values(spark):
     assert a.keys() == b.keys()
     for h in a:
         assert abs(a[h] - b[h]) < 1e-12
+
+
+def test_bfs_hops_hand_case(spark):
+    from versatiles_rs_spark.pages.links import bfs_hops
+
+    # path 0->1->2->3->4 plus shortcut 0->3: hops(3) = 1, hops(4) = 2
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (0, 3)], "src int, dst int"
+    )
+    seeds = spark.createDataFrame([(0,)], "node int")
+    got = {r["node"]: r["hops"] for r in bfs_hops(edges, seeds, 10).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 1, 4: 2}
+
+
+def test_bfs_hops_cap_and_multisource(spark):
+    from versatiles_rs_spark.pages.links import bfs_hops
+
+    # two chains from two seeds; node 13 is 3 hops from seed 10 but the
+    # cap of 2 excludes it; node 2 takes its MIN distance (1 via seed 0)
+    edges = spark.createDataFrame(
+        [(0, 2), (10, 11), (11, 12), (12, 13), (11, 2)],
+        "src int, dst int",
+    )
+    seeds = spark.createDataFrame([(0,), (10,)], "node int")
+    got = {r["node"]: r["hops"] for r in bfs_hops(edges, seeds, 2).collect()}
+    assert got == {0: 0, 10: 0, 2: 1, 11: 1, 12: 2}
+
+
+def test_bfs_hops_unreachable_absent(spark):
+    from versatiles_rs_spark.pages.links import bfs_hops
+
+    edges = spark.createDataFrame([(5, 6), (7, 8)], "src int, dst int")
+    seeds = spark.createDataFrame([(5,)], "node int")
+    got = {r["node"]: r["hops"] for r in bfs_hops(edges, seeds, 10).collect()}
+    assert got == {5: 0, 6: 1}

@@ -144,3 +144,43 @@ def triangle_counts(edges: DataFrame, a_col: str = "a", b_col: str = "b") -> Dat
     )
     nodes = tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
     return nodes.groupBy("node").agg(F.count("*").alias("n_triangles"))
+
+
+def bfs_hops(edges: DataFrame, seeds: DataFrame, max_hops: int = 10) -> DataFrame:
+    """Multi-source BFS over a directed graph: minimum hop count from
+    ANY seed to each reachable node, capped at ``max_hops`` — the crawl-
+    frontier depth question (how many link hops from the seed list is
+    each host?), and the primitive behind "within-k-hops" site
+    neighborhoods.
+
+    Input: ``edges`` (src, dst) directed, ``seeds`` (node). Output:
+    (node, hops) for nodes reachable within the cap; unreached nodes are
+    absent (the oracle's rule too).
+
+    Plan: level-synchronous frontier expansion — each round is ONE
+    equi-join of the current frontier against the edge list plus one
+    anti-join against the visited set, so round cost is frontier-sized,
+    never graph-sized. Frontiers are localCheckpointed (the iterative-
+    lineage discipline of pagerank_hosts) and the loop exits as soon as
+    a frontier comes back empty. At web scale the visited anti-join is
+    the hot spot: production keeps `dist` hash-bucketed on node so the
+    anti-join co-partitions, or swaps in a Bloom-filter pre-kill (cf.
+    pages/bloom.py) with the exact anti-join on the sliver.
+    """
+    dist = seeds.select(F.col("node"), F.lit(0).alias("hops")).distinct()
+    dist = dist.localCheckpoint(eager=True)
+    frontier = dist.select("node")
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+            .select("node", F.lit(h).alias("hops"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        dist = dist.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("node")
+    return dist

@@ -1289,3 +1289,47 @@ WITH nodes AS (
 )
 SELECT node, count(*) AS n_triangles FROM flat GROUP BY 1
 """
+
+
+def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS crawl depth (pages/links.bfs_hops): minimum hop
+    count from the seed set (nodes ≡ 0 mod 50) over a directed graph on
+    doc_id % 500 nodes with edges u -> (2u+1) % 500 and u -> (u+7) % 500,
+    capped at 4 hops (chosen so a real fraction of nodes is OUTSIDE the cap — the exclusion rule is attested, not vacuous). Level-synchronous frontier expansion with
+    localCheckpointed rounds; the oracle follows every path with a
+    deduplicating recursive CTE and takes min(hop) per node — attesting
+    layer order, the visited anti-join, and the cap."""
+    from versatiles_rs_spark.pages.links import bfs_hops
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    u = (F.col("doc_id") % 500).alias("u")
+    nodes = docs.select(u).distinct()
+    edges = (
+        nodes.select("u", F.explode(F.array((F.col("u") * 2 + 1) % 500,
+                                            (F.col("u") + 7) % 500)).alias("v"))
+        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .distinct()
+    )
+    seeds = nodes.filter(F.col("u") % 50 == 0).select(F.col("u").alias("node"))
+    return bfs_hops(edges, seeds, max_hops=4).select(
+        "node", F.col("hops").cast("long").alias("hops")
+    ).orderBy("node")
+
+
+O_BFS_HOPS = """
+WITH RECURSIVE nodes AS (
+  SELECT DISTINCT doc_id % 500 AS u FROM documents
+), e AS (
+  SELECT DISTINCT u AS src, (2 * u + 1) % 500 AS dst FROM nodes
+  UNION
+  SELECT DISTINCT u AS src, (u + 7) % 500 AS dst FROM nodes
+), seeds AS (
+  SELECT u AS node FROM nodes WHERE u % 50 = 0
+), walk AS (
+  SELECT node, 0 AS hop FROM seeds
+  UNION
+  SELECT e.dst AS node, w.hop + 1 AS hop
+  FROM walk w JOIN e ON e.src = w.node WHERE w.hop < 4
+)
+SELECT node, CAST(min(hop) AS BIGINT) AS hops FROM walk GROUP BY node ORDER BY node
+"""
