@@ -452,3 +452,48 @@ def test_density_tiles_png_roundtrip(spark):
 
     plan = _plan(density_tiles(density_bins(pts, zoom=0, tile_px=8), tile_px=8))
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2
+
+
+def test_time_gapfill_hand_case(spark):
+    from versatiles_rs_spark.operators.temporal import time_gapfill
+
+    # user 1: observations in buckets 0 and 3 (10us buckets) -> grid
+    # 0..3 with buckets 1,2 gap-filled carrying bucket 0's qsum
+    rows = [
+        (1, "1970-01-01 00:00:00.000002", 1.5),
+        (1, "1970-01-01 00:00:00.000008", 2.0),   # same bucket 0
+        (1, "1970-01-01 00:00:00.000031", 4.0),   # bucket 3
+        (2, "1970-01-01 00:00:00.000015", 7.0),   # single bucket -> no gaps
+    ]
+    ev = spark.createDataFrame(rows, "user_id int, ts string, value double")
+    got = {
+        (r["user_id"], r["bucket_start_us"]):
+            (r["n_obs"], r["qsum_filled"], r["gap"])
+        for r in time_gapfill(ev, "user_id", "ts", "value", 10).collect()
+    }
+    assert got == {
+        (1, 0): (2, 3_500_000, 0),
+        (1, 10): (0, 3_500_000, 1),
+        (1, 20): (0, 3_500_000, 1),
+        (1, 30): (1, 4_000_000, 0),
+        (2, 10): (1, 7_000_000, 0),
+    }
+
+
+def test_time_gapfill_carry_updates_at_next_observation(spark):
+    from versatiles_rs_spark.operators.temporal import time_gapfill
+
+    rows = [
+        (1, "1970-01-01 00:00:00.000000", 1.0),
+        (1, "1970-01-01 00:00:00.000020", 5.0),
+        (1, "1970-01-01 00:00:00.000040", 9.0),
+    ]
+    ev = spark.createDataFrame(rows, "user_id int, ts string, value double")
+    out = sorted(
+        (r["bucket_start_us"], r["qsum_filled"], r["gap"])
+        for r in time_gapfill(ev, "user_id", "ts", "value", 10).collect()
+    )
+    assert out == [
+        (0, 1_000_000, 0), (10, 1_000_000, 1), (20, 5_000_000, 0),
+        (30, 5_000_000, 1), (40, 9_000_000, 0),
+    ]

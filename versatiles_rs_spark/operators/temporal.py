@@ -196,3 +196,59 @@ def hypertable_rollup(
         )
         out = out.unionByName(cur.select(F.lit(name).alias("level"), "*"))
     return out
+
+
+def time_gapfill(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket_us: int,
+) -> DataFrame:
+    """TimescaleDB-style ``time_bucket_gapfill`` + ``locf``: per key, a
+    DENSE bucket grid from the key's first to last observed bucket, each
+    bucket carrying (n_obs, qsum) of its own events, with empty buckets
+    gap-filled by carrying the last observed bucket's qsum forward
+    (``gap`` = 1 marks filled rows). The per-bucket aggregate is a
+    1e6-quantized int64 sum (order-free exact, the hypertable_rollup
+    discipline), so LOCF carries an exact integer.
+
+    Plan: one map-side-combined agg to (key, bucket) — bounded by
+    span/bucket_us per key, not event count; per-key bucket bounds from
+    a second agg over THAT (bucket-count-sized) table; the dense grid is
+    a ``sequence`` explode of [min_b, max_b] (never a global calendar
+    join); one left join puts observations onto the grid, and one
+    key-partitioned window does the carry. Every post-agg stage is
+    bounded by grid size — the raw event table is touched exactly once.
+    The grid join is keyed (key, bucket) while the window keys on key
+    alone: at 100 TB you'd repartition by key once and let both reuse it.
+    """
+    k, t, v = key_col, ts_col, value_col
+    # TRUE integer div (the od_flows/retention discipline): float division
+    # of micros can round across a bucket boundary.
+    b = F.expr(f"unix_micros(cast({t} as timestamp)) div {bucket_us}")
+    qv = F.round(F.col(v).cast("double") * 1_000_000).cast("long")
+    obs = (
+        events.select(F.col(k), b.alias("bucket"), qv.alias("qv"))
+        .groupBy(k, "bucket")
+        .agg(F.count(F.lit(1)).alias("n_obs"), F.sum("qv").alias("qsum"))
+    )
+    spans = obs.groupBy(k).agg(
+        F.min("bucket").alias("min_b"), F.max("bucket").alias("max_b")
+    )
+    grid = spans.select(
+        k, F.explode(F.sequence("min_b", "max_b")).alias("bucket")
+    )
+    filled = grid.join(obs, [k, "bucket"], "left")
+    w = (
+        Window.partitionBy(k)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return filled.select(
+        k,
+        (F.col("bucket") * bucket_us).alias("bucket_start_us"),
+        F.coalesce("n_obs", F.lit(0)).alias("n_obs"),
+        F.last("qsum", ignorenulls=True).over(w).alias("qsum_filled"),
+        F.when(F.col("n_obs").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("gap"),
+    )

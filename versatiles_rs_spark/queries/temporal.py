@@ -369,3 +369,41 @@ SELECT a.u AS user_id, CAST(a.seg_no AS BIGINT) AS seg_no, a.n_events,
 FROM agg a JOIN firsts f ON f.u = a.u AND f.seg_no = a.seg_no AND f.rn = 1
 WHERE a.duration_us >= 43200000000
 """
+
+
+def q_time_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled LOCF time series (operators/temporal.time_gapfill):
+    per-user dense 6-hour bucket grid over the user's own observed span,
+    empty buckets carrying the last observed bucket's quantized sum
+    forward (gap = 1). ~Half the grid is gaps at sf0.01, so the carry
+    rule is attested on real holes. Oracle = identical grid/LOCF spec
+    with DuckDB's generate_series + last_value IGNORE NULLS."""
+    from versatiles_rs_spark.operators.temporal import time_gapfill
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return time_gapfill(
+        events, "user_id", "ts", "value", 21_600_000_000
+    ).orderBy("user_id", "bucket_start_us")
+
+
+O_TIME_GAPFILL = f"""
+WITH obs AS (
+  SELECT user_id, epoch_us(ts) // 21600000000 AS bucket,
+         count(*) AS n_obs, sum({_QV}) AS qsum
+  FROM events GROUP BY 1, 2
+), spans AS (
+  SELECT user_id, min(bucket) AS min_b, max(bucket) AS max_b FROM obs GROUP BY 1
+), grid AS (
+  SELECT user_id, unnest(generate_series(min_b, max_b)) AS bucket FROM spans
+), f AS (
+  SELECT g.user_id, g.bucket, o.n_obs, o.qsum
+  FROM grid g LEFT JOIN obs o ON o.user_id = g.user_id AND o.bucket = g.bucket
+)
+SELECT user_id, bucket * 21600000000 AS bucket_start_us,
+       coalesce(n_obs, 0) AS n_obs,
+       last_value(qsum IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS qsum_filled,
+       CASE WHEN n_obs IS NULL THEN 1 ELSE 0 END AS gap
+FROM f ORDER BY user_id, bucket_start_us
+"""
