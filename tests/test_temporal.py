@@ -497,3 +497,39 @@ def test_time_gapfill_carry_updates_at_next_observation(spark):
         (0, 1_000_000, 0), (10, 1_000_000, 1), (20, 5_000_000, 0),
         (30, 5_000_000, 1), (40, 9_000_000, 0),
     ]
+
+
+def test_hausdorff_hand_case(spark):
+    from versatiles_rs_spark.spatial.trajsim import hausdorff_pairs
+
+    # A = {(0,0), (10,0)}, B = {(0,1), (100,0)}:
+    # h(A->B): a=(0,0) -> min(1, 10000) = 1; a=(10,0) -> min(101, 8100)
+    #   = 101 -> max = 101
+    # h(B->A): b=(0,1) -> 1; b=(100,0) -> min(10000, 8100) = 8100
+    pts = spark.createDataFrame(
+        [(1, 0, 0), (1, 10, 0), (2, 0, 1), (2, 100, 0)],
+        "user long, qx long, qy long",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "u long, v long")
+    row = hausdorff_pairs(pts, pairs).collect()[0]
+    assert (row["h_ab"], row["h_ba"], row["h_sym"]) == (101, 8100, 8100)
+
+
+def test_hausdorff_identical_trajectories_zero(spark):
+    from versatiles_rs_spark.spatial.trajsim import hausdorff_pairs
+
+    pts = spark.createDataFrame(
+        [(1, 5, 5), (1, 7, 9), (2, 5, 5), (2, 7, 9)],
+        "user long, qx long, qy long",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "u long, v long")
+    row = hausdorff_pairs(pts, pairs).collect()[0]
+    assert (row["h_ab"], row["h_ba"], row["h_sym"]) == (0, 0, 0)
+
+
+def test_hausdorff_empty_side_dropped(spark):
+    from versatiles_rs_spark.spatial.trajsim import hausdorff_pairs
+
+    pts = spark.createDataFrame([(1, 0, 0)], "user long, qx long, qy long")
+    pairs = spark.createDataFrame([(1, 99)], "u long, v long")
+    assert hausdorff_pairs(pts, pairs).count() == 0

@@ -407,3 +407,57 @@ SELECT user_id, bucket * 21600000000 AS bucket_start_us,
        CASE WHEN n_obs IS NULL THEN 1 ELSE 0 END AS gap
 FROM f ORDER BY user_id, bucket_start_us
 """
+
+
+def q_hausdorff_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory Hausdorff similarity (spatial/trajsim.hausdorff_pairs):
+    directed + symmetric Hausdorff d² between candidate user-trajectory
+    pairs (u, u+10) over exact integer quantized coords (the stay_points
+    derivation). Pair blocking is explicit and bounded; trajectories
+    co-locate via one (u, v) exchange and the max-min matrix runs in
+    numpy blocks. Oracle brute-forces max(min(d²)) both directions."""
+    from versatiles_rs_spark.spatial.trajsim import hausdorff_pairs
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").alias("user"),
+        ((F.col("event_id") * F.lit(2654435761)) % F.lit(360_000) - F.lit(180_000)).alias("qx"),
+        ((F.col("event_id") * F.lit(2246822519)) % F.lit(170_000) - F.lit(85_000)).alias("qy"),
+    )
+    users = ev.select(F.col("user").alias("u")).distinct()
+    pairs = users.join(
+        users.select((F.col("u") - 10).alias("u")).distinct(), "u"
+    ).select("u", (F.col("u") + 10).alias("v"))
+    return hausdorff_pairs(ev, pairs).orderBy("u")
+
+
+O_HAUSDORFF_PAIRS = """
+WITH p AS (
+  SELECT user_id AS u, event_id AS pid,
+         (event_id * 2654435761) % 360000 - 180000 AS qx,
+         (event_id * 2246822519) % 170000 - 85000 AS qy
+  FROM events
+), users AS (
+  SELECT DISTINCT user_id AS u FROM events
+), pr AS (
+  SELECT a.u AS u, b.u AS v FROM users a JOIN users b ON b.u = a.u + 10
+), mins_ab AS (
+  SELECT pr.u, pr.v, pa.pid,
+         min((pa.qx - pb.qx) * (pa.qx - pb.qx)
+             + (pa.qy - pb.qy) * (pa.qy - pb.qy)) AS mind2
+  FROM pr JOIN p pa ON pa.u = pr.u JOIN p pb ON pb.u = pr.v
+  GROUP BY 1, 2, 3
+), hab AS (
+  SELECT u, v, max(mind2) AS h_ab FROM mins_ab GROUP BY 1, 2
+), mins_ba AS (
+  SELECT pr.u, pr.v, pb.pid,
+         min((pa.qx - pb.qx) * (pa.qx - pb.qx)
+             + (pa.qy - pb.qy) * (pa.qy - pb.qy)) AS mind2
+  FROM pr JOIN p pa ON pa.u = pr.u JOIN p pb ON pb.u = pr.v
+  GROUP BY 1, 2, 3
+), hba AS (
+  SELECT u, v, max(mind2) AS h_ba FROM mins_ba GROUP BY 1, 2
+)
+SELECT hab.u, hab.v, hab.h_ab, hba.h_ba, greatest(hab.h_ab, hba.h_ba) AS h_sym
+FROM hab JOIN hba ON hab.u = hba.u AND hab.v = hba.v
+ORDER BY hab.u
+"""
