@@ -533,3 +533,39 @@ def test_hausdorff_empty_side_dropped(spark):
     pts = spark.createDataFrame([(1, 0, 0)], "user long, qx long, qy long")
     pairs = spark.createDataFrame([(1, 99)], "u long, v long")
     assert hausdorff_pairs(pts, pairs).count() == 0
+
+
+def test_areal_interpolate_hand_case(spark):
+    from versatiles_rs_spark.spatial.overlaps import areal_interpolate
+
+    # source 1 (qv=100) covers target 10 fully (10x10 inside 20x20);
+    # source 2 (qv=7) overlaps target 11 by a 5x4 corner; target 12
+    # touches source 1 only edge-to-edge (half-open: no intersection)
+    src = spark.createDataFrame(
+        [(1, 0, 0, 20, 20, 100), (2, 100, 100, 120, 120, 7)],
+        "id long, x0 long, y0 long, x1 long, y1 long, qv long",
+    )
+    tgt = spark.createDataFrame(
+        [(10, 5, 5, 15, 15), (11, 115, 116, 300, 300), (12, 20, 0, 40, 20)],
+        "id long, x0 long, y0 long, x1 long, y1 long",
+    )
+    got = {
+        r["t_id"]: (r["n_src"], r["wsum"], r["covered_area"])
+        for r in areal_interpolate(src, tgt, cell=64).collect()
+    }
+    assert got == {10: (1, 100 * 100, 100), 11: (1, 7 * 20, 20)}
+
+
+def test_areal_interpolate_multi_source_sum(spark):
+    from versatiles_rs_spark.spatial.overlaps import areal_interpolate
+
+    # two sources each overlapping the target by 2x10 = 20 units
+    src = spark.createDataFrame(
+        [(1, 0, 0, 12, 10, 3), (2, 18, 0, 30, 10, 5)],
+        "id long, x0 long, y0 long, x1 long, y1 long, qv long",
+    )
+    tgt = spark.createDataFrame(
+        [(7, 10, 0, 20, 10)], "id long, x0 long, y0 long, x1 long, y1 long"
+    )
+    row = areal_interpolate(src, tgt, cell=16).collect()[0]
+    assert (row["n_src"], row["wsum"], row["covered_area"]) == (2, 3 * 20 + 5 * 20, 40)

@@ -904,3 +904,57 @@ FROM root GROUP BY 1, 2 ORDER BY 1, 2
 
 
 O_WATERSHED_BASINS = _o_watershed_basins()
+
+
+def q_areal_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Areal interpolation (spatial/overlaps.areal_interpolate): transfer
+    a source-zone statistic onto a target zone system by exact integer
+    area weighting — 400 uniform-area source rectangles (48x32, shared
+    D = 1536 keeps the final division exact) carrying qv, 250 varied
+    targets; PBSM reference-point grid join + one agg on the target key.
+    Oracle brute-forces the cross product with the same half-open
+    overlap algebra."""
+    from versatiles_rs_spark.spatial.overlaps import areal_interpolate
+
+    i = F.col("id")
+    src = spark.range(400).select(
+        i.alias("id"),
+        ((i * 53) % 2000).alias("x0"),
+        ((i * 71) % 2000).alias("y0"),
+        ((i * 53) % 2000 + 48).alias("x1"),
+        ((i * 71) % 2000 + 32).alias("y1"),
+        ((i * 37 + 11) * 1000).alias("qv"),
+    )
+    tgt = spark.range(250).select(
+        i.alias("id"),
+        ((i * 97 + 7) % 2000).alias("x0"),
+        ((i * 61 + 3) % 2000).alias("y0"),
+        ((i * 97 + 7) % 2000 + 20 + (i % 9) * 9).alias("x1"),
+        ((i * 61 + 3) % 2000 + 14 + (i % 7) * 11).alias("y1"),
+    )
+    return areal_interpolate(src, tgt, cell=128).orderBy("t_id")
+
+
+O_AREAL_INTERP = """
+WITH s AS (
+  SELECT i AS id, (i * 53) % 2000 AS x0, (i * 71) % 2000 AS y0,
+         (i * 53) % 2000 + 48 AS x1, (i * 71) % 2000 + 32 AS y1,
+         (i * 37 + 11) * 1000 AS qv
+  FROM generate_series(0, 399) AS v(i)
+), t AS (
+  SELECT i AS id, (i * 97 + 7) % 2000 AS x0, (i * 61 + 3) % 2000 AS y0,
+         (i * 97 + 7) % 2000 + 20 + (i % 9) * 9 AS x1,
+         (i * 61 + 3) % 2000 + 14 + (i % 7) * 11 AS y1
+  FROM generate_series(0, 249) AS v(i)
+), inter AS (
+  SELECT t.id AS t_id,
+         (least(s.x1, t.x1) - greatest(s.x0, t.x0))
+           * (least(s.y1, t.y1) - greatest(s.y0, t.y0)) AS area,
+         s.qv
+  FROM s CROSS JOIN t
+  WHERE s.x0 < t.x1 AND t.x0 < s.x1 AND s.y0 < t.y1 AND t.y0 < s.y1
+)
+SELECT t_id, count(*) AS n_src, sum(qv * area) AS wsum,
+       sum(area) AS covered_area
+FROM inter GROUP BY t_id ORDER BY t_id
+"""

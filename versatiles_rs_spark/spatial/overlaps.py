@@ -97,3 +97,53 @@ def distance_join(
         .filter((F.col("a_id") < F.col("b_id")) & (d2 <= F.lit(radius * radius)))
         .select("a_id", "b_id", d2.alias("d2"))
     )
+
+
+def areal_interpolate(src: DataFrame, tgt: DataFrame, cell: int = 128) -> DataFrame:
+    """Areal interpolation (area-weighted transfer of a statistic from
+    one zone system onto another — census tracts onto grid cells, admin
+    units onto catchments): for each target zone, the sum over
+    intersecting source zones of qv_src * area(src ∩ tgt), plus the
+    covered area and contributing-source count. The caller divides by
+    the source area to finish the classic uniform-density estimate
+    (sources with a COMMON area keep that division exact — the
+    map_match shared-D trick); this operator returns the exact integer
+    numerators so the oracle attests every product.
+
+    Inputs: ``src`` (id, x0, y0, x1, y1, qv int64), ``tgt`` (id, x0, y0,
+    x1, y1), half-open integer boxes. Output: (t_id, n_src, wsum,
+    covered_area), targets with no intersecting source absent.
+
+    Plan: the PBSM reference-point grid join of ``intersection_join``
+    (each pair emitted exactly once, zero dedup) followed by ONE
+    map-side-combined agg on the target key — never zones x zones.
+    """
+    ca = _cover(src.select("id", "x0", "y0", "x1", "y1", "qv"), cell, "a_")
+    cb = _cover(tgt.select("id", "x0", "y0", "x1", "y1"), cell, "b_")
+    j = ca.join(cb, on=["cx", "cy"], how="inner")
+    rx = F.greatest("a_x0", "b_x0")
+    ry = F.greatest("a_y0", "b_y0")
+    overlap = (
+        (F.col("a_x0") < F.col("b_x1"))
+        & (F.col("b_x0") < F.col("a_x1"))
+        & (F.col("a_y0") < F.col("b_y1"))
+        & (F.col("b_y0") < F.col("a_y1"))
+    )
+    canonical = (rx - rx % F.lit(cell) == F.col("cx")) & (
+        ry - ry % F.lit(cell) == F.col("cy")
+    )
+    area = (F.least("a_x1", "b_x1") - rx) * (F.least("a_y1", "b_y1") - ry)
+    return (
+        j.filter(overlap & canonical)
+        .select(
+            F.col("b_id").alias("t_id"),
+            area.cast("bigint").alias("area"),
+            (F.col("a_qv") * area.cast("bigint")).alias("wpart"),
+        )
+        .groupBy("t_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_src"),
+            F.sum("wpart").alias("wsum"),
+            F.sum("area").alias("covered_area"),
+        )
+    )
