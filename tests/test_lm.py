@@ -125,3 +125,44 @@ def test_phrase_search_rejects_single_token(spark):
     docs = spark.createDataFrame(pd.DataFrame([(1, "a b")], columns=["doc_id", "text"]))
     with pytest.raises(ValueError):
         phrase_search(docs, ["a"])
+
+
+def test_blocklist_match_hand_case(spark):
+    from versatiles_rs_spark.pages.retrieval import blocklist_match
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the hash join is slow"),          # phrase 0 once
+            (2, "hash table then join later"),     # words apart: no match
+            (3, "bad word here"),                  # single-token entry
+            (4, "hash join and hash join again"),  # phrase 0 twice
+            (5, "clean text only"),
+        ],
+        "doc_id long, text string",
+    )
+    bl = [["hash", "join"], ["bad"]]
+    got = {
+        r["doc_id"]: (r["n_phrases"], r["n_hits"])
+        for r in blocklist_match(docs, bl).collect()
+    }
+    assert got == {1: (1, 1), 3: (1, 1), 4: (1, 2)}
+
+
+def test_blocklist_match_repeated_word_phrase(spark):
+    from versatiles_rs_spark.pages.retrieval import blocklist_match
+
+    # overlapping runs of a repeated-word phrase: "go go go" contains
+    # "go go" at anchors 1 and 2
+    docs = spark.createDataFrame([(1, "go go go")], "doc_id long, text string")
+    got = blocklist_match(docs, [["go", "go"]]).collect()[0]
+    assert (got["n_phrases"], got["n_hits"]) == (1, 2)
+
+
+def test_blocklist_match_empty_list_rejected(spark):
+    import pytest
+
+    from versatiles_rs_spark.pages.retrieval import blocklist_match
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        blocklist_match(docs, [])

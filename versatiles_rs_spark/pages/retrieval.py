@@ -180,3 +180,79 @@ votes AS (
 SELECT doc_id, count(*) AS n_matches, CAST(min(anchor) AS BIGINT) AS first_pos
 FROM full_match GROUP BY 1
 """
+
+
+def blocklist_match(
+    docs: DataFrame, phrases: list[list[str]], text_col: str = "text"
+) -> DataFrame:
+    """Multi-phrase dictionary matching — the blocklist/safety-filter op
+    (C4's banned-word list at PHRASE granularity, brand-safety lists,
+    compliance terms): which documents contain ANY of the listed exact
+    consecutive-token phrases, and how many distinct list entries / hit
+    positions. Single-token entries are ordinary dictionary words; the
+    anchor-vote algebra of phrase_search degenerates to them cleanly
+    (count(*) == 1 per anchor).
+
+    Plan: ONE broadcast of the flattened (phrase_id, word, slot) table —
+    the distributed Aho-Corasick stand-in: postings prune to the
+    dictionary's word set at the scan (isin -> codegen), each posting
+    votes (phrase_id, anchor = pos - slot), and an anchor with k votes
+    for its phrase is a hit. Cost scales with the dictionary words'
+    posting lists; the corpus never shuffles and the dictionary never
+    exceeds one broadcast row per (phrase, slot).
+
+    Output: (doc_id, n_phrases, n_hits) for docs with >= 1 match.
+    """
+    if not phrases:
+        raise ValueError("empty blocklist")
+    spark = docs.sparkSession
+    rows = []
+    for pid, ph in enumerate(phrases):
+        for i, w in enumerate(ph):
+            rows.append((pid, w.lower(), i, len(ph)))
+    slots = spark.createDataFrame(rows, "pid bigint, w string, i bigint, k bigint")
+    words = sorted({w for _, w, _, _ in rows})
+    posts = docs.select(
+        "doc_id", F.posexplode(_terms(text_col)).alias("pos0", "w")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    votes = (
+        posts.filter(F.col("w").isin(words))
+        .join(F.broadcast(slots), "w")
+        .select("doc_id", "pid", "k", (F.col("pos") - F.col("i")).alias("anchor"))
+    )
+    hits = (
+        votes.groupBy("doc_id", "pid", "k", "anchor")
+        .agg(F.count("*").alias("nv"))
+        .filter(F.col("nv") == F.col("k"))
+    )
+    return hits.groupBy("doc_id").agg(
+        F.count_distinct("pid").alias("n_phrases"),
+        F.count("*").alias("n_hits"),
+    )
+
+
+def blocklist_match_sql(phrases: list[list[str]]) -> str:
+    """The identical anchor-vote dictionary match as DuckDB SQL."""
+    slot_rows = ", ".join(
+        f"({pid}, '{w.lower()}', {i}, {len(ph)})"
+        for pid, ph in enumerate(phrases)
+        for i, w in enumerate(ph)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '),
+                     x -> x != '') AS l
+  FROM documents
+), posts AS (
+  SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS pos FROM toks
+), slots(pid, w, i, k) AS (VALUES {slot_rows}),
+hits AS (
+  SELECT p.doc_id, s.pid, p.pos - s.i AS anchor
+  FROM posts p JOIN slots s ON s.w = p.w
+  GROUP BY p.doc_id, s.pid, s.k, p.pos - s.i
+  HAVING count(*) = s.k
+)
+SELECT doc_id, count(DISTINCT pid) AS n_phrases, count(*) AS n_hits
+FROM hits GROUP BY 1
+"""

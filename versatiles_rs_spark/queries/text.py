@@ -1333,3 +1333,28 @@ WITH RECURSIVE nodes AS (
 )
 SELECT node, CAST(min(hop) AS BIGINT) AS hops FROM walk GROUP BY node ORDER BY node
 """
+
+
+_BLOCKLIST = [["hash", "join"], ["slow", "scan"], ["dup"], ["fast", "merge", "batch"]]
+
+
+def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-phrase blocklist matching (pages/retrieval.blocklist_match):
+    the C4-banned-list op at phrase granularity — one broadcast
+    (phrase_id, word, slot) dictionary, postings pruned to its word set
+    at the scan, anchor votes counted per phrase. The list mixes 1-, 2-
+    and 3-token entries so the k = count(*) rule is attested across
+    lengths. Oracle = the identical anchor algebra in SQL."""
+    from versatiles_rs_spark.pages.retrieval import blocklist_match
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return blocklist_match(docs, _BLOCKLIST).orderBy("doc_id")
+
+
+def _o_blocklist_filter() -> str:
+    from versatiles_rs_spark.pages.retrieval import blocklist_match_sql
+
+    return blocklist_match_sql(_BLOCKLIST) + " ORDER BY doc_id"
+
+
+O_BLOCKLIST_FILTER = _o_blocklist_filter()
