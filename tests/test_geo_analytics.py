@@ -393,3 +393,57 @@ def test_watershed_pixel_count_conserved(spark):
     rows = basins.collect()
     assert len(rows) == 256  # every pixel resolved
     assert {r["rep"] for r in rows} == {9 * w + 5}  # single global sink
+
+
+def test_morans_i_hand_case(spark):
+    from versatiles_rs_spark.operators.density import morans_i
+
+    # 2x1 occupied tiles, counts 1 and 3: N=2, S=4 -> centered 2n-4 =
+    # {-2, +2}; one adjacent pair each direction: num = 2 * (-2*2) = -8;
+    # den = 4 + 4 = 8; W = 2  (perfect negative autocorrelation:
+    # I = (N/W)(num/den) = -1)
+    counts = spark.createDataFrame([(0, 0, 1), (1, 0, 3)], "x long, y long, n long")
+    row = morans_i(counts, zoom=4).collect()[0]
+    assert (row["n_tiles"], row["w_pairs"], row["num_q"], row["den_q"]) == (2, 2, -8, 8)
+
+
+def test_morans_i_isolated_tiles_zero_pairs(spark):
+    from versatiles_rs_spark.operators.density import morans_i
+
+    counts = spark.createDataFrame([(0, 0, 5), (8, 8, 9)], "x long, y long, n long")
+    row = morans_i(counts, zoom=5).collect()[0]
+    assert row["w_pairs"] == 0 and row["num_q"] is None
+    assert row["den_q"] == (2 * 5 - 14) ** 2 + (2 * 9 - 14) ** 2
+
+
+def test_geohash_known_vectors(spark):
+    from versatiles_rs_spark.tile_math.geohash import geohash_col
+
+    # published vectors: (lat, lon) -> geohash
+    rows = [
+        (-5_600_000, 42_600_000, "ezs42"),
+        (10_407_440, 57_649_110, "u4pru"),
+        (0, 0, "s0000"),
+        (-49_265_506, -25_382_708, "6gkzw"),
+    ]
+    df = spark.createDataFrame(
+        [(qlon, qlat) for qlon, qlat, _ in rows], "qlon long, qlat long"
+    )
+    got = [r["gh"] for r in df.select(geohash_col("qlon", "qlat", 5).alias("gh")).collect()]
+    assert got == [want for _, _, want in rows]
+
+
+def test_geohash_precision_prefix_property(spark):
+    from versatiles_rs_spark.tile_math.geohash import geohash_col
+
+    # a finer geohash is prefixed by every coarser one (same point)
+    df = spark.createDataFrame(
+        [(13_400_000, 52_500_000), (-73_985_000, 40_748_000)], "qlon long, qlat long"
+    )
+    out = df.select(
+        geohash_col("qlon", "qlat", 2).alias("g2"),
+        geohash_col("qlon", "qlat", 4).alias("g4"),
+        geohash_col("qlon", "qlat", 6).alias("g6"),
+    ).collect()
+    for r in out:
+        assert r["g6"].startswith(r["g4"]) and r["g4"].startswith(r["g2"])

@@ -148,3 +148,76 @@ def tile_hotspots(counts: DataFrame, zoom: int, hot_mult: int = 3) -> DataFrame:
             .alias("hot"),
         )
     )
+
+
+def morans_i(counts: DataFrame, zoom: int) -> DataFrame:
+    """Global Moran's I spatial autocorrelation over per-tile counts —
+    the single-number "is this map clustered or random?" diagnostic that
+    complements tile_hotspots' local verdicts. Weights are binary
+    8-neighborhood adjacency among OCCUPIED tiles.
+
+    Exactness: with N = occupied tiles and S = Σn, the centered value
+    n_i - S/N is represented as the integer N*n_i - S, so the statistic's
+    pieces are exact int64 sums: num_q = Σ_{i~j} (N*n_i - S)(N*n_j - S)
+    over ordered adjacent pairs, den_q = Σ_i (N*n_i - S)². Moran's I =
+    (N / W) * (num_q / den_q) — the N² scale factor cancels, so the
+    caller's one float division is the ONLY inexact step and happens
+    outside the attested data.
+
+    Output: one row (n_tiles, w_pairs, num_q, den_q).
+
+    Scale shape: identical to tile_hotspots — the point log collapses to
+    per-tile counts before any neighbor logic; each aggregated row emits
+    8 addressed copies (never 9x the points), one equi-join on the tile
+    key pairs occupied neighbors, and the totals are 1-row broadcasts.
+    """
+    size = 1 << zoom
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+            if not (dx == 0 and dy == 0)
+        ]
+    )
+    totals = counts.agg(
+        F.count(F.lit(1)).alias("n_tiles"), F.sum("n").alias("s")
+    )
+    addressed = (
+        counts.select("x", "y", F.col("n").alias("n_i"), F.explode(offsets).alias("o"))
+        .select(
+            (F.col("x") + F.col("o.dx")).alias("tx"),
+            (F.col("y") + F.col("o.dy")).alias("ty"),
+            "n_i",
+        )
+        .filter(
+            (F.col("tx") >= 0) & (F.col("tx") < size)
+            & (F.col("ty") >= 0) & (F.col("ty") < size)
+        )
+    )
+    pairs = addressed.join(
+        counts.select(F.col("x").alias("tx"), F.col("y").alias("ty"), F.col("n").alias("n_j")),
+        ["tx", "ty"],
+    )
+    num = (
+        pairs.crossJoin(F.broadcast(totals))
+        .select(
+            (
+                (F.col("n_tiles") * F.col("n_i") - F.col("s"))
+                * (F.col("n_tiles") * F.col("n_j") - F.col("s"))
+            ).alias("term")
+        )
+        .agg(F.count(F.lit(1)).alias("w_pairs"), F.sum("term").alias("num_q"))
+    )
+    den = (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            (
+                (F.col("n_tiles") * F.col("n") - F.col("s"))
+                * (F.col("n_tiles") * F.col("n") - F.col("s"))
+            ).alias("term2"),
+            "n_tiles",
+        )
+        .agg(F.max("n_tiles").alias("n_tiles"), F.sum("term2").alias("den_q"))
+    )
+    return num.crossJoin(den).select("n_tiles", "w_pairs", "num_q", "den_q")

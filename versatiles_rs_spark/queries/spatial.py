@@ -958,3 +958,92 @@ SELECT t_id, count(*) AS n_src, sum(qv * area) AS wsum,
        sum(area) AS covered_area
 FROM inter GROUP BY t_id ORDER BY t_id
 """
+
+
+def q_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global Moran's I (operators/density.morans_i) over z6 per-tile
+    event counts with 8-neighborhood binary weights: exact integer
+    numerator/denominator via the N*n_i - S centering identity (the
+    caller's final division is the only float step and happens outside
+    the attested data). Oracle recomputes both sums from the adjacency
+    self-join."""
+    from versatiles_rs_spark.operators.convert import assign_tiles
+    from versatiles_rs_spark.operators.density import morans_i
+
+    assigned = assign_tiles(_events_geo(spark, sf_dir), 6, 6)
+    counts = assigned.groupBy("x", "y").agg(F.count("*").alias("n"))
+    return morans_i(counts, zoom=6)
+
+
+O_MORANS_I = f"""
+WITH pts AS (
+  SELECT event_id, {LON_SQL.format(id="event_id")} AS lon, {LAT_SQL.format(id="event_id")} AS lat
+  FROM events
+), c AS (
+  SELECT {_tile_sql("x", z="6")} AS x, {_tile_sql("y", z="6")} AS y, count(*) AS n
+  FROM pts GROUP BY 1, 2
+), tot AS (SELECT count(*) AS n_tiles, sum(n) AS s FROM c),
+pairs AS (
+  SELECT a.n AS n_i, b.n AS n_j
+  FROM c a JOIN c b ON abs(a.x - b.x) <= 1 AND abs(a.y - b.y) <= 1
+                   AND NOT (a.x = b.x AND a.y = b.y)
+), num AS (
+  SELECT count(*) AS w_pairs,
+         CAST(sum((tot.n_tiles * n_i - tot.s) * (tot.n_tiles * n_j - tot.s)) AS BIGINT) AS num_q
+  FROM pairs, tot
+), den AS (
+  SELECT CAST(max(tot.n_tiles) AS BIGINT) AS n_tiles,
+         CAST(sum((tot.n_tiles * n - tot.s) * (tot.n_tiles * n - tot.s)) AS BIGINT) AS den_q
+  FROM c, tot
+)
+SELECT den.n_tiles, num.w_pairs, num.num_q, den.den_q FROM num, den
+"""
+
+
+def q_geohash_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash cell keys (tile_math/geohash.py — validated against the
+    published test vectors, e.g. (42.6, -5.6) -> ezs42): per-document
+    precision-5 geohash from pure integer div/mod arithmetic (one
+    codegen Project), aggregated per precision-2 cell (n_docs, sum of
+    ids, max precision-5 key — attesting both the coarse and fine
+    bit/base32 paths). Oracle = the identical generated arithmetic in
+    DuckDB's dialect."""
+    from versatiles_rs_spark.tile_math.geohash import geohash_col
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        ((F.col("doc_id") * F.lit(2654435761)) % F.lit(360_000_000) - F.lit(180_000_000)).alias("qlon"),
+        ((F.col("doc_id") * F.lit(2246822519)) % F.lit(170_000_000) - F.lit(85_000_000)).alias("qlat"),
+    )
+    keyed = docs.select(
+        "doc_id",
+        geohash_col("qlon", "qlat", 2).alias("gh2"),
+        geohash_col("qlon", "qlat", 5).alias("gh5"),
+    )
+    return (
+        keyed.groupBy("gh2")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("sum_doc_id"),
+            F.max("gh5").alias("max_gh5"),
+        )
+        .orderBy("gh2")
+    )
+
+
+def _o_geohash_cells() -> str:
+    from versatiles_rs_spark.tile_math.geohash import geohash_sql
+
+    lon = "(doc_id * 2654435761) % 360000000 - 180000000"
+    lat = "(doc_id * 2246822519) % 170000000 - 85000000"
+    return f"""
+WITH k AS (
+  SELECT doc_id, {geohash_sql(lon, lat, 2)} AS gh2, {geohash_sql(lon, lat, 5)} AS gh5
+  FROM documents
+)
+SELECT gh2, count(*) AS n_docs, sum(doc_id) AS sum_doc_id, max(gh5) AS max_gh5
+FROM k GROUP BY 1 ORDER BY 1
+"""
+
+
+O_GEOHASH_CELLS = _o_geohash_cells()
