@@ -447,3 +447,80 @@ def test_geohash_precision_prefix_property(spark):
     ).collect()
     for r in out:
         assert r["g6"].startswith(r["g4"]) and r["g4"].startswith(r["g2"])
+
+
+def test_skyline_hand_case(spark):
+    from versatiles_rs_spark.operators.skyline import skyline
+
+    pts = spark.createDataFrame(
+        [
+            (1, 10, 1),   # frontier (max d1)
+            (2, 5, 5),    # frontier
+            (3, 1, 10),   # frontier
+            (4, 4, 4),    # dominated by 2
+            (5, 5, 5),    # duplicate of 2: BOTH survive (no strict part)
+            (6, 5, 3),    # dominated by 2 (same d1, lower d2)
+            (7, 10, 0),   # dominated by 1
+        ],
+        "id long, d1 long, d2 long",
+    )
+    got = sorted(r["id"] for r in skyline(pts).collect())
+    assert got == [1, 2, 3, 5]
+
+
+def test_skyline_local_prune_is_sound(spark):
+    from pyspark.sql import functions as F
+
+    from versatiles_rs_spark.operators.skyline import skyline
+
+    # many partitions: global frontier must still be exact
+    df = (
+        spark.range(2000)
+        .repartition(16)
+        .select(
+            F.col("id"),
+            ((F.col("id") * 7919) % 997).alias("d1"),
+            ((F.col("id") * 104729) % 983).alias("d2"),
+        )
+    )
+    rows = [(r["id"], r["d1"], r["d2"]) for r in skyline(df).collect()]
+    all_rows = [(r["id"], r["d1"], r["d2"]) for r in df.collect()]
+    brute = [
+        p for p in all_rows
+        if not any(
+            q[1] >= p[1] and q[2] >= p[2] and (q[1] > p[1] or q[2] > p[2])
+            for q in all_rows
+        )
+    ]
+    assert sorted(rows) == sorted(brute)
+
+
+def test_grid_dbscan_hand_case(spark):
+    from versatiles_rs_spark.spatial.gridcluster import grid_dbscan
+
+    rows = []
+    # blob A: 6 points in cell (0,0) + 5 in adjacent cell (1,0) -> one
+    # cluster of 2 cells / 11 points
+    rows += [(i, 5 + i, 7) for i in range(6)]
+    rows += [(100 + i, 105 + i, 7) for i in range(5)]
+    # blob B: 5 points in far cell (50, 50)
+    rows += [(200 + i, 5000 + i, 5000) for i in range(5)]
+    # noise: 3 points alone in a cell
+    rows += [(300 + i, 9000 + i, 9000) for i in range(3)]
+    pts = spark.createDataFrame(rows, "id long, qx long, qy long")
+    got = {
+        r["cluster"]: (r["n_cells"], r["n_points"])
+        for r in grid_dbscan(pts, cell=100, min_pts=5).collect()
+    }
+    span = 1 << 21
+    assert got == {0 * span + 0: (2, 11), 50 * span + 50: (1, 5)}
+
+
+def test_grid_dbscan_diagonal_adjacency_merges(spark):
+    from versatiles_rs_spark.spatial.gridcluster import grid_dbscan
+
+    rows = [(i, 90 + i, 90) for i in range(5)]          # cell (0,0)
+    rows += [(10 + i, 100 + i, 100) for i in range(5)]  # cell (1,1), diagonal
+    pts = spark.createDataFrame(rows, "id long, qx long, qy long")
+    got = grid_dbscan(pts, cell=100, min_pts=5).collect()
+    assert len(got) == 1 and got[0]["n_cells"] == 2 and got[0]["n_points"] == 10

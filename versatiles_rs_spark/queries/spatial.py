@@ -1047,3 +1047,51 @@ FROM k GROUP BY 1 ORDER BY 1
 
 
 O_GEOHASH_CELLS = _o_geohash_cells()
+
+
+def q_grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid DBSCAN (spatial/gridcluster.grid_dbscan): 16 planted point
+    blobs (350-unit jitter around spaced centers) + 1/4 uniform noise;
+    cell 100, min_pts 8 — dense-cell 8-adjacency components labeled by
+    min packed key, noise cells excluded by the density threshold.
+    Oracle recomputes density and closes the adjacency graph with a
+    min-label recursive CTE."""
+    from versatiles_rs_spark.spatial.gridcluster import grid_dbscan
+
+    d = F.col("doc_id")
+    k = d % 16
+    pts = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.when(d % 4 == 0, (d * 2654435761) % 1000000)
+        .otherwise((k * 5 + 3) * 1000 + (d * 7919) % 150)
+        .alias("qx"),
+        F.when(d % 4 == 0, (d * 2246822519) % 1000000)
+        .otherwise(((k * 11 + 7) % 16) * 1000 + (d * 104729) % 150)
+        .alias("qy"),
+    )
+    return grid_dbscan(pts, cell=100, min_pts=5).orderBy("cluster")
+
+
+O_GRID_DBSCAN = """
+WITH RECURSIVE p AS (
+  SELECT CASE WHEN doc_id % 4 = 0 THEN (doc_id * 2654435761) % 1000000
+              ELSE ((doc_id % 16) * 5 + 3) * 1000 + (doc_id * 7919) % 150 END AS qx,
+         CASE WHEN doc_id % 4 = 0 THEN (doc_id * 2246822519) % 1000000
+              ELSE (((doc_id % 16) * 11 + 7) % 16) * 1000 + (doc_id * 104729) % 150 END AS qy
+  FROM documents
+), c AS (
+  SELECT qx // 100 AS cx, qy // 100 AS cy, count(*) AS n FROM p GROUP BY 1, 2
+), d AS (
+  SELECT cx, cy, n, cx * 2097152 + cy AS key FROM c WHERE n >= 5
+), e AS (
+  SELECT a.key AS u, b.key AS v
+  FROM d a JOIN d b ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+), reach AS (
+  SELECT key AS node, key AS lab FROM d
+  UNION
+  SELECT e.v AS node, r.lab FROM reach r JOIN e ON e.u = r.node
+), comp AS (
+  SELECT node, min(lab) AS cluster FROM reach GROUP BY node
+)
+SELECT comp.cluster, count(*) AS n_cells, CAST(sum(d.n) AS BIGINT) AS n_points
+FROM d JOIN comp ON comp.node = d.key GROUP BY 1 ORDER BY 1
+"""

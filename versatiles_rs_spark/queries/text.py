@@ -1358,3 +1358,35 @@ def _o_blocklist_filter() -> str:
 
 
 O_BLOCKLIST_FILTER = _o_blocklist_filter()
+
+
+def q_skyline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto-frontier corpus triage (operators/skyline.skyline): the
+    non-dominated documents on two independent integer score dims —
+    phase-1 batch sweeps prune locally-dominated rows (sound: in-batch
+    domination implies global), phase 2 re-sweeps the O(log n)-expected
+    candidate set in one group. Duplicate-point tie semantics match the
+    oracle's NOT EXISTS definition exactly."""
+    from versatiles_rs_spark.operators.skyline import skyline
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").alias("id"),
+        ((F.col("doc_id") * 7919) % 1000003).alias("d1"),
+        ((F.col("doc_id") * 104729) % 1000033).alias("d2"),
+    )
+    return skyline(docs).orderBy("id")
+
+
+O_SKYLINE_DOCS = """
+WITH p AS (
+  SELECT doc_id AS id, (doc_id * 7919) % 1000003 AS d1,
+         (doc_id * 104729) % 1000033 AS d2
+  FROM documents
+)
+SELECT id, d1, d2 FROM p a
+WHERE NOT EXISTS (
+  SELECT 1 FROM p b
+  WHERE b.d1 >= a.d1 AND b.d2 >= a.d2 AND (b.d1 > a.d1 OR b.d2 > a.d2)
+)
+ORDER BY id
+"""
