@@ -569,3 +569,28 @@ def test_areal_interpolate_multi_source_sum(spark):
     )
     row = areal_interpolate(src, tgt, cell=16).collect()[0]
     assert (row["n_src"], row["wsum"], row["covered_area"]) == (2, 3 * 20 + 5 * 20, 40)
+
+
+def test_exact_percentiles_hand_case(spark):
+    from versatiles_rs_spark.functions.sketches import exact_percentiles
+
+    # group 'a': values 1..10 -> p50 = rank ceil(5.0)=5 -> 5; p90 ->
+    # rank 9; p99 -> rank ceil(9.9)=10
+    rows = [("a", float(v)) for v in range(1, 11)] + [("b", 42.0)]
+    df = spark.createDataFrame(rows, "k string, value double")
+    got = {
+        (r["k"], r["p"]): r["qv"]
+        for r in exact_percentiles(df, "k", "value").collect()
+    }
+    assert got == {
+        ("a", 50): 5_000_000, ("a", 90): 9_000_000, ("a", 99): 10_000_000,
+        ("b", 50): 42_000_000, ("b", 90): 42_000_000, ("b", 99): 42_000_000,
+    }
+
+
+def test_exact_percentiles_no_global_sort(spark):
+    from versatiles_rs_spark.functions.sketches import exact_percentiles
+
+    df = spark.createDataFrame([("a", 1.0), ("b", 2.0)], "k string, value double")
+    plan = exact_percentiles(df, "k", "value")._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan.lower()

@@ -34,6 +34,7 @@ import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def _hash60(col):
@@ -243,3 +244,42 @@ def quantile_estimate(
                 break
         out.append(val / 1e6)
     return out
+
+
+def exact_percentiles(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    ps: tuple[int, ...] = (50, 90, 99),
+) -> DataFrame:
+    """EXACT per-group percentiles — the sort-based twin of
+    ``log_histogram`` (which answers the same question approximately
+    from a bounded sketch). percentile_disc semantics: the p-th
+    percentile is the value at 1-based rank ceil(p*n/100) of the
+    group's sorted values; values are 1e6-quantized int64 so both
+    engines select the identical element, and rank ties among equal
+    values cannot change the selected VALUE.
+
+    Plan: ONE hash exchange on the group key feeds a window
+    row_number + count (in-partition sort, never a global sort — the
+    shard_shuffle discipline), then a bounded (|ps|-row) join keeps the
+    ranked rows. Use the sketch when groups are huge and 1/16-octave
+    error is fine; use this when the answer must be exact — the cost
+    difference IS the sort.
+    """
+    qv = F.round(F.col(value_col).cast("double") * 1_000_000).cast("long")
+    w = Window.partitionBy("k").orderBy("qv")
+    ranked = (
+        df.select(F.col(key_col).alias("k"), qv.alias("qv"))
+        .select(
+            "k", "qv",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy("k")).alias("n"),
+        )
+    )
+    spark = df.sparkSession
+    pdf = spark.createDataFrame([(int(p),) for p in ps], "p bigint")
+    return ranked.join(
+        F.broadcast(pdf),
+        F.col("rn") == F.expr("(p * n + 99) div 100"),
+    ).select("k", "p", "qv")

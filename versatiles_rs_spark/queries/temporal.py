@@ -461,3 +461,29 @@ SELECT hab.u, hab.v, hab.h_ab, hba.h_ba, greatest(hab.h_ab, hba.h_ba) AS h_sym
 FROM hab JOIN hba ON hab.u = hba.u AND hab.v = hba.v
 ORDER BY hab.u
 """
+
+
+def q_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group percentiles (functions/sketches.exact_percentiles):
+    p50/p90/p99 of events.value per event_type by the percentile_disc
+    rank rule ceil(p*n/100) over 1e6-quantized values — one key exchange
+    + in-partition sort (no global sort), the exact twin the
+    quantile_sketch estimates are pinned against. Oracle = the identical
+    rank formula."""
+    from versatiles_rs_spark.functions.sketches import exact_percentiles
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return exact_percentiles(events, "event_type", "value").orderBy("k", "p")
+
+
+O_EXACT_PERCENTILES = f"""
+WITH v AS (
+  SELECT event_type AS k, {_QV} AS qv FROM events
+), r AS (
+  SELECT k, qv, row_number() OVER (PARTITION BY k ORDER BY qv) AS rn,
+         count(*) OVER (PARTITION BY k) AS n
+  FROM v
+), ps(p) AS (VALUES (50), (90), (99))
+SELECT k, CAST(p AS BIGINT) AS p, qv FROM r JOIN ps ON rn = (p * n + 99) // 100
+ORDER BY k, p
+"""
