@@ -594,3 +594,57 @@ def test_exact_percentiles_no_global_sort(spark):
     df = spark.createDataFrame([("a", 1.0), ("b", 2.0)], "k string, value double")
     plan = exact_percentiles(df, "k", "value")._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_interval_coverage_hand_case(spark):
+    from versatiles_rs_spark.operators.temporal import interval_coverage
+
+    iv = spark.createDataFrame(
+        [
+            # user 1: [0,10) + [5,20) merge; [20,30) touches -> merges;
+            # [50,60) separate island
+            (1, 0, 10), (1, 5, 20), (1, 20, 30), (1, 50, 60),
+            # user 2: nested interval [0,100) contains [10,20)
+            (2, 0, 100), (2, 10, 20),
+        ],
+        "user long, s long, e long",
+    )
+    got = {
+        r["k"]: (r["n_islands"], r["covered_us"], r["max_island_us"])
+        for r in interval_coverage(iv, "user", "s", "e").collect()
+    }
+    assert got == {1: (2, 40, 30), 2: (1, 100, 100)}
+
+
+def test_interval_coverage_gap_of_one_splits(spark):
+    from versatiles_rs_spark.operators.temporal import interval_coverage
+
+    iv = spark.createDataFrame([(1, 0, 10), (1, 11, 20)], "user long, s long, e long")
+    row = interval_coverage(iv, "user", "s", "e").collect()[0]
+    assert (row["n_islands"], row["covered_us"]) == (2, 19)
+
+
+def test_sssp_hand_case(spark):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from versatiles_rs_spark.pages.links import sssp_costs
+
+    # 0 -e(1)-> 1 -e(1)-> 2; direct 0 -e(5)-> 2: two-hop path wins (2 < 5)
+    edges = spark.createDataFrame(
+        [(0, 1, 1), (1, 2, 1), (0, 2, 5), (2, 3, 10)],
+        "src long, dst long, wgt long",
+    )
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {r["node"]: r["cost"] for r in sssp_costs(edges, seeds).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 12}
+
+
+def test_sssp_multisource_min(spark):
+    from versatiles_rs_spark.pages.links import sssp_costs
+
+    edges = spark.createDataFrame(
+        [(0, 5, 9), (10, 5, 2)], "src long, dst long, wgt long"
+    )
+    seeds = spark.createDataFrame([(0,), (10,)], "node long")
+    got = {r["node"]: r["cost"] for r in sssp_costs(edges, seeds).collect()}
+    assert got == {0: 0, 10: 0, 5: 2}

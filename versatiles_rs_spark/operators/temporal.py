@@ -252,3 +252,50 @@ def time_gapfill(
         F.last("qsum", ignorenulls=True).over(w).alias("qsum_filled"),
         F.when(F.col("n_obs").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("gap"),
     )
+
+
+def interval_coverage(
+    intervals: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Interval union per key — the gaps-and-islands rollup: overlapping
+    or touching [start, end) intervals merge into islands; output per
+    key is (n_islands, covered_us, max_island_us). The question behind
+    "total active time from overlapping sessions", "effective crawl
+    coverage from retries", DVR-style dedup of spans.
+
+    Fully relational: ONE hash exchange on the key feeds two windows —
+    an island starts where start > running max(end) of all PRIOR
+    intervals (sorted by start, then end; touching spans merge, the
+    standard half-open rule), island ids are the running sum of starts,
+    and island extent is max(end) - min(start). All integer microseconds;
+    no Python, no self-join, no explode.
+    """
+    k, s, e = key_col, start_col, end_col
+    w = Window.partitionBy(k).orderBy(s, e)
+    prev_max = F.max(e).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    new_island = F.when(
+        prev_max.isNull() | (F.col(s) > prev_max), F.lit(1)
+    ).otherwise(F.lit(0))
+    flagged = intervals.select(
+        F.col(k).alias("k"), F.col(s).alias("s"), F.col(e).alias("e"),
+        new_island.alias("ni"),
+    )
+    w2 = (
+        Window.partitionBy("k")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    islands = flagged.select(
+        "k", "s", "e", F.sum("ni").over(w2).alias("island")
+    )
+    per_island = islands.groupBy("k", "island").agg(
+        (F.max("e") - F.min("s")).alias("extent")
+    )
+    return per_island.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum("extent").alias("covered_us"),
+        F.max("extent").alias("max_island_us"),
+    )

@@ -184,3 +184,53 @@ def bfs_hops(edges: DataFrame, seeds: DataFrame, max_hops: int = 10) -> DataFram
         dist = dist.union(nxt).localCheckpoint(eager=True)
         frontier = nxt.select("node")
     return dist
+
+
+def sssp_costs(
+    edges: DataFrame, seeds: DataFrame, max_rounds: int = 40
+) -> DataFrame:
+    """Multi-source single-source-shortest-path costs over positive
+    integer edge weights — the weighted upgrade of ``bfs_hops`` (crawl
+    depth where hops aren't equal: politeness delay, fetch cost, link
+    quality). Input: ``edges`` (src, dst, wgt > 0), ``seeds`` (node).
+    Output: (node, cost) exact minimum cost from any seed, for every
+    reachable node.
+
+    Plan: frontier Bellman-Ford — each round relaxes only the nodes
+    IMPROVED last round (frontier-sized join against edges), merges
+    candidate costs into the distance table with one min-agg, and exits
+    as soon as a round improves nothing. Positive weights guarantee
+    convergence in <= |V| rounds; real graphs converge in
+    O(shortest-path diameter). Frontiers and the distance table are
+    localCheckpointed per round (iterative-lineage discipline).
+    """
+    dist = (
+        seeds.select("node", F.lit(0).alias("cost"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist
+    for _ in range(max_rounds):
+        cand = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select(F.col("dst").alias("node"), (F.col("cost") + F.col("wgt")).alias("cost"))
+            .groupBy("node")
+            .agg(F.min("cost").alias("cost"))
+        )
+        old = dist.select(F.col("node").alias("onode"), F.col("cost").alias("ocost"))
+        imp = (
+            cand.join(old, cand["node"] == old["onode"], "left")
+            .filter(F.col("ocost").isNull() | (F.col("cost") < F.col("ocost")))
+            .select("node", "cost")
+            .localCheckpoint(eager=True)
+        )
+        if imp.limit(1).count() == 0:
+            break
+        dist = (
+            dist.unionByName(imp)
+            .groupBy("node")
+            .agg(F.min("cost").alias("cost"))
+            .localCheckpoint(eager=True)
+        )
+        frontier = imp
+    return dist

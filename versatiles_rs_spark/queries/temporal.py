@@ -487,3 +487,49 @@ WITH v AS (
 SELECT k, CAST(p AS BIGINT) AS p, qv FROM r JOIN ps ON rn = (p * n + 99) // 100
 ORDER BY k, p
 """
+
+
+def q_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval union / gaps-and-islands (operators/temporal.
+    interval_coverage): per-user merged coverage of the range_join
+    fixture's [ts, ts + (1 + event_id % 48)h) intervals — islands start
+    where start exceeds the running max(end); touching spans merge.
+    One key exchange, two windows, pure integer micros. Oracle =
+    identical window spec."""
+    from versatiles_rs_spark.operators.temporal import interval_coverage
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    iv = ev.select(
+        "user_id",
+        us.alias("start_us"),
+        (us + (1 + F.col("event_id") % 48) * 3_600_000_000).alias("end_us"),
+    )
+    return interval_coverage(iv, "user_id", "start_us", "end_us").orderBy("k")
+
+
+O_INTERVAL_COVERAGE = """
+WITH iv AS (
+  SELECT user_id AS k, epoch_us(ts) AS s,
+         epoch_us(ts) + (1 + event_id % 48) * 3600000000 AS e
+  FROM events
+), flagged AS (
+  SELECT k, s, e,
+         CASE WHEN max(e) OVER (PARTITION BY k ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                OR s > max(e) OVER (PARTITION BY k ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS ni
+  FROM iv
+), islands AS (
+  SELECT k, s, e,
+         sum(ni) OVER (PARTITION BY k ORDER BY s, e
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM flagged
+), per_island AS (
+  SELECT k, island, max(e) - min(s) AS extent FROM islands GROUP BY 1, 2
+)
+SELECT k, count(*) AS n_islands, CAST(sum(extent) AS BIGINT) AS covered_us,
+       max(extent) AS max_island_us
+FROM per_island GROUP BY k ORDER BY k
+"""

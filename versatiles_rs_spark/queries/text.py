@@ -1390,3 +1390,50 @@ WHERE NOT EXISTS (
 )
 ORDER BY id
 """
+
+
+def q_sssp_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted shortest paths (pages/links.sssp_costs): frontier
+    Bellman-Ford from the mod-50 seed set over the bfs_hops graph with
+    positive weights 1 + (src*7 + dst*13) % 9 — converges to the exact
+    fixpoint (early exit on no improvement). The oracle explores all
+    paths with a deduplicating recursive CTE under the sound cost cap
+    90 (every node is within 10 hops of a seed and max weight is 9, so
+    every optimal path — and each of its prefixes — costs <= 90)."""
+    from versatiles_rs_spark.pages.links import sssp_costs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    u = (F.col("doc_id") % 500).alias("u")
+    nodes = docs.select(u).distinct()
+    edges = (
+        nodes.select("u", F.explode(F.array((F.col("u") * 2 + 1) % 500,
+                                            (F.col("u") + 7) % 500)).alias("v"))
+        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .distinct()
+        .select("src", "dst", (1 + (F.col("src") * 7 + F.col("dst") * 13) % 9).alias("wgt"))
+    )
+    seeds = nodes.filter(F.col("u") % 50 == 0).select(F.col("u").alias("node"))
+    return sssp_costs(edges, seeds).select(
+        "node", F.col("cost").cast("long").alias("cost")
+    ).orderBy("node")
+
+
+O_SSSP_COSTS = """
+WITH RECURSIVE nodes AS (
+  SELECT DISTINCT doc_id % 500 AS u FROM documents
+), e0 AS (
+  SELECT DISTINCT u AS src, (2 * u + 1) % 500 AS dst FROM nodes
+  UNION
+  SELECT DISTINCT u AS src, (u + 7) % 500 AS dst FROM nodes
+), e AS (
+  SELECT src, dst, 1 + (src * 7 + dst * 13) % 9 AS wgt FROM e0
+), seeds AS (
+  SELECT u AS node FROM nodes WHERE u % 50 = 0
+), walk AS (
+  SELECT node, 0 AS cost FROM seeds
+  UNION
+  SELECT e.dst AS node, w.cost + e.wgt AS cost
+  FROM walk w JOIN e ON e.src = w.node WHERE w.cost + e.wgt <= 90
+)
+SELECT node, CAST(min(cost) AS BIGINT) AS cost FROM walk GROUP BY node ORDER BY node
+"""
