@@ -648,3 +648,62 @@ def test_sssp_multisource_min(spark):
     seeds = spark.createDataFrame([(0,), (10,)], "node long")
     got = {r["node"]: r["cost"] for r in sssp_costs(edges, seeds).collect()}
     assert got == {0: 0, 10: 0, 5: 2}
+
+
+def test_union_area_hand_case(spark):
+    from versatiles_rs_spark.spatial.overlaps import union_area
+
+    rects = spark.createDataFrame(
+        [
+            # grp 0: two 10x10 overlapping by 5x10 -> union 150; plus a
+            # disjoint 2x3
+            (0, 0, 0, 10, 10), (0, 5, 0, 15, 10), (0, 100, 100, 102, 103),
+            # grp 1: nested -> union = outer 20x20
+            (1, 0, 0, 20, 20), (1, 5, 5, 10, 10),
+        ],
+        "grp long, x0 long, y0 long, x1 long, y1 long",
+    )
+    got = {
+        r["grp"]: (r["n_rects"], r["union_area"])
+        for r in union_area(rects, cell=16).collect()
+    }
+    assert got == {0: (3, 156), 1: (2, 400)}
+
+
+def test_union_area_cell_boundary_straddle(spark):
+    from versatiles_rs_spark.spatial.overlaps import union_area
+
+    # one rect spanning 4 cells exactly: area must not double-count
+    rects = spark.createDataFrame(
+        [(0, 10, 10, 22, 22)], "grp long, x0 long, y0 long, x1 long, y1 long"
+    )
+    row = union_area(rects, cell=16).collect()[0]
+    assert (row["n_rects"], row["union_area"]) == (1, 144)
+
+
+def test_trend_stats_hand_case(spark):
+    import datetime as dt
+
+    from versatiles_rs_spark.operators.temporal import trend_stats
+
+    t0 = 1_704_067_200_000_000
+    base = dt.datetime(2024, 1, 1)
+    # user 1: y = 2x + 1 at x = 0, 1, 2 minutes -> perfect slope 2
+    rows = [
+        (1, base, 1.0),
+        (1, base + dt.timedelta(minutes=1), 3.0),
+        (1, base + dt.timedelta(minutes=2), 5.0),
+        # user 2: flat
+        (2, base, 7.0),
+        (2, base + dt.timedelta(minutes=10), 7.0),
+    ]
+    df = spark.createDataFrame(rows, "user long, ts timestamp, value double")
+    got = {
+        r["key"]: (r["n"], r["num_q"], r["den_q"])
+        for r in trend_stats(df, "user", "ts", "value", t0).collect()
+    }
+    # user 1: n=3 sx=3 sy=9000 sxy=(0+3000+10000)=13000 sxx=5
+    # num = 3*13000 - 3*9000 = 12000; den = 3*5 - 9 = 6 -> slope 2000 (=2.0*y_quant)
+    assert got[1] == (3, 12000, 6)
+    assert got[1][1] / got[1][2] == 2000.0
+    assert got[2] == (2, 0, 2 * 100 - 100)  # num 0: flat

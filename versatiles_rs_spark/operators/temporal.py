@@ -299,3 +299,48 @@ def interval_coverage(
         F.sum("extent").alias("covered_us"),
         F.max("extent").alias("max_island_us"),
     )
+
+
+def trend_stats(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    t0_us: int,
+    x_unit_us: int = US_PER_MIN,
+    y_quant: int = 1000,
+) -> DataFrame:
+    """Per-key OLS trend as EXACT integers — "is this entity's metric
+    rising or falling, and how fast" across millions of keys in one
+    aggregation. The least-squares slope over points (x_i, y_i) is
+    num/den with num = n*Σxy − Σx*Σy and den = n*Σx² − (Σx)²; both are
+    exact int64 when x = integer time units since ``t0_us`` and y is
+    ``y_quant``-quantized, so the only float is the caller's final
+    division (slope sign/zero is decidable without it: sign(num), since
+    den >= 0). Unit choices bound the products: minutes-since-epoch-
+    anchor x ~1e4-5 and 1e3-quantized y keep n*Σxy far inside int64 for
+    per-key counts into the millions.
+
+    Plan: ONE map-side-combined aggregation (n, Σx, Σy, Σxy, Σx²) per
+    key — no window, no sort, no second pass.
+    Output: (key, n, num_q, den_q).
+    """
+    k = key_col
+    x = F.expr(
+        f"(unix_micros(cast({ts_col} as timestamp)) - {t0_us}) div {x_unit_us}"
+    )
+    y = F.round(F.col(value_col).cast("double") * y_quant).cast("long")
+    base = events.select(F.col(k).alias("key"), x.alias("x"), y.alias("y"))
+    agg = base.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return agg.select(
+        "key",
+        "n",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("num_q"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("den_q"),
+    )

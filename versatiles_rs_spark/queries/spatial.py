@@ -1095,3 +1095,68 @@ WITH RECURSIVE p AS (
 SELECT comp.cluster, count(*) AS n_cells, CAST(sum(d.n) AS BIGINT) AS n_points
 FROM d JOIN comp ON comp.node = d.key GROUP BY 1 ORDER BY 1
 """
+
+
+def q_union_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rectangle union area per group (spatial/overlaps.union_area):
+    the intersection_join rect layer grouped mod 7 — PBSM cell cover +
+    executor-local bitmap paint (overlaps counted once, O(cell²) task
+    memory). Oracle = the classic slab sweep: distinct-x slabs joined to
+    covering rects, y-interval union via gaps-and-islands, area =
+    Σ slab_width x covered_y."""
+    from versatiles_rs_spark.spatial.overlaps import union_area
+
+    i = F.col("id")
+    rects = spark.range(300).select(
+        (i % 7).alias("grp"),
+        ((i * 97) % 3000).alias("x0"),
+        ((i * 61) % 3000).alias("y0"),
+        ((i * 97) % 3000 + 20 + (i % 13) * 7).alias("x1"),
+        ((i * 61) % 3000 + 15 + (i % 11) * 9).alias("y1"),
+    )
+    return union_area(rects, cell=128).orderBy("grp")
+
+
+O_UNION_AREA = """
+WITH r AS (
+  SELECT i % 7 AS grp, (i * 97) % 3000 AS x0, (i * 61) % 3000 AS y0,
+         (i * 97) % 3000 + 20 + (i % 13) * 7 AS x1,
+         (i * 61) % 3000 + 15 + (i % 11) * 9 AS y1
+  FROM generate_series(0, 299) AS s(i)
+), xs AS (
+  SELECT DISTINCT grp, x0 AS x FROM r UNION SELECT DISTINCT grp, x1 FROM r
+), slabs AS (
+  SELECT grp, x AS sx0, lead(x) OVER (PARTITION BY grp ORDER BY x) AS sx1
+  FROM xs
+), cov AS (
+  SELECT s.grp, s.sx0, s.sx1, rr.y0, rr.y1
+  FROM slabs s JOIN r rr
+    ON rr.grp = s.grp AND rr.x0 <= s.sx0 AND rr.x1 >= s.sx1
+  WHERE s.sx1 IS NOT NULL
+), flagged AS (
+  SELECT grp, sx0, sx1, y0, y1,
+         CASE WHEN max(y1) OVER (PARTITION BY grp, sx0 ORDER BY y0, y1
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                OR y0 > max(y1) OVER (PARTITION BY grp, sx0 ORDER BY y0, y1
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS ni
+  FROM cov
+), islands AS (
+  SELECT grp, sx0, sx1, y0, y1,
+         sum(ni) OVER (PARTITION BY grp, sx0 ORDER BY y0, y1
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM flagged
+), per_island AS (
+  SELECT grp, sx0, max(sx1) AS sx1, island, max(y1) - min(y0) AS ylen
+  FROM islands GROUP BY grp, sx0, island
+), per_slab AS (
+  SELECT grp, sx0, max(sx1) AS sx1, sum(ylen) AS ycov
+  FROM per_island GROUP BY grp, sx0
+), nr AS (
+  SELECT grp, count(*) AS n_rects FROM r GROUP BY grp
+)
+SELECT nr.grp, nr.n_rects,
+       CAST(sum((per_slab.sx1 - per_slab.sx0) * per_slab.ycov) AS BIGINT) AS union_area
+FROM per_slab JOIN nr ON nr.grp = per_slab.grp
+GROUP BY nr.grp, nr.n_rects ORDER BY nr.grp
+"""

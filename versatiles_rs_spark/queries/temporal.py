@@ -533,3 +533,32 @@ SELECT k, count(*) AS n_islands, CAST(sum(extent) AS BIGINT) AS covered_us,
        max(extent) AS max_island_us
 FROM per_island GROUP BY k ORDER BY k
 """
+
+
+def q_trend_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS trend (operators/temporal.trend_stats): exact
+    integer slope numerator/denominator over (minutes since 2024-01-01,
+    1e3-quantized value) — one map-side-combined agg, the caller's
+    division is the only float. Oracle recomputes the five sums."""
+    from versatiles_rs_spark.operators.temporal import trend_stats
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    t0 = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in epoch micros
+    return trend_stats(events, "user_id", "ts", "value", t0).orderBy("key")
+
+
+O_TREND_STATS = """
+WITH b AS (
+  SELECT user_id AS key,
+         (epoch_us(ts) - 1704067200000000) // 60000000 AS x,
+         CAST(round(CAST(value AS DOUBLE) * 1000) AS BIGINT) AS y
+  FROM events
+), a AS (
+  SELECT key, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM b GROUP BY key
+)
+SELECT key, n, CAST(n * sxy - sx * sy AS BIGINT) AS num_q,
+       CAST(n * sxx - sx * sx AS BIGINT) AS den_q
+FROM a ORDER BY key
+"""

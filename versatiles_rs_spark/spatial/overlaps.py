@@ -147,3 +147,60 @@ def areal_interpolate(src: DataFrame, tgt: DataFrame, cell: int = 128) -> DataFr
             F.sum("area").alias("covered_area"),
         )
     )
+
+
+def union_area(rects: DataFrame, cell: int = 128) -> DataFrame:
+    """EXACT union area per group over half-open integer rectangles —
+    "how much ground do these zones actually cover" with overlaps
+    counted once (the question intersection_join/areal_interpolate
+    cannot answer, because union is not pairwise).
+
+    Plan: each rect explodes onto the grid cells it touches (the PBSM
+    cover of ``intersection_join``), clips to the cell, and ONE hash
+    exchange on (grp, cell) feeds an executor-local exact paint: a
+    cell² boolean bitmap (16 KiB at cell=128) marks covered integer
+    pixels, whose popcount is the cell's exact union contribution —
+    overlap resolution never leaves the executor and per-task memory is
+    O(cell²) regardless of rect count. One bounded agg sums cells per
+    group. The oracle computes the same areas with the classic slab
+    sweep (distinct-x slabs x y-interval gaps-and-islands), so MATCH
+    attests the cover explode, clipping, painting, and the sum.
+
+    Input: (grp, x0, y0, x1, y1), x0 < x1, y0 < y1, non-negative
+    coords. Output: (grp, n_rects, union_area).
+    """
+    import numpy as np
+    import pandas as pd
+
+    c = F.lit(cell)
+    first = lambda col: F.col(col) - F.col(col) % c  # noqa: E731
+    last = lambda col: (F.col(col) - 1) - (F.col(col) - 1) % c  # noqa: E731
+    covered = (
+        rects.select(
+            "grp", "x0", "y0", "x1", "y1",
+            F.explode(F.sequence(first("x0"), last("x1"), c)).alias("cx"),
+        )
+        .withColumn("cy", F.explode(F.sequence(first("y0"), last("y1"), c)))
+        .select(
+            "grp", "cx", "cy",
+            (F.greatest("x0", F.col("cx")) - F.col("cx")).alias("px0"),
+            (F.greatest("y0", F.col("cy")) - F.col("cy")).alias("py0"),
+            (F.least("x1", F.col("cx") + c) - F.col("cx")).alias("px1"),
+            (F.least("y1", F.col("cy") + c) - F.col("cy")).alias("py1"),
+        )
+    )
+
+    def paint(pdf: pd.DataFrame) -> pd.DataFrame:
+        grid = np.zeros((cell, cell), dtype=bool)
+        for r in pdf.itertuples(index=False):
+            grid[r.py0:r.py1, r.px0:r.px1] = True
+        return pd.DataFrame(
+            {"grp": [pdf["grp"].iloc[0]], "covered": [int(grid.sum())]}
+        )
+
+    per_cell = covered.groupBy("grp", "cx", "cy").applyInPandas(
+        paint, "grp bigint, covered bigint"
+    )
+    areas = per_cell.groupBy("grp").agg(F.sum("covered").alias("union_area"))
+    nr = rects.groupBy("grp").agg(F.count(F.lit(1)).alias("n_rects"))
+    return nr.join(areas, "grp").select("grp", "n_rects", "union_area")
