@@ -211,6 +211,29 @@ def job_geo_analytics(spark, sf_dir) -> dict:
     }
 
 
+def job_graph_frontier(spark, sf_dir) -> dict:
+    """Headline slot for the iterative-graph + frontier family (round 5,
+    session 7): watershed pointer doubling (halo build + in-tile
+    compression + log-round global joins), frontier Bellman-Ford,
+    grid-DBSCAN components, skyline two-phase sweep, and the
+    gaps-and-islands interval union over events."""
+    from versatiles_rs_spark.queries import (
+        q_grid_dbscan,
+        q_interval_coverage,
+        q_skyline_docs,
+        q_sssp_costs,
+        q_watershed_basins,
+    )
+
+    return {
+        "basin_rows": q_watershed_basins(spark, sf_dir).count(),
+        "sssp_rows": q_sssp_costs(spark, sf_dir).count(),
+        "dbscan_rows": q_grid_dbscan(spark, sf_dir).count(),
+        "skyline_rows": q_skyline_docs(spark, sf_dir).count(),
+        "coverage_rows": q_interval_coverage(spark, sf_dir).count(),
+    }
+
+
 JOBS = {
     "convert_pyramid": job_convert_pyramid,
     "pip_join": job_pip_join,
@@ -221,6 +244,7 @@ JOBS = {
     "geo_polygons": job_geo_polygons,
     "temporal_ops": job_temporal_ops,
     "geo_analytics": job_geo_analytics,
+    "graph_frontier": job_graph_frontier,
 }
 
 
@@ -279,7 +303,7 @@ def run_bench() -> dict:
     total = round(sum(timings.values()), 3)
     tiles = extras["convert_pyramid"]["tiles"]
     return {
-        "metric": "headline_total_sec (convert z0-14 + pip join + assign + ann + stats + curate funnel + geo polygons + temporal/sketch ops + geo analytics)",
+        "metric": "headline_total_sec (convert z0-14 + pip join + assign + ann + stats + curate funnel + geo polygons + temporal/sketch ops + geo analytics + graph frontier)",
         "value": total,
         "unit": "sec",
         "queries": timings,
