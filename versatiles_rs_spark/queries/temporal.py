@@ -562,3 +562,65 @@ SELECT key, n, CAST(n * sxy - sx * sy AS BIGINT) AS num_q,
        CAST(n * sxx - sx * sx AS BIGINT) AS den_q
 FROM a ORDER BY key
 """
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column querying: extract the integer `k` from the
+    events.props JSON string with the engine's native JSON path
+    evaluator (get_json_object — JVM-side, codegen; DuckDB twin =
+    json_extract), bucket to deciles, and roll up counts + quantized
+    value sums per (event_type, k decile). Attests cross-engine JSON
+    parsing, not just arithmetic."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.get_json_object("props", "$.k").cast("long")
+    qv = F.round(F.col("value").cast("double") * 1e6).cast("long")
+    return (
+        ev.select("event_type", (k / 10).cast("long").alias("k_decile"), qv.alias("qv"))
+        .groupBy("event_type", "k_decile")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("qv").alias("sum_qv"))
+        .orderBy("event_type", "k_decile")
+    )
+
+
+O_JSON_PROPS_ROLLUP = f"""
+SELECT event_type,
+       CAST(json_extract(props, '$.k') AS BIGINT) // 10 AS k_decile,
+       count(*) AS n, sum({_QV}) AS sum_qv
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot / crosstab: per-user-decade event-type count matrix through
+    Spark's native pivot (explicit value list — no extra distinct pass)
+    vs the oracle's CASE-sum spelling; attests the relational pivot
+    surface, NULL-free via fillna(0) == count FILTER."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = (
+        ev.select(F.expr("user_id div 10").alias("user_decade"), "event_type")
+        .groupBy("user_decade")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .count()
+        .na.fill(0, list(_EVENT_TYPES))
+    )
+    return out.select(
+        "user_decade", *[F.col(t).alias(f"n_{t}") for t in _EVENT_TYPES]
+    ).orderBy("user_decade")
+
+
+def _o_event_pivot() -> str:
+    cols = ",\n       ".join(
+        f"count(*) FILTER (WHERE event_type = '{t}') AS n_{t}"
+        for t in _EVENT_TYPES
+    )
+    return f"""
+SELECT user_id // 10 AS user_decade,
+       {cols}
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+O_EVENT_PIVOT = _o_event_pivot()
