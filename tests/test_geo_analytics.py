@@ -524,3 +524,36 @@ def test_grid_dbscan_diagonal_adjacency_merges(spark):
     pts = spark.createDataFrame(rows, "id long, qx long, qy long")
     got = grid_dbscan(pts, cell=100, min_pts=5).collect()
     assert len(got) == 1 and got[0]["n_cells"] == 2 and got[0]["n_points"] == 10
+
+
+def test_flow_accumulation_hand_chain(spark):
+    from versatiles_rs_spark.operators.map_algebra import flow_accumulation
+
+    # 3 -> 2 -> 1 -> 0 (sink), plus 4 -> 1
+    edges = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 1), (3, 2), (4, 1)], "pid long, rep long"
+    )
+    got = {r["pid"]: r["acc"] for r in flow_accumulation(edges).collect()}
+    assert got == {0: 5, 1: 4, 2: 2, 3: 1, 4: 1}
+
+
+def test_flow_accumulation_conserves_nothing_lost(spark):
+    from versatiles_rs_spark.operators.map_algebra import flow_accumulation
+
+    # two disjoint sinks: accumulations partition per tree
+    edges = spark.createDataFrame(
+        [(10, 11), (11, 11), (20, 21), (21, 22), (22, 22)], "pid long, rep long"
+    )
+    got = {r["pid"]: r["acc"] for r in flow_accumulation(edges).collect()}
+    assert got == {10: 1, 11: 2, 20: 1, 21: 2, 22: 3}
+
+
+def test_dem_flow_edges_uncompressed_one_step(spark):
+    from versatiles_rs_spark.operators.map_algebra import dem_flow_edges
+
+    t, w = 2, 4
+    tiles = _grid_tiles(spark, t, 2, 2, lambda gx, gy: gx + 4 * gy)
+    got = {r["pid"]: r["rep"] for r in dem_flow_edges(tiles, t, w, compress=False).collect()}
+    # one-step: pid 13 (gx=1,gy=3) drains N one step to pid 9, not its
+    # compressed rep 5
+    assert got[13] == 9 and got[9] == 5

@@ -360,7 +360,9 @@ _EDGES = StructType(
 )
 
 
-def dem_flow_edges(tiles: DataFrame, tile_px: int, width_px: int) -> DataFrame:
+def dem_flow_edges(
+    tiles: DataFrame, tile_px: int, width_px: int, compress: bool = True
+) -> DataFrame:
     """Per-pixel D8 drain pointers over a DEM tile level, locally
     path-compressed: (pid, rep) where pid = gy*width_px + gx and rep is
     the END of the pixel's in-tile drain path — either a global sink
@@ -455,6 +457,8 @@ def dem_flow_edges(tiles: DataFrame, tile_px: int, width_px: int) -> DataFrame:
         gy = np.arange(y * t, (y + 1) * t, dtype=np.int64)
         pid = (gy[:, None] * w + gx[None, :]).ravel()
         par = ((gy[:, None] + best_dy) * w + (gx[None, :] + best_dx)).ravel()
+        if not compress:
+            return pd.DataFrame({"pid": pid, "rep": par})
         # in-tile path compression: pointer-double the local pointers
         # until every rep is a sink or an out-of-tile pixel.
         x0, x1 = x * t, (x + 1) * t
@@ -497,3 +501,57 @@ def watershed_basins(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
         if moved == 0:
             break
     return p
+
+
+def flow_accumulation(edges: DataFrame, max_rounds: int = 16) -> DataFrame:
+    """D8 flow accumulation — each pixel's upstream drainage area (the
+    count of pixels whose drain path passes through it, plus itself):
+    the hydrology companion of dem_flow_dir/watershed_basins, the input
+    to stream-network extraction ("channel where accumulation >= T").
+
+    Input: ONE-STEP drain pointers (pid, rep) from
+    ``dem_flow_edges(..., compress=False)`` (sinks self-pointing).
+
+    Algorithm: ancestor-pair enumeration by pointer doubling — maintain
+    A = {(q, anc): anc on q's path within 2^k steps} and the jump table
+    J = f^(2^k); each round A ∪= A∘J (shift the known prefix by the
+    jump) and J = J∘J, so k rounds cover paths of length 2^k. The
+    OUTPUT (all path-membership pairs) is inherently Σ path-length
+    sized; the doubling reaches it in O(log max-path) rounds instead of
+    max-path rounds of peeling — same join volume, exponentially fewer
+    synchronization barriers. acc(p) = 1 + distinct upstream q.
+
+    Drain paths strictly descend, so pair sets converge; the loop exits
+    when a round adds nothing. Every round localCheckpoints (iterative
+    discipline). Returns (pid, acc).
+    """
+    step = edges.select("pid", F.col("rep").alias("anc")).filter(
+        F.col("pid") != F.col("anc")
+    )
+    pairs = step.localCheckpoint(eager=True)
+    jump = edges.localCheckpoint(eager=True)  # f^(2^k), k = 0
+    for _ in range(max_rounds):
+        j2 = (
+            jump.alias("a")
+            .join(jump.alias("b"), F.col("a.rep") == F.col("b.pid"))
+            .select(F.col("a.pid").alias("pid"), F.col("b.rep").alias("rep"))
+            .localCheckpoint(eager=True)
+        )
+        shifted = (
+            jump.select(F.col("pid").alias("jpid"), F.col("rep").alias("jrep"))
+            .join(pairs, F.col("jrep") == pairs["pid"])
+            .select(F.col("jpid").alias("pid"), F.col("anc"))
+            .filter(F.col("pid") != F.col("anc"))
+        )
+        grown = pairs.unionByName(shifted).distinct().localCheckpoint(eager=True)
+        added = grown.count() - pairs.count()
+        pairs = grown
+        jump = j2
+        if added == 0:
+            break
+    ups = pairs.groupBy(F.col("anc").alias("pid")).agg(
+        F.count(F.lit(1)).alias("n_up")
+    )
+    return edges.select("pid").join(ups, "pid", "left").select(
+        "pid", (F.coalesce(F.col("n_up"), F.lit(0)) + 1).alias("acc")
+    )

@@ -796,32 +796,17 @@ O_DEM_FLOW_DIR = _o_dem_flow_dir()
 _WS_CENTERS = tuple(((k * 97 + 13) % 256, (k * 61 + 7) % 256) for k in range(12))
 
 
-def q_watershed_basins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watershed basin labeling (operators/map_algebra.dem_flow_edges +
-    watershed_basins): every pixel of a 256x256 DEM level drains along
-    D8 steepest descent to its terminal sink; output = per-sink basin
-    size. Edge pixels drain among AVAILABLE neighbors (no world-edge
-    exclusion), so basin sizes conserve the pixel count. The plan is the
-    scale story: one ring-halo exchange builds per-pixel pointers,
-    IN-TILE path compression collapses chains to tile hops executor-
-    locally, then O(log tile-diameter) pointer-doubling joins resolve
-    the global fixed point. The oracle recomputes the drain argmax from
-    the closed form and follows every path with a recursive CTE —
-    attesting pointer construction, halo routing, compression, AND the
-    doubling loop."""
+def _ws_tiles(spark: SparkSession):
+    """The shared watershed/accumulation DEM fixture: 8x8 tiles of 32px,
+    elevation = min over the 12 _WS_CENTERS paraboloids, real PNG bytes."""
     import numpy as np
     import pandas as pd
 
     from versatiles_rs_spark.functions.raster import png_encode
-    from versatiles_rs_spark.operators.map_algebra import (
-        dem_flow_edges,
-        watershed_basins,
-    )
 
-    t, w = 32, 256
+    t = 32
     cx = np.array([c[0] for c in _WS_CENTERS], dtype=np.int64)
     cy = np.array([c[1] for c in _WS_CENTERS], dtype=np.int64)
-
     base = spark.range(8 * 8).select(
         F.expr("id div 8").alias("x"), (F.col("id") % 8).alias("y")
     )
@@ -843,8 +828,29 @@ def q_watershed_basins(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows["tile"].append(png_encode(rgb))
             yield pd.DataFrame(rows)
 
-    tiles = base.repartition(8).mapInPandas(gen, "x bigint, y bigint, tile binary")
-    basins = watershed_basins(dem_flow_edges(tiles, t, w))
+    return base.repartition(8).mapInPandas(gen, "x bigint, y bigint, tile binary")
+
+
+def q_watershed_basins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watershed basin labeling (operators/map_algebra.dem_flow_edges +
+    watershed_basins): every pixel of a 256x256 DEM level drains along
+    D8 steepest descent to its terminal sink; output = per-sink basin
+    size. Edge pixels drain among AVAILABLE neighbors (no world-edge
+    exclusion), so basin sizes conserve the pixel count. The plan is the
+    scale story: one ring-halo exchange builds per-pixel pointers,
+    IN-TILE path compression collapses chains to tile hops executor-
+    locally, then O(log tile-diameter) pointer-doubling joins resolve
+    the global fixed point. The oracle recomputes the drain argmax from
+    the closed form and follows every path with a recursive CTE —
+    attesting pointer construction, halo routing, compression, AND the
+    doubling loop."""
+    from versatiles_rs_spark.operators.map_algebra import (
+        dem_flow_edges,
+        watershed_basins,
+    )
+
+    t, w = 32, 256
+    basins = watershed_basins(dem_flow_edges(_ws_tiles(spark), t, w))
     return (
         basins.groupBy("rep")
         .agg(F.count(F.lit(1)).alias("n_px"))
@@ -1160,3 +1166,74 @@ SELECT nr.grp, nr.n_rects,
 FROM per_slab JOIN nr ON nr.grp = per_slab.grp
 GROUP BY nr.grp, nr.n_rects ORDER BY nr.grp
 """
+
+
+def q_flow_accumulation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 flow accumulation (operators/map_algebra.flow_accumulation):
+    per-pixel upstream drainage area over the watershed fixture —
+    ancestor-pair enumeration by pointer doubling on the ONE-STEP drain
+    pointers (O(log max-path) rounds; the pair set is inherently
+    Σ-path-length sized), acc = 1 + distinct upstream pixels. Output =
+    the exact accumulation histogram. Oracle walks every path with a
+    recursive CTE and counts per path element — a single missing or
+    duplicated ancestor pair anywhere in 65,536 paths shifts the
+    histogram."""
+    from versatiles_rs_spark.operators.map_algebra import (
+        dem_flow_edges,
+        flow_accumulation,
+    )
+
+    edges = dem_flow_edges(_ws_tiles(spark), 32, 256, compress=False)
+    acc = flow_accumulation(edges)
+    return acc.groupBy("acc").agg(F.count(F.lit(1)).alias("n_px")).orderBy("acc")
+
+
+def _o_flow_accumulation() -> str:
+    terms = ", ".join(
+        f"(gx-{cx})*(gx-{cx}) + 2*(gy-{cy})*(gy-{cy})" for cx, cy in _WS_CENTERS
+    )
+    return f"""
+WITH RECURSIVE px AS (
+  SELECT a.i AS gx, b.i AS gy
+  FROM generate_series(0, 255) a(i) CROSS JOIN generate_series(0, 255) b(i)
+), rv AS (
+  SELECT gx, gy, least({terms}) AS raw FROM px
+), o AS (
+  SELECT * FROM (VALUES
+    (1, 1, 0, 2), (2, 1, 1, 1), (3, 0, 1, 2), (4, -1, 1, 1),
+    (5, -1, 0, 2), (6, -1, -1, 1), (7, 0, -1, 2), (8, 1, -1, 1)
+  ) AS v(code, dx, dy, wt)
+), cand AS (
+  SELECT p.gx, p.gy, o.code,
+         (p.gy + o.dy) * 256 + (p.gx + o.dx) AS npid,
+         o.wt * (p.raw - n.raw) * (p.raw - n.raw) AS key
+  FROM rv p
+  CROSS JOIN o
+  JOIN rv n ON n.gx = p.gx + o.dx AND n.gy = p.gy + o.dy
+  WHERE p.raw - n.raw > 0
+), best AS (
+  SELECT gx, gy, npid,
+         row_number() OVER (PARTITION BY gx, gy ORDER BY key DESC, code ASC) AS rn
+  FROM cand
+), edges AS (
+  SELECT p.gy * 256 + p.gx AS pid,
+         coalesce(b.npid, p.gy * 256 + p.gx) AS par
+  FROM rv p
+  LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.gx = p.gx AND b.gy = p.gy
+), walk AS (
+  SELECT pid AS q, par AS cur FROM edges WHERE par <> pid
+  UNION ALL
+  SELECT w.q, e.par FROM walk w JOIN edges e ON e.pid = w.cur
+  WHERE e.par <> w.cur
+), ups AS (
+  SELECT cur AS pid, count(*) AS n_up FROM walk GROUP BY cur
+), acc AS (
+  SELECT e.pid, 1 + coalesce(u.n_up, 0) AS acc
+  FROM edges e LEFT JOIN ups u ON u.pid = e.pid
+)
+SELECT CAST(acc AS BIGINT) AS acc, count(*) AS n_px
+FROM acc GROUP BY acc ORDER BY acc
+"""
+
+
+O_FLOW_ACCUMULATION = _o_flow_accumulation()
