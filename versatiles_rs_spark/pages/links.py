@@ -187,7 +187,7 @@ def bfs_hops(edges: DataFrame, seeds: DataFrame, max_hops: int = 10) -> DataFram
 
 
 def sssp_costs(
-    edges: DataFrame, seeds: DataFrame, max_rounds: int = 40
+    edges: DataFrame, seeds: DataFrame, max_rounds: int = 40, stride: int = 4
 ) -> DataFrame:
     """Multi-source single-source-shortest-path costs over positive
     integer edge weights — the weighted upgrade of ``bfs_hops`` (crawl
@@ -203,6 +203,14 @@ def sssp_costs(
     convergence in <= |V| rounds; real graphs converge in
     O(shortest-path diameter). Frontiers and the distance table are
     localCheckpointed per round (iterative-lineage discipline).
+
+    ``stride``: lazy relaxation depth per materialization — each round
+    chains ``stride`` frontier->edges joins WITHOUT a barrier and merges
+    their union once, cutting synchronization rounds (and checkpoint/
+    count actions) by the stride factor. Sound because Bellman-Ford
+    relaxation is monotone: extra or stale relaxations can only produce
+    costs the min-merge discards; the exit condition (no improvement
+    anywhere) is unchanged, so the fixpoint is the exact SSSP.
     """
     dist = (
         seeds.select("node", F.lit(0).alias("cost"))
@@ -211,12 +219,18 @@ def sssp_costs(
     )
     frontier = dist
     for _ in range(max_rounds):
-        cand = (
-            frontier.join(edges, frontier["node"] == edges["src"])
-            .select(F.col("dst").alias("node"), (F.col("cost") + F.col("wgt")).alias("cost"))
-            .groupBy("node")
-            .agg(F.min("cost").alias("cost"))
-        )
+        waves = []
+        c = frontier
+        for _i in range(max(1, stride)):
+            c = (
+                c.join(edges, c["node"] == edges["src"])
+                .select(F.col("dst").alias("node"), (F.col("cost") + F.col("wgt")).alias("cost"))
+            )
+            waves.append(c)
+        cand = waves[0]
+        for wv in waves[1:]:
+            cand = cand.unionByName(wv)
+        cand = cand.groupBy("node").agg(F.min("cost").alias("cost"))
         old = dist.select(F.col("node").alias("onode"), F.col("cost").alias("ocost"))
         imp = (
             cand.join(old, cand["node"] == old["onode"], "left")
