@@ -707,3 +707,29 @@ def test_trend_stats_hand_case(spark):
     assert got[1] == (3, 12000, 6)
     assert got[1][1] / got[1][2] == 2000.0
     assert got[2] == (2, 0, 2 * 100 - 100)  # num 0: flat
+
+
+def test_edit1_join_hand_case(spark):
+    from versatiles_rs_spark.dedup.setjoin import edit1_join
+
+    words = spark.createDataFrame(
+        [("cat",), ("car",), ("cart",), ("dog",), ("at",), ("catt",)],
+        "word string",
+    )
+    got = sorted((r["a"], r["b"]) for r in edit1_join(words).collect())
+    # substitution cat~car, insertion car~cart / cat~cart / cat~catt,
+    # deletion at~cat, substitution cart~catt
+    assert got == [
+        ("at", "cat"), ("car", "cart"), ("car", "cat"), ("cart", "cat"),
+        ("cart", "catt"), ("cat", "catt"),
+    ]
+
+
+def test_edit1_join_no_distance2_leak(spark):
+    from versatiles_rs_spark.dedup.setjoin import edit1_join
+
+    # ed=2 pairs that SHARE a deletion bucket must be filtered by the
+    # levenshtein verify: "xacd" and "aycd" both emit variant "acd"
+    # (delete pos 1 / pos 2) but differ by two edits
+    words = spark.createDataFrame([("xacd",), ("aycd",)], "word string")
+    assert edit1_join(words).count() == 0

@@ -975,3 +975,37 @@ SELECT i.id_a, i.id_b, i.inter, sa.n AS na, sb.n AS nb
 FROM inter i JOIN sz sa ON sa.doc_id = i.id_a JOIN sz sb ON sb.doc_id = i.id_b
 WHERE i.inter * 3 >= 1 * (sa.n + sb.n)
 """
+
+
+def q_edit1_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-1 join (dedup/setjoin.edit1_join): vocabulary of
+    single-substitution variants of an 8-char base word (position
+    doc_id % 8 replaced by letter 'a' + doc_id % 7 — 50 distinct words
+    at sf0.01 with a rich ed=1 pair structure); FastSS deletion-
+    neighborhood blocking + native levenshtein verify. The oracle
+    brute-forces the full cross product with the same levenshtein, so
+    MATCH attests RECALL of the blocking, not just precision."""
+    from versatiles_rs_spark.dedup.setjoin import edit1_join
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    word = F.expr(
+        "concat(substring('tokenstr', 1, cast(doc_id % 8 as int)),"
+        " chr(97 + doc_id % 7),"
+        " substring('tokenstr', cast(doc_id % 8 as int) + 2, 8))"
+    )
+    words = docs.select(word.alias("word")).distinct()
+    return edit1_join(words).orderBy("a", "b")
+
+
+O_EDIT1_PAIRS = """
+WITH w AS (
+  SELECT DISTINCT concat(substring('tokenstr', 1, CAST(doc_id % 8 AS INT)),
+                         chr(CAST(97 + doc_id % 7 AS INT)),
+                         substring('tokenstr', CAST(doc_id % 8 AS INT) + 2, 8)) AS word
+  FROM documents
+)
+SELECT a.word AS a, b.word AS b
+FROM w a JOIN w b ON a.word < b.word
+WHERE levenshtein(a.word, b.word) <= 1
+ORDER BY a, b
+"""
