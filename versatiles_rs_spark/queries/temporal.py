@@ -624,3 +624,37 @@ FROM events GROUP BY 1 ORDER BY 1
 
 
 O_EVENT_PIVOT = _o_event_pivot()
+
+
+def q_user_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode: each user's most frequent event
+    type (ties -> lexicographically smallest, so the answer is unique) —
+    one map-side-combined count agg + one rank window over the
+    user-cardinality table (never the event log). Oracle = identical
+    rank spec."""
+    from pyspark.sql.window import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc(), F.col("event_type").asc())
+    return (
+        counts.select("user_id", "event_type", "n", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("mode_type"), F.col("n").alias("mode_n"))
+        .orderBy("user_id")
+    )
+
+
+O_USER_MODE = """
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2
+), r AS (
+  SELECT user_id, event_type, n,
+         row_number() OVER (PARTITION BY user_id ORDER BY n DESC, event_type ASC) AS rn
+  FROM c
+)
+SELECT user_id, event_type AS mode_type, n AS mode_n FROM r WHERE rn = 1
+ORDER BY user_id
+"""
