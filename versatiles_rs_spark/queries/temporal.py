@@ -658,3 +658,38 @@ WITH c AS (
 SELECT user_id, event_type AS mode_type, n AS mode_n FROM r WHERE rn = 1
 ORDER BY user_id
 """
+
+
+def q_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets surface: ROLLUP over (event_type, user decade) with
+    an explicit grouping id (2*grouping(type) + grouping(decade)) so
+    subtotal NULLs are distinguishable from data NULLs cross-engine —
+    counts + quantized sums at all three levels in ONE pass (Spark
+    expands grouping sets map-side; no re-reads). Oracle = DuckDB
+    GROUP BY ROLLUP with the same GROUPING() id."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    qv = F.round(F.col("value").cast("double") * 1e6).cast("long")
+    base = ev.select(
+        "event_type", F.expr("user_id div 10").alias("user_decade"), qv.alias("qv")
+    )
+    return (
+        base.rollup("event_type", "user_decade")
+        .agg(
+            (F.grouping("event_type") * 2 + F.grouping("user_decade")).alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("qv").alias("sum_qv"),
+        )
+        .orderBy("gid", "event_type", "user_decade")
+    )
+
+
+O_EVENT_ROLLUP = f"""
+WITH b AS (
+  SELECT event_type, user_id // 10 AS user_decade, {_QV} AS qv FROM events
+)
+SELECT event_type, user_decade,
+       CAST(GROUPING(event_type) * 2 + GROUPING(user_decade) AS BIGINT) AS gid,
+       count(*) AS n, sum(qv) AS sum_qv
+FROM b GROUP BY ROLLUP (event_type, user_decade)
+ORDER BY gid, event_type, user_decade
+"""
