@@ -662,8 +662,8 @@ ORDER BY user_id
 
 def q_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouping-sets surface: ROLLUP over (event_type, user decade) with
-    an explicit grouping id (2*grouping(type) + grouping(decade)) so
-    subtotal NULLs are distinguishable from data NULLs cross-engine —
+    an explicit grouping id (2*grouping(type) + grouping(decade)) and
+    subtotal NULLs coalesced to sentinels (portable row ordering) —
     counts + quantized sums at all three levels in ONE pass (Spark
     expands grouping sets map-side; no re-reads). Oracle = DuckDB
     GROUP BY ROLLUP with the same GROUPING() id."""
@@ -672,24 +672,28 @@ def q_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = ev.select(
         "event_type", F.expr("user_id div 10").alias("user_decade"), qv.alias("qv")
     )
-    return (
-        base.rollup("event_type", "user_decade")
-        .agg(
-            (F.grouping("event_type") * 2 + F.grouping("user_decade")).alias("gid"),
-            F.count(F.lit(1)).alias("n"),
-            F.sum("qv").alias("sum_qv"),
-        )
-        .orderBy("gid", "event_type", "user_decade")
+    out = base.rollup("event_type", "user_decade").agg(
+        (F.grouping("event_type") * 2 + F.grouping("user_decade")).alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum("qv").alias("sum_qv"),
     )
+    # subtotal NULLs -> sentinels: the compare harnesses sort rows by
+    # value, and cross-engine NULL ordering is not portable
+    return out.select(
+        F.coalesce("event_type", F.lit("(all)")).alias("event_type"),
+        F.coalesce("user_decade", F.lit(-1)).alias("user_decade"),
+        "gid", "n", "sum_qv",
+    ).orderBy("gid", "event_type", "user_decade")
 
 
 O_EVENT_ROLLUP = f"""
 WITH b AS (
   SELECT event_type, user_id // 10 AS user_decade, {_QV} AS qv FROM events
 )
-SELECT event_type, user_decade,
+SELECT coalesce(event_type, '(all)') AS event_type,
+       coalesce(user_decade, -1) AS user_decade,
        CAST(GROUPING(event_type) * 2 + GROUPING(user_decade) AS BIGINT) AS gid,
-       count(*) AS n, sum(qv) AS sum_qv
+       count(*) AS n, CAST(sum(qv) AS BIGINT) AS sum_qv
 FROM b GROUP BY ROLLUP (event_type, user_decade)
-ORDER BY gid, event_type, user_decade
+ORDER BY gid, 1, 2
 """
