@@ -697,3 +697,82 @@ SELECT coalesce(event_type, '(all)') AS event_type,
 FROM b GROUP BY ROLLUP (event_type, user_decade)
 ORDER BY gid, 1, 2
 """
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavioral transition matrix: consecutive event-type
+    pairs per user (the Markov-chain counts behind "what do users do
+    after X") — ONE user-key lag window over integer-micro order
+    (ties -> event_id, the od_flows discipline), then a map-side-combined
+    agg bounded by |types|². Oracle = identical lag spec."""
+    from pyspark.sql.window import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy(us.asc(), F.col("event_id").asc())
+    lagged = ev.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    return (
+        lagged.groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"),
+             F.count_distinct("user_id").alias("n_users"))
+        .orderBy("prev_type", "next_type")
+    )
+
+
+O_EVENT_TRANSITIONS = """
+WITH l AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+           ORDER BY epoch_us(ts) ASC, event_id ASC) AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type, count(*) AS n_transitions,
+       count(DISTINCT user_id) AS n_users
+FROM l WHERE prev_type IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_user_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arg-min/arg-max surface: each user's FIRST and LAST event type +
+    quantized value in one aggregation pass — min_by/max_by (Spark) vs
+    arg_min/arg_max (DuckDB) over a composite integer order key
+    (micros-since-2024 * 2^20 + event_id: unique, overflow-checked), so
+    ties are impossible and the answer is deterministic. No window, no
+    sort — one map-side-combined agg."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    t0 = 1_704_067_200_000_000
+    okey = (
+        (F.unix_micros(F.col("ts").cast("timestamp")) - F.lit(t0))
+        * F.lit(1 << 20) + F.col("event_id")
+    )
+    qv = F.round(F.col("value").cast("double") * 1e6).cast("long")
+    base = ev.select("user_id", okey.alias("ok"), "event_type", qv.alias("qv"))
+    return (
+        base.groupBy("user_id")
+        .agg(
+            F.min_by("event_type", "ok").alias("first_type"),
+            F.min_by("qv", "ok").alias("first_qv"),
+            F.max_by("event_type", "ok").alias("last_type"),
+            F.max_by("qv", "ok").alias("last_qv"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("user_id")
+    )
+
+
+O_USER_EXTREMES = f"""
+WITH b AS (
+  SELECT user_id,
+         (epoch_us(ts) - 1704067200000000) * 1048576 + event_id AS ok,
+         event_type, {_QV} AS qv
+  FROM events
+)
+SELECT user_id,
+       arg_min(event_type, ok) AS first_type, arg_min(qv, ok) AS first_qv,
+       arg_max(event_type, ok) AS last_type, arg_max(qv, ok) AS last_qv,
+       count(*) AS n
+FROM b GROUP BY user_id ORDER BY user_id
+"""
