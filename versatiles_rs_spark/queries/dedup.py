@@ -1009,3 +1009,45 @@ FROM w a JOIN w b ON a.word < b.word
 WHERE levenshtein(a.word, b.word) <= 1
 ORDER BY a, b
 """
+
+
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions, fully JVM-side (the Spark-first
+    path the numpy-backed ANN ops deliberately bypass): per-vector
+    quantized L2 norm² via transform + aggregate lambdas — zero Python,
+    zero explode — bucketed per label. Components quantize to 1e3 ints
+    per element BEFORE squaring (order-free exact sums; dim=64 * 1e6 max
+    per term fits int64 easily). Oracle = DuckDB list lambdas."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qnorm2 = F.expr(
+        "aggregate(transform(embedding,"
+        " x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)),"
+        " CAST(0 AS BIGINT), (acc, q) -> acc + q * q)"
+    )
+    return (
+        emb.select("label", qnorm2.alias("qnorm2"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("qnorm2").alias("sum_qnorm2"),
+            F.min("qnorm2").alias("min_qnorm2"),
+            F.max("qnorm2").alias("max_qnorm2"),
+        )
+        .orderBy("label")
+    )
+
+
+O_EMBEDDING_NORMS = """
+WITH q AS (
+  SELECT label,
+         list_sum(list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+                * CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))) AS qnorm2
+  FROM embeddings
+)
+SELECT CAST(label AS BIGINT) AS label, count(*) AS n,
+       CAST(sum(qnorm2) AS BIGINT) AS sum_qnorm2,
+       CAST(min(qnorm2) AS BIGINT) AS min_qnorm2,
+       CAST(max(qnorm2) AS BIGINT) AS max_qnorm2
+FROM q GROUP BY label ORDER BY label
+"""
