@@ -45,6 +45,15 @@ for name in NAMES:
         if ok_vals:
             for c in got.columns:
                 a, b = got[c], want[c]
+                # dtype-strict gate (round-5 lesson): an integer column on
+                # one side vs float on the other is exactly the DuckDB
+                # HUGEINT->float64 class the driver's hash rejects even
+                # when every value matches — fail it here, before the
+                # float-tolerance branch can mask it.
+                if pd.api.types.is_float_dtype(a) != pd.api.types.is_float_dtype(b):
+                    ok_vals = False
+                    print(f"  {name}.{c}: dtype mismatch got={a.dtype} want={b.dtype}")
+                    break
                 if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
                     if not all(
                         (math.isnan(x) and math.isnan(y)) or abs(x - y) < 1e-9

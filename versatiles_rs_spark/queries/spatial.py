@@ -526,7 +526,13 @@ def q_density_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("event_id") * F.lit(2246822519)) % F.lit(170000000)).alias("qy"),
     )
     tiles = density_tiles(density_bins(ev, zoom=3, tile_px=64))
-    return tiles.select("x", "y", "n_points", "occupied_px", "max_bin")
+    # n_points crosses the oracle bridge as DuckDB sum(BIGINT) -> HUGEINT,
+    # which pandas materializes as float64: match that dtype exactly so the
+    # driver's value hash agrees (CORRECTNESS_r05 hash-red fix).
+    return tiles.select(
+        "x", "y", F.col("n_points").cast("double").alias("n_points"),
+        "occupied_px", "max_bin",
+    )
 
 
 O_DENSITY_TILES = """
@@ -938,7 +944,17 @@ def q_areal_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((i * 97 + 7) % 2000 + 20 + (i % 9) * 9).alias("x1"),
         ((i * 61 + 3) % 2000 + 14 + (i % 7) * 11).alias("y1"),
     )
-    return areal_interpolate(src, tgt, cell=128).orderBy("t_id")
+    # wsum/covered_area are DuckDB HUGEINT sums on the oracle side ->
+    # pandas float64; cast to double for a dtype-exact driver hash.
+    return (
+        areal_interpolate(src, tgt, cell=128)
+        .select(
+            "t_id", "n_src",
+            F.col("wsum").cast("double").alias("wsum"),
+            F.col("covered_area").cast("double").alias("covered_area"),
+        )
+        .orderBy("t_id")
+    )
 
 
 O_AREAL_INTERP = """
@@ -1030,7 +1046,8 @@ def q_geohash_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         keyed.groupBy("gh2")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum("doc_id").alias("sum_doc_id"),
+            # oracle-side sum(BIGINT) -> HUGEINT -> pandas float64
+            F.sum("doc_id").cast("double").alias("sum_doc_id"),
             F.max("gh5").alias("max_gh5"),
         )
         .orderBy("gh2")

@@ -115,7 +115,10 @@ def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "level", F.col("key").alias("event_type"), "bucket_us",
         F.col("n_events").cast("bigint").alias("n_events"),
-        "sum_qv", "min_qv", "max_qv",
+        # oracle-side sum(BIGINT) -> HUGEINT -> pandas float64: match the
+        # dtype so the driver hash agrees (CORRECTNESS_r05 hash-red fix)
+        F.col("sum_qv").cast("double").alias("sum_qv"),
+        "min_qv", "max_qv",
     )
 
 
@@ -381,8 +384,10 @@ def q_time_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     from versatiles_rs_spark.operators.temporal import time_gapfill
 
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return time_gapfill(
-        events, "user_id", "ts", "value", 21_600_000_000
+    out = time_gapfill(events, "user_id", "ts", "value", 21_600_000_000)
+    # qsum_filled carries an oracle-side HUGEINT sum -> pandas float64
+    return out.withColumn(
+        "qsum_filled", F.col("qsum_filled").cast("double")
     ).orderBy("user_id", "bucket_start_us")
 
 
@@ -580,7 +585,8 @@ def q_json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.select("event_type", (k / 10).cast("long").alias("k_decile"), qv.alias("qv"))
         .groupBy("event_type", "k_decile")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("qv").alias("sum_qv"))
+        # oracle-side sum(BIGINT) -> HUGEINT -> pandas float64
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("qv").cast("double").alias("sum_qv"))
         .orderBy("event_type", "k_decile")
     )
 
