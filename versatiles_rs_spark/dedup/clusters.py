@@ -47,8 +47,15 @@ def connected_components(
         .distinct()
         .cache()
     )
-    labels = sym.select(F.col("u").alias("node")).distinct().withColumn(
-        "comp", F.col("node")
+    # Seed labels with the FIRST propagation step folded into the init:
+    # comp0 = min(node, min neighbor id) is exactly what iteration 1
+    # would compute from comp = node, so the loop starts one round ahead
+    # (round-6 optimization; the fixpoint is unchanged — min-label
+    # propagation is monotone from any over-approximation of it).
+    labels = (
+        sym.groupBy(F.col("u").alias("node"))
+        .agg(F.min("v").alias("mn"))
+        .select("node", F.least(F.col("node"), F.col("mn")).alias("comp"))
     )
     for i in range(max_iter):
         neigh = (
@@ -61,7 +68,10 @@ def connected_components(
             F.least(F.col("comp"), F.coalesce(F.col("n_comp"), F.col("comp"))).alias("comp"),
         )
         if (i + 1) % checkpoint_every == 0:
-            new = new.localCheckpoint(eager=True)  # truncate plan lineage
+            # LAZY checkpoint: the `changed` count below computes,
+            # persists, and truncates lineage in one job (an eager
+            # checkpoint would spend a separate job first — guide §2.6)
+            new = new.localCheckpoint(eager=False)
         else:
             new = new.cache()
         changed = (

@@ -480,24 +480,44 @@ def dem_flow_edges(
 def watershed_basins(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
     """Resolve every pixel's drain path to its terminal sink by global
     pointer doubling over the locally-compressed (pid, rep) table:
-    rep' = rep(rep), so unresolved chain lengths HALVE each round —
-    after dem_flow_edges' in-tile compression the chain unit is a tile
-    hop, so O(log tile-diameter) rounds suffice at any raster size. Each
-    round is one equi-join + localCheckpoint (lineage truncation for the
-    iterative loop, the dedup/clusters.py discipline); the loop exits as
-    soon as a round moves nothing. Returns (pid, rep) with rep = the
-    pixel's basin sink pid. Drain paths strictly descend in elevation,
-    so the pointer graph is acyclic and the fixed point is unique."""
+    rep' = rep(rep), so unresolved chain lengths HALVE each doubling
+    step — after dem_flow_edges' in-tile compression the chain unit is a
+    tile hop, so O(log tile-diameter) steps suffice at any raster size.
+
+    Round structure (round-6 optimization, guide §2.6 — fewer
+    synchronization barriers, same algebra): each MATERIALIZED round
+    fuses TWO doubling steps (rep -> rep∘rep -> (rep∘rep)∘(rep∘rep),
+    chains shrink 4x per round), both lazily localCheckpointed so the
+    single `moved` count action computes, persists, and convergence-
+    checks the round in ONE Spark job — the old shape paid an eager
+    checkpoint job plus a count job per single-step round (2 jobs per
+    halving; now 1 job per quartering). The intermediate table is a
+    checkpoint-marked RDD referenced by both sides of the second
+    self-join, so it is computed once and reused, not recomputed.
+    The loop exits as soon as a round moves nothing. Returns (pid, rep)
+    with rep = the pixel's basin sink pid. Drain paths strictly descend
+    in elevation, so the pointer graph is acyclic and the fixed point is
+    unique."""
     p = edges.localCheckpoint()
     for _ in range(max_rounds):
-        b = p.select(F.col("pid").alias("bpid"), F.col("rep").alias("brep"))
-        j = (
-            p.join(b, p["rep"] == b["bpid"])
-            .select("pid", F.col("rep").alias("old"), F.col("brep").alias("rep"))
-            .localCheckpoint()
+        # step 1: rep' = rep(rep), carrying the round's starting rep as
+        # `orig` for the convergence check
+        b1 = p.select(F.col("pid").alias("bpid"), F.col("rep").alias("brep"))
+        j1 = (
+            p.join(b1, p["rep"] == b1["bpid"])
+            .select("pid", F.col("rep").alias("orig"), F.col("brep").alias("rep"))
+            .localCheckpoint(eager=False)
         )
-        moved = j.filter(F.col("old") != F.col("rep")).count()
-        p = j.select("pid", "rep")
+        # step 2: rep'' = rep'(rep') — j1 is both probe and build side;
+        # lazy checkpoint marks it so the count below computes it once
+        b2 = j1.select(F.col("pid").alias("bpid"), F.col("rep").alias("brep"))
+        j2 = (
+            j1.join(b2, j1["rep"] == b2["bpid"])
+            .select("pid", "orig", F.col("brep").alias("rep"))
+            .localCheckpoint(eager=False)
+        )
+        moved = j2.filter(F.col("orig") != F.col("rep")).count()
+        p = j2.select("pid", "rep")
         if moved == 0:
             break
     return p
@@ -530,12 +550,19 @@ def flow_accumulation(edges: DataFrame, max_rounds: int = 16) -> DataFrame:
     )
     pairs = step.localCheckpoint(eager=True)
     jump = edges.localCheckpoint(eager=True)  # f^(2^k), k = 0
+    # Action discipline (round-6, guide §2.6): the pair-set size is
+    # tracked in a driver variable, the jump/grown tables are LAZILY
+    # localCheckpointed, and the single grown.count() per round
+    # computes + persists everything the round produced — the previous
+    # shape paid 4 actions per round (two eager checkpoints plus two
+    # counts, one of which rescanned the already-known pair count).
+    n_pairs = pairs.count()
     for _ in range(max_rounds):
         j2 = (
             jump.alias("a")
             .join(jump.alias("b"), F.col("a.rep") == F.col("b.pid"))
             .select(F.col("a.pid").alias("pid"), F.col("b.rep").alias("rep"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         shifted = (
             jump.select(F.col("pid").alias("jpid"), F.col("rep").alias("jrep"))
@@ -543,9 +570,10 @@ def flow_accumulation(edges: DataFrame, max_rounds: int = 16) -> DataFrame:
             .select(F.col("jpid").alias("pid"), F.col("anc"))
             .filter(F.col("pid") != F.col("anc"))
         )
-        grown = pairs.unionByName(shifted).distinct().localCheckpoint(eager=True)
-        added = grown.count() - pairs.count()
-        pairs = grown
+        grown = pairs.unionByName(shifted).distinct().localCheckpoint(eager=False)
+        n_grown = grown.count()
+        added = n_grown - n_pairs
+        pairs, n_pairs = grown, n_grown
         jump = j2
         if added == 0:
             break

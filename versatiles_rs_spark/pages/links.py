@@ -166,7 +166,18 @@ def bfs_hops(edges: DataFrame, seeds: DataFrame, max_hops: int = 10) -> DataFram
     the hot spot: production keeps `dist` hash-bucketed on node so the
     anti-join co-partitions, or swaps in a Bloom-filter pre-kill (cf.
     pages/bloom.py) with the exact anti-join on the sliver.
+
+    Action discipline (round-6, guide §2.6): the per-round frontier is
+    LAZILY localCheckpointed and its emptiness check is a full count —
+    one Spark job computes, persists, and convergence-checks the round
+    (the eager-checkpoint + limit(1).count shape paid two jobs and
+    cached only the partitions limit touched); the growing dist union is
+    lazily checkpointed and materializes inside the next round's count.
     """
+    # Pin the edge list once (see sssp_costs): every round re-probes it,
+    # and callers pass derived plans whose recomputation would otherwise
+    # be charged once per round.
+    edges = edges.select("src", "dst").localCheckpoint(eager=False)
     dist = seeds.select(F.col("node"), F.lit(0).alias("hops")).distinct()
     dist = dist.localCheckpoint(eager=True)
     frontier = dist.select("node")
@@ -177,11 +188,11 @@ def bfs_hops(edges: DataFrame, seeds: DataFrame, max_hops: int = 10) -> DataFram
             .distinct()
             .join(dist.select("node"), "node", "left_anti")
             .select("node", F.lit(h).alias("hops"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        if nxt.limit(1).count() == 0:
+        if nxt.count() == 0:
             break
-        dist = dist.union(nxt).localCheckpoint(eager=True)
+        dist = dist.union(nxt).localCheckpoint(eager=False)
         frontier = nxt.select("node")
     return dist
 
@@ -211,7 +222,21 @@ def sssp_costs(
     relaxation is monotone: extra or stale relaxations can only produce
     costs the min-merge discards; the exit condition (no improvement
     anywhere) is unchanged, so the fixpoint is the exact SSSP.
+
+    Action discipline (round-6, guide §2.6): `imp` is LAZILY
+    localCheckpointed and counted in full — one Spark job computes,
+    persists, and convergence-checks the round (the previous shape paid
+    an eager checkpoint job + a limit(1).count job + an eager dist-merge
+    job = 3 actions per round); the merged dist is lazily checkpointed
+    and materializes inside the next round's count (or the caller's
+    first action after convergence).
     """
+    # Pin the edge list once: callers often pass a DERIVED plan (scan +
+    # distinct + explode), and each round references it `stride` times —
+    # without this, round k recomputes that subtree stride times (guide
+    # §5 caching rule: reused AND expensive to recompute). Lazy: the
+    # first round's count materializes it.
+    edges = edges.select("src", "dst", "wgt").localCheckpoint(eager=False)
     dist = (
         seeds.select("node", F.lit(0).alias("cost"))
         .distinct()
@@ -236,15 +261,15 @@ def sssp_costs(
             cand.join(old, cand["node"] == old["onode"], "left")
             .filter(F.col("ocost").isNull() | (F.col("cost") < F.col("ocost")))
             .select("node", "cost")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        if imp.limit(1).count() == 0:
+        if imp.count() == 0:
             break
         dist = (
             dist.unionByName(imp)
             .groupBy("node")
             .agg(F.min("cost").alias("cost"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         frontier = imp
     return dist

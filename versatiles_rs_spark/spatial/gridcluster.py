@@ -50,6 +50,12 @@ def grid_dbscan(
     dense = counts.filter(F.col("n") >= min_pts).select(
         "cx", "cy", "n", (F.col("cx") * _KEY_SPAN + F.col("cy")).alias("key")
     )
+    # Pin the dense-cell table: it feeds BOTH sides of the adjacency
+    # join and the final per-cluster stats join — without this the
+    # point-table aggregation upstream runs three times (guide §5:
+    # reused and expensive to recompute). Lazy: materialized by the
+    # first action that touches it.
+    dense = dense.localCheckpoint(eager=False)
     offsets = F.array(
         *[
             F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
