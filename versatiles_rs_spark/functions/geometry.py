@@ -98,6 +98,16 @@ def clip_polygon_sh(ring: list[Pt], x0: float, y0: float, x1: float, y1: float) 
     pts = list(ring)
     if pts and pts[0] == pts[-1]:
         pts = pts[:-1]
+    # Fast path (round-6): a ring entirely inside the box is its own clip
+    # — every SH pass keeps every vertex in order, so the output equals
+    # the input exactly. The bbox test is four C-level min/max scans vs
+    # four Python clip passes; most candidate rings at deep zooms are
+    # interior to their (buffered) tile.
+    if pts:
+        xs = [p[0] for p in pts]
+        ys = [p[1] for p in pts]
+        if min(xs) >= x0 and max(xs) <= x1 and min(ys) >= y0 and max(ys) <= y1:
+            return pts
     pts = clip_edge(pts, lambda p: p[0] >= x0, ix_at_x(x0))
     pts = clip_edge(pts, lambda p: p[0] <= x1, ix_at_x(x1))
     pts = clip_edge(pts, lambda p: p[1] >= y0, ix_at_y(y0))

@@ -123,6 +123,46 @@ def encode_geometry(geom_type: int, rings: list[list[tuple[int, int]]]) -> list[
     return cmds
 
 
+def _encode_geometry_bytes(geom_type: int, rings: list[list[tuple[int, int]]]) -> bytes:
+    """``b"".join(_varint(g) for g in encode_geometry(...))`` fused into one
+    bytearray pass — identical bytes (the round-6 hot-path twin; zigzag of
+    grid deltas is just ``2v`` for v >= 0 and ``-2v-1`` otherwise, and the
+    varint cache covers every value the 4096 grid can produce)."""
+    out = bytearray()
+    vc = _VARINT_CACHE
+    cx = cy = 0
+    is_poly = geom_type == GEOM_POLYGON
+    is_line = geom_type == GEOM_LINESTRING
+    for ring in rings:
+        if not ring:
+            continue
+        x0, y0 = ring[0]
+        dx, dy = x0 - cx, y0 - cy
+        zx = (dx << 1) if dx >= 0 else ((-dx << 1) - 1)
+        zy = (dy << 1) if dy >= 0 else ((-dy << 1) - 1)
+        out += b"\x09"  # MoveTo count=1: (1 << 3) | 1 = 9
+        out += vc[zx] if zx < 16384 else _varint_slow(zx)
+        out += vc[zy] if zy < 16384 else _varint_slow(zy)
+        cx, cy = x0, y0
+        rest = ring[1:]
+        if is_poly and rest and ring[-1] == ring[0]:
+            rest = rest[:-1]
+        if (is_line or is_poly) and rest:
+            n = len(rest)
+            cmd = (CMD_LINE_TO & 0x7) | (n << 3)
+            out += vc[cmd] if cmd < 16384 else _varint_slow(cmd)
+            for x, y in rest:
+                dx, dy = x - cx, y - cy
+                zx = (dx << 1) if dx >= 0 else ((-dx << 1) - 1)
+                zy = (dy << 1) if dy >= 0 else ((-dy << 1) - 1)
+                out += vc[zx] if zx < 16384 else _varint_slow(zx)
+                out += vc[zy] if zy < 16384 else _varint_slow(zy)
+                cx, cy = x, y
+        if is_poly:
+            out += b"\x0f"  # ClosePath count=1: (1 << 3) | 7 = 15
+    return bytes(out)
+
+
 def _encode_value(v: object) -> bytes:
     if isinstance(v, bool):
         return _varint_field(7, int(v))
@@ -171,8 +211,7 @@ def encode_layer(name: str, features: list[MvtFeature], extent: int = TILE_EXTEN
             packed = b"".join(_varint(t) for t in tags)
             buf += _len_field(2, packed)
         buf += _varint_field(3, f.geom_type)
-        geom = encode_geometry(f.geom_type, f.rings)
-        buf += _len_field(4, b"".join(_varint(g) for g in geom))
+        buf += _len_field(4, _encode_geometry_bytes(f.geom_type, f.rings))
         feat_bufs.append(bytes(buf))
 
     layer = bytearray()

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     DoubleType,
     IntegerType,
     LongType,
@@ -105,6 +106,14 @@ def read_geojson_features(spark: SparkSession, path: str) -> DataFrame:
     return raw.mapInPandas(parse, FEATURE_ROW_SCHEMA)
 
 
+# Candidate rows carry geometry as a FLAT float64 buffer + per-ring point
+# counts instead of array<array<array<double>>> (round-6): the nested list
+# form paid a deep Arrow<->pandas conversion on BOTH sides of the render
+# shuffle (build python lists -> Arrow lists -> python lists), while one
+# binary cell moves as a single buffer and decodes with np.frombuffer.
+# float64 -> bytes -> float64 round-trips bit-exactly, so rendered tiles
+# are byte-identical. Internal interchange between candidate_tiles and
+# render_geo_tiles only (all callers use the pair).
 _CAND_SCHEMA = StructType(
     [
         StructField("z", IntegerType()),
@@ -112,7 +121,8 @@ _CAND_SCHEMA = StructType(
         StructField("y", LongType()),
         StructField("feature_id", LongType()),
         StructField("geom_type", StringType()),
-        StructField("coords", ArrayType(ArrayType(ArrayType(DoubleType())))),
+        StructField("coords", BinaryType()),
+        StructField("ring_lens", ArrayType(IntegerType())),
         StructField("props", MapType(StringType(), StringType())),
     ]
 )
@@ -161,17 +171,24 @@ def candidate_tiles(features: DataFrame, min_zoom: int, max_zoom: int,
                     x1 = min(size - 1, int(np.floor(max(xs) + BUFFER_FRAC)))
                     y0 = max(0, int(np.floor(min(ys) - BUFFER_FRAC)))
                     y1 = min(size - 1, int(np.floor(max(ys) + BUFFER_FRAC)))
+                    # serialize ONCE per (feature, zoom) — identical for
+                    # every covered tile (rebuilding per (tx, ty) was
+                    # pure waste for multi-tile features): flat float64
+                    # buffer + per-ring point counts (see _CAND_SCHEMA)
+                    ser = np.asarray(
+                        [p for ring in cur for p in ring], dtype=np.float64
+                    ).tobytes()
+                    lens = [len(ring) for ring in cur]
+                    fid = int(r.feature_id)
+                    props = dict(r.props)
                     for tx in range(x0, x1 + 1):
                         for ty in range(y0, y1 + 1):
-                            rows.append(
-                                (z, tx, ty, int(r.feature_id), gt,
-                                 [[[float(px), float(py)] for px, py in ring] for ring in cur],
-                                 dict(r.props))
-                            )
+                            rows.append((z, tx, ty, fid, gt, ser, lens, props))
             if rows:
                 yield pd.DataFrame(
                     rows,
-                    columns=["z", "x", "y", "feature_id", "geom_type", "coords", "props"],
+                    columns=["z", "x", "y", "feature_id", "geom_type",
+                             "coords", "ring_lens", "props"],
                 )
 
     return features.mapInPandas(explode, _CAND_SCHEMA)
@@ -198,6 +215,7 @@ def render_geo_tiles(cands: DataFrame, layer_name: str = "features",
         fids = pdf["feature_id"].to_numpy()
         gts = pdf["geom_type"].to_numpy(dtype=object)
         coords_l = pdf["coords"].to_numpy(dtype=object)
+        lens_l = pdf["ring_lens"].to_numpy(dtype=object)
         props_l = pdf["props"].to_numpy(dtype=object)
         boundary = (np.diff(zs) != 0) | (np.diff(xs) != 0) | (np.diff(ys) != 0)
         starts = np.concatenate(([0], np.flatnonzero(boundary) + 1, [n]))
@@ -209,10 +227,16 @@ def render_geo_tiles(cands: DataFrame, layer_name: str = "features",
             feats = []
             for t in range(i, j):
                 gt = gts[t]
-                # shift to tile-local [0,1] space
-                local = [
-                    [(px - x, py - y) for px, py in ring] for ring in coords_l[t]
-                ]
+                # decode the flat buffer and shift to tile-local [0,1]
+                # space in one vectorized pass (float64 subtraction is
+                # IEEE-identical to the per-point Python form)
+                arr = np.frombuffer(coords_l[t], dtype=np.float64).reshape(-1, 2)
+                shifted = (arr - np.array([float(x), float(y)])).tolist()
+                local = []
+                off = 0
+                for ln in lens_l[t]:
+                    local.append([tuple(p) for p in shifted[off:off + ln]])
+                    off += ln
                 if gt == "Point":
                     (px, py), = local[0]
                     if not (0 <= px < 1 and 0 <= py < 1):

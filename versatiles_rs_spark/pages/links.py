@@ -198,7 +198,11 @@ def bfs_hops(edges: DataFrame, seeds: DataFrame, max_hops: int = 10) -> DataFram
 
 
 def sssp_costs(
-    edges: DataFrame, seeds: DataFrame, max_rounds: int = 40, stride: int = 4
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_rounds: int = 40,
+    stride: int = 4,
+    broadcast_edges: bool = False,
 ) -> DataFrame:
     """Multi-source single-source-shortest-path costs over positive
     integer edge weights — the weighted upgrade of ``bfs_hops`` (crawl
@@ -236,7 +240,16 @@ def sssp_costs(
     # without this, round k recomputes that subtree stride times (guide
     # §5 caching rule: reused AND expensive to recompute). Lazy: the
     # first round's count materializes it.
+    #
+    # A checkpointed table has UNKNOWN size statistics, so every wave
+    # join would plan as sort-merge (two exchanges per wave). Callers
+    # that know the graph is dimension-table-sized pass
+    # broadcast_edges=True (guide §3.1: explicit broadcast hint when a
+    # side is known small) and every relaxation join becomes
+    # exchange-free; web-scale edge lists keep the default shuffle path.
     edges = edges.select("src", "dst", "wgt").localCheckpoint(eager=False)
+    if broadcast_edges:
+        edges = F.broadcast(edges)
     dist = (
         seeds.select("node", F.lit(0).alias("cost"))
         .distinct()

@@ -1413,7 +1413,10 @@ def q_sssp_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst", (1 + (F.col("src") * 7 + F.col("dst") * 13) % 9).alias("wgt"))
     )
     seeds = nodes.filter(F.col("u") % 50 == 0).select(F.col("u").alias("node"))
-    return sssp_costs(edges, seeds).select(
+    # the fixture graph is dimension-table-sized (500 nodes), so the
+    # relaxation joins take the broadcast path (guide §3.1) — a
+    # web-scale edge list would omit the hint
+    return sssp_costs(edges, seeds, broadcast_edges=True).select(
         "node", F.col("cost").cast("long").alias("cost")
     ).orderBy("node")
 
