@@ -477,7 +477,9 @@ def dem_flow_edges(
     return allrows.groupBy("x", "y").applyInPandas(per_tile, _EDGES)
 
 
-def watershed_basins(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
+def watershed_basins(
+    edges: DataFrame, max_rounds: int = 20, steps_per_round: int = 3
+) -> DataFrame:
     """Resolve every pixel's drain path to its terminal sink by global
     pointer doubling over the locally-compressed (pid, rep) table:
     rep' = rep(rep), so unresolved chain lengths HALVE each doubling
@@ -486,38 +488,43 @@ def watershed_basins(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
 
     Round structure (round-6 optimization, guide §2.6 — fewer
     synchronization barriers, same algebra): each MATERIALIZED round
-    fuses TWO doubling steps (rep -> rep∘rep -> (rep∘rep)∘(rep∘rep),
-    chains shrink 4x per round), both lazily localCheckpointed so the
-    single `moved` count action computes, persists, and convergence-
-    checks the round in ONE Spark job — the old shape paid an eager
-    checkpoint job plus a count job per single-step round (2 jobs per
-    halving; now 1 job per quartering). The intermediate table is a
-    checkpoint-marked RDD referenced by both sides of the second
-    self-join, so it is computed once and reused, not recomputed.
-    The loop exits as soon as a round moves nothing. Returns (pid, rep)
-    with rep = the pixel's basin sink pid. Drain paths strictly descend
-    in elevation, so the pointer graph is acyclic and the fixed point is
-    unique."""
+    fuses ``steps_per_round`` doubling steps (rep -> rep∘rep -> ... ,
+    chains shrink 2^steps per round), every intermediate lazily
+    localCheckpointed so the single `moved` count action computes,
+    persists, and convergence-checks the whole round in ONE Spark job —
+    the old shape paid an eager checkpoint job plus a count job per
+    single-step round. Each intermediate is a checkpoint-marked RDD
+    referenced by both sides of the next self-join, so it is computed
+    once and reused, not recomputed. steps_per_round trades per-round
+    join count against synchronization rounds; 3 measured best at sf0.1
+    (2.31/1.84/2.04 s for 2/3/4) and keeps rounds O(log chain / steps)
+    at any raster size. The loop exits as soon as a round moves
+    nothing. Returns (pid, rep) with rep = the pixel's basin sink pid.
+    Drain paths strictly descend in elevation, so the pointer graph is
+    acyclic and the fixed point is unique."""
     p = edges.localCheckpoint()
     for _ in range(max_rounds):
-        # step 1: rep' = rep(rep), carrying the round's starting rep as
-        # `orig` for the convergence check
-        b1 = p.select(F.col("pid").alias("bpid"), F.col("rep").alias("brep"))
-        j1 = (
-            p.join(b1, p["rep"] == b1["bpid"])
-            .select("pid", F.col("rep").alias("orig"), F.col("brep").alias("rep"))
-            .localCheckpoint(eager=False)
-        )
-        # step 2: rep'' = rep'(rep') — j1 is both probe and build side;
-        # lazy checkpoint marks it so the count below computes it once
-        b2 = j1.select(F.col("pid").alias("bpid"), F.col("rep").alias("brep"))
-        j2 = (
-            j1.join(b2, j1["rep"] == b2["bpid"])
-            .select("pid", "orig", F.col("brep").alias("rep"))
-            .localCheckpoint(eager=False)
-        )
-        moved = j2.filter(F.col("orig") != F.col("rep")).count()
-        p = j2.select("pid", "rep")
+        cur = p
+        first = True
+        for _s in range(max(1, steps_per_round)):
+            b = cur.select(F.col("pid").alias("bpid"), F.col("rep").alias("brep"))
+            if first:
+                # first step carries the round's starting rep as `orig`
+                # for the convergence check
+                cur = (
+                    cur.join(b, cur["rep"] == b["bpid"])
+                    .select("pid", F.col("rep").alias("orig"), F.col("brep").alias("rep"))
+                    .localCheckpoint(eager=False)
+                )
+                first = False
+            else:
+                cur = (
+                    cur.join(b, cur["rep"] == b["bpid"])
+                    .select("pid", "orig", F.col("brep").alias("rep"))
+                    .localCheckpoint(eager=False)
+                )
+        moved = cur.filter(F.col("orig") != F.col("rep")).count()
+        p = cur.select("pid", "rep")
         if moved == 0:
             break
     return p

@@ -1415,8 +1415,14 @@ def q_sssp_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = nodes.filter(F.col("u") % 50 == 0).select(F.col("u").alias("node"))
     # the fixture graph is dimension-table-sized (500 nodes), so the
     # relaxation joins take the broadcast path (guide §3.1) — a
-    # web-scale edge list would omit the hint
-    return sssp_costs(edges, seeds, broadcast_edges=True).select(
+    # web-scale edge list would omit the hint. stride=8 halves the
+    # synchronization rounds (improvements empirically stop by relaxation
+    # depth ~12); with out-degree 2 the speculative wave volume at
+    # stride 8 is 500*2^8 rows — trivial — while stride 12+ measurably
+    # loses to its own 2^12 path explosion (A/B: 4->2.33s, 8->1.59s,
+    # 12->2.66s, 16->8.33s; results identical by construction and
+    # asserted equal in the A/B).
+    return sssp_costs(edges, seeds, stride=8, broadcast_edges=True).select(
         "node", F.col("cost").cast("long").alias("cost")
     ).orderBy("node")
 
