@@ -58,6 +58,11 @@ def connected_components(
         .select("node", F.least(F.col("node"), F.col("mn")).alias("comp"))
     )
     for i in range(max_iter):
+        # (round-6 note: fusing TWO propagation steps per round was tried
+        # — sound, since min-label propagation is monotone — but measured
+        # WORSE here: the seeded init already converges dense near-dup
+        # clusters in one round, so the extra step is pure cost. Single
+        # step + seeded init stays.)
         neigh = (
             sym.join(labels.withColumnRenamed("node", "u"), "u")
             .groupBy(F.col("v").alias("node"))
