@@ -1166,7 +1166,14 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from versatiles_rs_spark.pages.packing import pack_sequences
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return pack_sequences(docs)
+    # start_off crosses the oracle bridge as a DuckDB windowed
+    # sum(BIGINT) -> HUGEINT -> pandas float64: match the dtype so the
+    # driver's value hash agrees (the CORRECTNESS_r05 hash-red class;
+    # this query was never driver-swept, caught by the round-6
+    # dtype-strict check_queries gate)
+    return pack_sequences(docs).withColumn(
+        "start_off", F.col("start_off").cast("double")
+    )
 
 
 def _o_sequence_packing() -> str:
