@@ -99,6 +99,13 @@ def tile_hotspots(counts: DataFrame, zoom: int, hot_mult: int = 3) -> DataFrame:
     both over tile-cardinality data; zero Python.
     """
     size = 1 << zoom
+    # Pin the aggregated counts (lazy localCheckpoint): they feed both
+    # the 9x neighbor explode and the broadcast totals, so the upstream
+    # point aggregation would otherwise run twice. Measured 0.54->0.50 /
+    # 0.81->0.62 s at sf0.1 WITH cached-plan AQE partitioning enabled
+    # (session.py) — an earlier A/B without that conf read the opposite,
+    # which is why this landed together with it.
+    counts = counts.localCheckpoint(eager=False)
     offsets = F.array(
         *[
             F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
@@ -172,6 +179,10 @@ def morans_i(counts: DataFrame, zoom: int) -> DataFrame:
     key pairs occupied neighbors, and the totals are 1-row broadcasts.
     """
     size = 1 << zoom
+    # Pin (see tile_hotspots): counts feeds totals, the addressed
+    # copies, the pair join build side, and the denominator — four
+    # subtree copies without it.
+    counts = counts.localCheckpoint(eager=False)
     offsets = F.array(
         *[
             F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
