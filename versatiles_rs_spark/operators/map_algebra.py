@@ -502,7 +502,9 @@ def watershed_basins(
     nothing. Returns (pid, rep) with rep = the pixel's basin sink pid.
     Drain paths strictly descend in elevation, so the pointer graph is
     acyclic and the fixed point is unique."""
-    p = edges.localCheckpoint()
+    # lazy: round 1's count materializes the halo-build output (an eager
+    # checkpoint here spent a dedicated job first)
+    p = edges.localCheckpoint(eager=False)
     for _ in range(max_rounds):
         cur = p
         first = True

@@ -253,7 +253,7 @@ def sssp_costs(
     dist = (
         seeds.select("node", F.lit(0).alias("cost"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)  # round 1's count materializes it
     )
     frontier = dist
     for _ in range(max_rounds):

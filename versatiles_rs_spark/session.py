@@ -35,6 +35,14 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE coalesce partitions INSIDE cached plans too (default
+        # false): the iterative operators cache per-round label/edge
+        # tables, and without this every cached subtree runs its
+        # shuffles at the full static partition count (64 single-row
+        # tasks per stage observed in the CC loop) at ANY scale — with
+        # it, cached plans get the same runtime partition sizing as
+        # uncached ones.
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
