@@ -57,20 +57,33 @@ def connected_components(
         .agg(F.min("v").alias("mn"))
         .select("node", F.least(F.col("node"), F.col("mn")).alias("comp"))
     )
+    pinned = labels  # the persisted frame backing `labels` (unpersist target)
     for i in range(max_iter):
         # (round-6 note: fusing TWO propagation steps per round was tried
         # — sound, since min-label propagation is monotone — but measured
         # WORSE here: the seeded init already converges dense near-dup
         # clusters in one round, so the extra step is pure cost. Single
         # step + seeded init stays.)
-        neigh = (
-            sym.join(labels.withColumnRenamed("node", "u"), "u")
-            .groupBy(F.col("v").alias("node"))
-            .agg(F.min("comp").alias("n_comp"))
+        # One-exchange propagation (guide §2.4): the previous form ran a
+        # neighbor min-agg exchange, then a LEFT JOIN of labels against
+        # it (two more exchanges), then re-joined new labels against old
+        # just to count changes. Union the label rows (tag 0) with the
+        # propagated neighbor labels (tag 1) and take min(comp) AND
+        # min(tag-0 comp) per node in ONE groupBy: min over the union IS
+        # least(own, min neighbor), nodes without neighbors keep their
+        # own row, and convergence is a filter comparing the two
+        # aggregates on the same frame — no joins beyond the edge probe.
+        prop = sym.join(labels.withColumnRenamed("node", "u"), "u").select(
+            F.col("v").alias("node"), "comp"
         )
-        new = labels.join(neigh, "node", "left").select(
-            "node",
-            F.least(F.col("comp"), F.coalesce(F.col("n_comp"), F.col("comp"))).alias("comp"),
+        new = (
+            labels.select("node", "comp", F.lit(0).alias("_tag"))
+            .unionByName(prop.select("node", "comp", F.lit(1).alias("_tag")))
+            .groupBy("node")
+            .agg(
+                F.min("comp").alias("comp"),
+                F.min(F.when(F.col("_tag") == 0, F.col("comp"))).alias("old"),
+            )
         )
         if (i + 1) % checkpoint_every == 0:
             # LAZY checkpoint: the `changed` count below computes,
@@ -79,13 +92,10 @@ def connected_components(
             new = new.localCheckpoint(eager=False)
         else:
             new = new.cache()
-        changed = (
-            new.join(labels.withColumnRenamed("comp", "old"), "node")
-            .where(F.col("comp") != F.col("old"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new
+        changed = new.where(F.col("comp") != F.col("old")).count()
+        pinned.unpersist()
+        pinned = new
+        labels = new.select("node", "comp")
         if changed == 0:
             break
     sym.unpersist()

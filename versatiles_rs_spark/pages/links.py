@@ -181,19 +181,34 @@ def bfs_hops(edges: DataFrame, seeds: DataFrame, max_hops: int = 10) -> DataFram
     dist = seeds.select(F.col("node"), F.lit(0).alias("hops")).distinct()
     dist = dist.localCheckpoint(eager=True)
     frontier = dist.select("node")
+    # One-exchange rounds (round-6, guide §2.4): the previous round paid
+    # a distinct exchange, a two-exchange anti-join against the visited
+    # set, and a dist-union checkpoint. Union the tagged visited rows
+    # with the raw frontier expansions instead and aggregate min(hops)
+    # AND min(visited-tagged hops) per node in ONE groupBy: every
+    # previously-seen node keeps its (strictly smaller) hop count, and a
+    # node is NEW iff it has no visited-tagged row — the same rows the
+    # anti-join produced, one shuffle per round.
     for h in range(1, max_hops + 1):
-        nxt = (
-            frontier.join(edges, frontier["node"] == edges["src"])
-            .select(F.col("dst").alias("node"))
-            .distinct()
-            .join(dist.select("node"), "node", "left_anti")
-            .select("node", F.lit(h).alias("hops"))
+        exp = frontier.join(edges, frontier["node"] == edges["src"]).select(
+            F.col("dst").alias("node"), F.lit(h).alias("hops")
+        )
+        merged = (
+            dist.select("node", "hops", F.lit(0).alias("_tag"))
+            .unionByName(exp.select("node", "hops", F.lit(1).alias("_tag")))
+            .groupBy("node")
+            .agg(
+                F.min("hops").alias("hops"),
+                F.min(F.when(F.col("_tag") == 0, F.col("hops"))).alias("_ohops"),
+            )
             .localCheckpoint(eager=False)
         )
-        if nxt.count() == 0:
+        fresh = F.col("_ohops").isNull()
+        new_cnt = merged.filter(fresh).count()
+        dist = merged.select("node", "hops")
+        if new_cnt == 0:
             break
-        dist = dist.union(nxt).localCheckpoint(eager=False)
-        frontier = nxt.select("node")
+        frontier = merged.filter(fresh).select("node")
     return dist
 
 
@@ -255,6 +270,17 @@ def sssp_costs(
         .distinct()
         .localCheckpoint(eager=False)  # round 1's count materializes it
     )
+    # One-exchange rounds (round-6, guide §2.4): the previous round shape
+    # paid a candidate min-agg exchange, a sort-merge join of candidates
+    # vs the checkpointed dist (2 exchanges — checkpointed tables have
+    # unknown stats) just to FIND improvements, and a dist union-merge
+    # exchange. All three collapse into one union + groupBy: tag dist
+    # rows 0 and wave expansions 1, aggregate min(cost) AND
+    # min(old-tagged cost) per node in a single pass — the new dist is
+    # min(cost) (min-merge is associative, discards non-improvements),
+    # and a node improved iff it had no old cost or the merged min is
+    # strictly below it. Same fixpoint, same exit condition, one shuffle
+    # per round.
     frontier = dist
     for _ in range(max_rounds):
         waves = []
@@ -265,24 +291,21 @@ def sssp_costs(
                 .select(F.col("dst").alias("node"), (F.col("cost") + F.col("wgt")).alias("cost"))
             )
             waves.append(c)
-        cand = waves[0]
-        for wv in waves[1:]:
-            cand = cand.unionByName(wv)
-        cand = cand.groupBy("node").agg(F.min("cost").alias("cost"))
-        old = dist.select(F.col("node").alias("onode"), F.col("cost").alias("ocost"))
-        imp = (
-            cand.join(old, cand["node"] == old["onode"], "left")
-            .filter(F.col("ocost").isNull() | (F.col("cost") < F.col("ocost")))
-            .select("node", "cost")
+        allc = dist.select("node", "cost", F.lit(0).alias("_tag"))
+        for wv in waves:
+            allc = allc.unionByName(wv.select("node", "cost", F.lit(1).alias("_tag")))
+        merged = (
+            allc.groupBy("node")
+            .agg(
+                F.min("cost").alias("cost"),
+                F.min(F.when(F.col("_tag") == 0, F.col("cost"))).alias("_ocost"),
+            )
             .localCheckpoint(eager=False)
         )
-        if imp.count() == 0:
+        improved = F.col("_ocost").isNull() | (F.col("cost") < F.col("_ocost"))
+        imp_cnt = merged.filter(improved).count()
+        dist = merged.select("node", "cost")
+        if imp_cnt == 0:
             break
-        dist = (
-            dist.unionByName(imp)
-            .groupBy("node")
-            .agg(F.min("cost").alias("cost"))
-            .localCheckpoint(eager=False)
-        )
-        frontier = imp
+        frontier = merged.filter(improved).select("node", "cost")
     return dist
