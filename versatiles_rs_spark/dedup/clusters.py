@@ -30,6 +30,7 @@ def connected_components(
     dst: str = "id_b",
     max_iter: int = 25,
     checkpoint_every: int = 5,
+    symmetric: bool = False,
 ) -> DataFrame:
     """(node, cluster) for every node in ``edges``; cluster = the min node
     id in its component (the canonical representative).
@@ -41,12 +42,17 @@ def connected_components(
     long before data size matters. Superseded label tables are unpersisted
     as soon as the next iteration's change count has been computed.
     """
-    sym = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-        .distinct()
-        .cache()
-    )
+    # ``symmetric=True``: the caller asserts the edge list already
+    # contains both directions of every pair (e.g. grid_dbscan's
+    # neighbor-offset join emits (a,b) AND (b,a) by construction) — the
+    # symmetrizing union + distinct exchange is pure waste there.
+    # Duplicate edges would only inflate the propagation join, never
+    # change the min-label fixpoint, so this is a cost assertion, not a
+    # correctness precondition.
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    if not symmetric:
+        sym = sym.union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))).distinct()
+    sym = sym.cache()
     # Seed labels with the FIRST propagation step folded into the init:
     # comp0 = min(node, min neighbor id) is exactly what iteration 1
     # would compute from comp = node, so the loop starts one round ahead

@@ -72,7 +72,10 @@ def grid_dbscan(
     edges = addressed.join(
         dense.select(F.col("key").alias("nkey"), F.col("key").alias("b")), "nkey"
     ).select("a", "b")  # includes self-edges via the (0,0) offset
-    comp = connected_components(edges, "a", "b")
+    # symmetric=True: the offset grid is mirror-closed (if b is a's
+    # neighbor then a is b's), so both directions are already present
+    # and unique — CC skips its symmetrize union + distinct exchange.
+    comp = connected_components(edges, "a", "b", symmetric=True)
     return (
         dense.join(comp, dense["key"] == comp["node"])
         .groupBy("cluster")
