@@ -478,7 +478,10 @@ def dem_flow_edges(
 
 
 def watershed_basins(
-    edges: DataFrame, max_rounds: int = 20, steps_per_round: int = 3
+    edges: DataFrame,
+    max_rounds: int = 20,
+    steps_per_round: int = 3,
+    rows_hint: int | None = None,
 ) -> DataFrame:
     """Resolve every pixel's drain path to its terminal sink by global
     pointer doubling over the locally-compressed (pid, rep) table:
@@ -501,38 +504,64 @@ def watershed_basins(
     at any raster size. The loop exits as soon as a round moves
     nothing. Returns (pid, rep) with rep = the pixel's basin sink pid.
     Drain paths strictly descend in elevation, so the pointer graph is
-    acyclic and the fixed point is unique."""
-    # lazy: round 1's count materializes the halo-build output (an eager
-    # checkpoint here spent a dedicated job first)
-    p = edges.localCheckpoint(eager=False)
-    for _ in range(max_rounds):
-        cur = p
-        first = True
-        for _s in range(max(1, steps_per_round)):
-            b = cur.select(F.col("pid").alias("bpid"), F.col("rep").alias("brep"))
-            if first:
-                # first step carries the round's starting rep as `orig`
-                # for the convergence check
-                cur = (
-                    cur.join(b, cur["rep"] == b["bpid"])
-                    .select("pid", F.col("rep").alias("orig"), F.col("brep").alias("rep"))
-                    .localCheckpoint(eager=False)
-                )
-                first = False
-            else:
-                cur = (
-                    cur.join(b, cur["rep"] == b["bpid"])
-                    .select("pid", "orig", F.col("brep").alias("rep"))
-                    .localCheckpoint(eager=False)
-                )
-        moved = cur.filter(F.col("orig") != F.col("rep")).count()
-        p = cur.select("pid", "rep")
-        if moved == 0:
-            break
+    acyclic and the fixed point is unique.
+
+    ``rows_hint``: caller-known bound on the (pid, rep) table size (one
+    row per raster pixel — the caller chose the raster, so it knows).
+    When given, the loop runs under ``static_round_conf``: AQE off +
+    a data-size-derived static shuffle partition count, so every
+    materialized round is ONE Spark job instead of ~5 AQE stage-jobs
+    (A/B at sf0.1: 23 -> 5 jobs, 1.71 -> 1.27 s best-of-3 interleaved;
+    identical output). The self-joins here are plain SMJs over
+    checkpointed RDDs — none of the broadcast-subtree re-execution that
+    made AQE-off LOSE on sssp (see OPTIMIZATION_r06.md)."""
+    from contextlib import nullcontext
+
+    from versatiles_rs_spark.operators.iterconf import static_round_conf
+
+    if rows_hint:
+        # One EAGER job under the caller's AQE conf materializes the
+        # halo-build input at full scan parallelism (the heavy per-tile
+        # pandas compression must not inherit the loop's tiny static
+        # partition count); the loop rounds then run one static job each.
+        p = edges.localCheckpoint(eager=True)
+        scope = static_round_conf(edges.sparkSession, rows_hint)
+    else:
+        # lazy: round 1's count materializes the halo-build output (an
+        # eager checkpoint here would spend a dedicated job first)
+        p = edges.localCheckpoint(eager=False)
+        scope = nullcontext()
+    with scope:
+        for _ in range(max_rounds):
+            cur = p
+            first = True
+            for _s in range(max(1, steps_per_round)):
+                b = cur.select(F.col("pid").alias("bpid"), F.col("rep").alias("brep"))
+                if first:
+                    # first step carries the round's starting rep as `orig`
+                    # for the convergence check
+                    cur = (
+                        cur.join(b, cur["rep"] == b["bpid"])
+                        .select("pid", F.col("rep").alias("orig"), F.col("brep").alias("rep"))
+                        .localCheckpoint(eager=False)
+                    )
+                    first = False
+                else:
+                    cur = (
+                        cur.join(b, cur["rep"] == b["bpid"])
+                        .select("pid", "orig", F.col("brep").alias("rep"))
+                        .localCheckpoint(eager=False)
+                    )
+            moved = cur.filter(F.col("orig") != F.col("rep")).count()
+            p = cur.select("pid", "rep")
+            if moved == 0:
+                break
     return p
 
 
-def flow_accumulation(edges: DataFrame, max_rounds: int = 16) -> DataFrame:
+def flow_accumulation(
+    edges: DataFrame, max_rounds: int = 16, static_rounds: bool = False
+) -> DataFrame:
     """D8 flow accumulation — each pixel's upstream drainage area (the
     count of pixels whose drain path passes through it, plus itself):
     the hydrology companion of dem_flow_dir/watershed_basins, the input
@@ -553,7 +582,23 @@ def flow_accumulation(edges: DataFrame, max_rounds: int = 16) -> DataFrame:
     Drain paths strictly descend, so pair sets converge; the loop exits
     when a round adds nothing. Every round localCheckpoints (iterative
     discipline). Returns (pid, acc).
+
+    ``static_rounds``: run the doubling rounds under AQE-off static
+    plans with the shuffle partition count RE-DERIVED each round from
+    the measured pair count (the loop counts it anyway) — one Spark job
+    per round instead of ~5 AQE stage-jobs (A/B at sf0.1: 80 -> 16
+    jobs, 15.2 -> 8.9 s interleaved best; p1 = 21.8 s is why the count
+    is live-derived, not fixed).  Opt-in: the doubling joins key on
+    ``rep``, which concentrates toward sinks as rounds proceed, so a
+    caller at unbounded scale should keep AQE's runtime skew handling.
     """
+    from contextlib import nullcontext
+
+    from versatiles_rs_spark.operators.iterconf import (
+        static_loop_partitions,
+        static_round_conf,
+    )
+
     step = edges.select("pid", F.col("rep").alias("anc")).filter(
         F.col("pid") != F.col("anc")
     )
@@ -566,26 +611,36 @@ def flow_accumulation(edges: DataFrame, max_rounds: int = 16) -> DataFrame:
     # shape paid 4 actions per round (two eager checkpoints plus two
     # counts, one of which rescanned the already-known pair count).
     n_pairs = pairs.count()
-    for _ in range(max_rounds):
-        j2 = (
-            jump.alias("a")
-            .join(jump.alias("b"), F.col("a.rep") == F.col("b.pid"))
-            .select(F.col("a.pid").alias("pid"), F.col("b.rep").alias("rep"))
-            .localCheckpoint(eager=False)
-        )
-        shifted = (
-            jump.select(F.col("pid").alias("jpid"), F.col("rep").alias("jrep"))
-            .join(pairs, F.col("jrep") == pairs["pid"])
-            .select(F.col("jpid").alias("pid"), F.col("anc"))
-            .filter(F.col("pid") != F.col("anc"))
-        )
-        grown = pairs.unionByName(shifted).distinct().localCheckpoint(eager=False)
-        n_grown = grown.count()
-        added = n_grown - n_pairs
-        pairs, n_pairs = grown, n_grown
-        jump = j2
-        if added == 0:
-            break
+    spark = edges.sparkSession
+    scope = static_round_conf(spark, n_pairs) if static_rounds else nullcontext()
+    with scope:
+        for _ in range(max_rounds):
+            if static_rounds:
+                # pair sets grow ~2x per round: re-derive the static
+                # partition count from the live measured size
+                spark.conf.set(
+                    "spark.sql.shuffle.partitions",
+                    str(static_loop_partitions(spark, n_pairs)),
+                )
+            j2 = (
+                jump.alias("a")
+                .join(jump.alias("b"), F.col("a.rep") == F.col("b.pid"))
+                .select(F.col("a.pid").alias("pid"), F.col("b.rep").alias("rep"))
+                .localCheckpoint(eager=False)
+            )
+            shifted = (
+                jump.select(F.col("pid").alias("jpid"), F.col("rep").alias("jrep"))
+                .join(pairs, F.col("jrep") == pairs["pid"])
+                .select(F.col("jpid").alias("pid"), F.col("anc"))
+                .filter(F.col("pid") != F.col("anc"))
+            )
+            grown = pairs.unionByName(shifted).distinct().localCheckpoint(eager=False)
+            n_grown = grown.count()
+            added = n_grown - n_pairs
+            pairs, n_pairs = grown, n_grown
+            jump = j2
+            if added == 0:
+                break
     ups = pairs.groupBy(F.col("anc").alias("pid")).agg(
         F.count(F.lit(1)).alias("n_up")
     )

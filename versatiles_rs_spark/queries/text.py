@@ -1318,7 +1318,10 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     seeds = nodes.filter(F.col("u") % 50 == 0).select(F.col("u").alias("node"))
-    return bfs_hops(edges, seeds, max_hops=4).select(
+    # rows_hint = 500: the node space is doc_id % 500 by construction, so
+    # dist/frontier are bounded a priori — the loop runs static one-job
+    # rounds (operators/iterconf.py) sized from that bound.
+    return bfs_hops(edges, seeds, max_hops=4, rows_hint=500).select(
         "node", F.col("hops").cast("long").alias("hops")
     ).orderBy("node")
 
