@@ -66,6 +66,30 @@ def test_bfs_hops_static_matches_default_multi_round(spark):
     assert _conf_snapshot(spark) == before
 
 
+def test_sssp_static_matches_default_late_improvement(spark):
+    from versatiles_rs_spark.pages.links import sssp_costs
+
+    # expensive direct edge vs a long cheap path: the improvement for
+    # node 9 lands several rounds in, exercising the static rounds past
+    # a single materialization at both strides.
+    rows = [(0, 9, 100)] + [(i, i + 1, 1) for i in range(9)]
+    edges = spark.createDataFrame(rows, "src long, dst long, wgt long")
+    seeds = spark.createDataFrame([(0,)], "node long")
+    before = _conf_snapshot(spark)
+    base = {
+        (r["node"], r["cost"])
+        for r in sssp_costs(edges, seeds, stride=4).collect()
+    }
+    for stride in (1, 4):
+        static = {
+            (r["node"], r["cost"])
+            for r in sssp_costs(edges, seeds, stride=stride, rows_hint=10).collect()
+        }
+        assert static == base
+    assert (9, 9) in base  # the cheap path wins over the direct 100-edge
+    assert _conf_snapshot(spark) == before
+
+
 def test_watershed_static_matches_default(spark):
     from versatiles_rs_spark.operators.map_algebra import watershed_basins
 

@@ -241,6 +241,7 @@ def sssp_costs(
     max_rounds: int = 40,
     stride: int = 4,
     broadcast_edges: bool = False,
+    rows_hint: int | None = None,
 ) -> DataFrame:
     """Multi-source single-source-shortest-path costs over positive
     integer edge weights — the weighted upgrade of ``bfs_hops`` (crawl
@@ -285,7 +286,22 @@ def sssp_costs(
     # broadcast_edges=True (guide §3.1: explicit broadcast hint when a
     # side is known small) and every relaxation join becomes
     # exchange-free; web-scale edge lists keep the default shuffle path.
-    edges = edges.select("src", "dst", "wgt").localCheckpoint(eager=False)
+    # ``rows_hint``: caller-known bound on the node space.  When given,
+    # the rounds run under AQE-off static plans sized from that bound
+    # (operators/iterconf.py) — one job per round.  Mutually exclusive
+    # with ``broadcast_edges`` in practice: under a static plan every
+    # wave's broadcast build would re-execute as its own job per action
+    # (measured 22 -> 113 jobs), so static rounds keep the SMJ path.
+    from contextlib import nullcontext
+
+    from versatiles_rs_spark.operators.iterconf import static_round_conf
+
+    if rows_hint:
+        edges = edges.select("src", "dst", "wgt").localCheckpoint(eager=True)
+        scope = static_round_conf(edges.sparkSession, rows_hint)
+    else:
+        edges = edges.select("src", "dst", "wgt").localCheckpoint(eager=False)
+        scope = nullcontext()
     if broadcast_edges:
         edges = F.broadcast(edges)
     dist = (
@@ -305,30 +321,31 @@ def sssp_costs(
     # strictly below it. Same fixpoint, same exit condition, one shuffle
     # per round.
     frontier = dist
-    for _ in range(max_rounds):
-        waves = []
-        c = frontier
-        for _i in range(max(1, stride)):
-            c = (
-                c.join(edges, c["node"] == edges["src"])
-                .select(F.col("dst").alias("node"), (F.col("cost") + F.col("wgt")).alias("cost"))
+    with scope:
+        for _ in range(max_rounds):
+            waves = []
+            c = frontier
+            for _i in range(max(1, stride)):
+                c = (
+                    c.join(edges, c["node"] == edges["src"])
+                    .select(F.col("dst").alias("node"), (F.col("cost") + F.col("wgt")).alias("cost"))
+                )
+                waves.append(c)
+            allc = dist.select("node", "cost", F.lit(0).alias("_tag"))
+            for wv in waves:
+                allc = allc.unionByName(wv.select("node", "cost", F.lit(1).alias("_tag")))
+            merged = (
+                allc.groupBy("node")
+                .agg(
+                    F.min("cost").alias("cost"),
+                    F.min(F.when(F.col("_tag") == 0, F.col("cost"))).alias("_ocost"),
+                )
+                .localCheckpoint(eager=False)
             )
-            waves.append(c)
-        allc = dist.select("node", "cost", F.lit(0).alias("_tag"))
-        for wv in waves:
-            allc = allc.unionByName(wv.select("node", "cost", F.lit(1).alias("_tag")))
-        merged = (
-            allc.groupBy("node")
-            .agg(
-                F.min("cost").alias("cost"),
-                F.min(F.when(F.col("_tag") == 0, F.col("cost"))).alias("_ocost"),
-            )
-            .localCheckpoint(eager=False)
-        )
-        improved = F.col("_ocost").isNull() | (F.col("cost") < F.col("_ocost"))
-        imp_cnt = merged.filter(improved).count()
-        dist = merged.select("node", "cost")
-        if imp_cnt == 0:
-            break
-        frontier = merged.filter(improved).select("node", "cost")
+            improved = F.col("_ocost").isNull() | (F.col("cost") < F.col("_ocost"))
+            imp_cnt = merged.filter(improved).count()
+            dist = merged.select("node", "cost")
+            if imp_cnt == 0:
+                break
+            frontier = merged.filter(improved).select("node", "cost")
     return dist

@@ -1423,16 +1423,16 @@ def q_sssp_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst", (1 + (F.col("src") * 7 + F.col("dst") * 13) % 9).alias("wgt"))
     )
     seeds = nodes.filter(F.col("u") % 50 == 0).select(F.col("u").alias("node"))
-    # the fixture graph is dimension-table-sized (500 nodes), so the
-    # relaxation joins take the broadcast path (guide §3.1) — a
-    # web-scale edge list would omit the hint. stride=8 halves the
-    # synchronization rounds (improvements empirically stop by relaxation
-    # depth ~12); with out-degree 2 the speculative wave volume at
-    # stride 8 is 500*2^8 rows — trivial — while stride 12+ measurably
-    # loses to its own 2^12 path explosion (A/B: 4->2.33s, 8->1.59s,
-    # 12->2.66s, 16->8.33s; results identical by construction and
-    # asserted equal in the A/B).
-    return sssp_costs(edges, seeds, stride=8, broadcast_edges=True).select(
+    # rows_hint = 500: the node space is doc_id % 500 by construction,
+    # so the rounds run as static one-job SMJ plans sized from that
+    # bound (operators/iterconf.py).  Under the static plan the
+    # broadcast hint LOSES (every wave's broadcast build re-executes as
+    # its own job per action: 22 -> 113 jobs measured) and the stride
+    # optimum moves DOWN — static rounds are cheap, speculative wave
+    # volume is not (interleaved sweep, results asserted identical:
+    # stride 2/4/6/8 -> 1.56/1.37/1.43/1.68 s, vs the former
+    # broadcast+AQE stride-8 shape at 2.08-2.57 s in the same sessions).
+    return sssp_costs(edges, seeds, stride=4, rows_hint=500).select(
         "node", F.col("cost").cast("long").alias("cost")
     ).orderBy("node")
 
