@@ -616,11 +616,13 @@ def flow_accumulation(
     with scope:
         for _ in range(max_rounds):
             if static_rounds:
-                # pair sets grow ~2x per round: re-derive the static
-                # partition count from the live measured size
+                # pair sets roughly double per round, and this round's
+                # distinct runs over the GROWN set — size the static
+                # partitions for 2x the last measured count so the
+                # derivation doesn't lag the growth by a round
                 spark.conf.set(
                     "spark.sql.shuffle.partitions",
-                    str(static_loop_partitions(spark, n_pairs)),
+                    str(static_loop_partitions(spark, 2 * n_pairs)),
                 )
             j2 = (
                 jump.alias("a")
