@@ -18,6 +18,14 @@ loops over tables of unknown size keep AQE (its runtime sizing is the
 right default — see the sssp A/B in OPTIMIZATION_r06.md, where AQE off
 measured worse because broadcast-hinted wave joins re-executed their
 broadcast subtrees per action).
+
+Session-conf caveat: ``spark.conf`` is session-global, so the scoped
+toggle assumes no OTHER driver thread is submitting SQL while a loop
+runs (true everywhere in this engine — queries and jobs are
+single-threaded on the driver; streaming queries capture their conf at
+start and never run these loops).  A caller that overlaps independent
+jobs from a thread pool (guide §2.6) must not combine that with these
+hints.
 """
 
 from __future__ import annotations
